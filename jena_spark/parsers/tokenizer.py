@@ -1,0 +1,477 @@
+"""Tokenizer for the Turtle family (N-Triples, N-Quads, Turtle, TriG).
+
+Re-implements the token-level semantics of the reference tokenizer
+(Jena: riot/tokens/TokenizerText.java, 1,630 LoC; token inventory
+riot/tokens/TokenType.java:24-57) as a character-level scanner following
+the W3C Turtle grammar productions (IRIREF, PNAME_NS, PNAME_LN,
+BLANK_NODE_LABEL, LANGTAG, INTEGER, DECIMAL, DOUBLE, the four string
+forms, ANON, punctuation).
+
+Pure Python: runs per document inside Arrow pandas UDF workers;
+vectorization is across documents, not characters.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, NamedTuple, Optional
+
+from ..terms import RDFSyntaxError, unescape_string, _hex_escape
+
+# Token types
+T_IRI = "IRI"                # value = raw IRI text (escapes decoded, unresolved)
+T_PNAME = "PNAME"            # value = prefix (no colon), value2 = local (escapes decoded)
+T_BNODE = "BNODE"            # value = label
+T_STRING = "STRING"          # value = decoded lexical form, value2 = quote style: '"' "'" '"""' "'''"
+T_LANGTAG = "LANGTAG"        # value = raw tag (not case-normalized)
+T_INTEGER = "INTEGER"        # value = lexical form as written
+T_DECIMAL = "DECIMAL"
+T_DOUBLE = "DOUBLE"
+T_KEYWORD = "KEYWORD"        # bare word: a, true, false, prefix, base, graph ...
+T_DOT = "."
+T_SEMI = ";"
+T_COMMA = ","
+T_LPAREN = "("
+T_RPAREN = ")"
+T_LBRACKET = "["
+T_RBRACKET = "]"
+T_LBRACE = "{"
+T_RBRACE = "}"
+T_HATHAT = "^^"
+T_AT_PREFIX = "@prefix"
+T_AT_BASE = "@base"
+T_EOF = "EOF"
+
+
+class Token(NamedTuple):
+    type: str
+    value: str = ""
+    value2: str = ""
+    line: int = 0
+
+
+# --- character classes (Turtle spec productions) ---------------------------
+
+def _is_pn_chars_base(cp: int) -> bool:
+    return (
+        (0x41 <= cp <= 0x5A)
+        or (0x61 <= cp <= 0x7A)
+        or (0xC0 <= cp <= 0xD6)
+        or (0xD8 <= cp <= 0xF6)
+        or (0xF8 <= cp <= 0x2FF)
+        or (0x370 <= cp <= 0x37D)
+        or (0x37F <= cp <= 0x1FFF)
+        or (0x200C <= cp <= 0x200D)
+        or (0x2070 <= cp <= 0x218F)
+        or (0x2C00 <= cp <= 0x2FEF)
+        or (0x3001 <= cp <= 0xD7FF)
+        or (0xF900 <= cp <= 0xFDCF)
+        or (0xFDF0 <= cp <= 0xFFFD)
+        or (0x10000 <= cp <= 0xEFFFF)
+    )
+
+
+def _is_pn_chars_u(cp: int) -> bool:
+    return _is_pn_chars_base(cp) or cp == 0x5F  # '_'
+
+
+def _is_pn_chars(cp: int) -> bool:
+    return (
+        _is_pn_chars_u(cp)
+        or cp == 0x2D  # '-'
+        or (0x30 <= cp <= 0x39)
+        or cp == 0xB7
+        or (0x300 <= cp <= 0x36F)
+        or (0x203F <= cp <= 0x2040)
+    )
+
+
+_PN_LOCAL_ESC = set("_~.-!$&'()*+,;=/?#@%")
+_HEXDIGITS = set("0123456789abcdefABCDEF")
+_WS = " \t\r\n"
+_DIGITS = set("0123456789")
+
+
+class Tokenizer:
+    """Character scanner.  ``strict_nt=True`` restricts to the N-Triples /
+    N-Quads token set (double-quoted single-line strings only, no prefixed
+    names, no bare numbers/keywords, no ANON) — positional-grammar checks
+    themselves live in the parsers (cf. riot/lang/LangNTuple.java:94-177).
+    """
+
+    def __init__(self, text: str, strict_nt: bool = False):
+        self.s = text
+        self.n = len(text)
+        self.i = 0
+        self.line = 1
+        self.strict = strict_nt
+
+    # -- low-level helpers --------------------------------------------------
+
+    def _err(self, msg: str) -> RDFSyntaxError:
+        return RDFSyntaxError(f"line {self.line}: {msg}")
+
+    def _peek(self, k: int = 0) -> str:
+        j = self.i + k
+        return self.s[j] if j < self.n else ""
+
+    def _skip_ws_comments(self) -> None:
+        while self.i < self.n:
+            c = self.s[self.i]
+            if c == "\n":
+                self.line += 1
+                self.i += 1
+            elif c in " \t\r":
+                self.i += 1
+            elif c == "#":
+                j = self.s.find("\n", self.i)
+                if j < 0:
+                    self.i = self.n
+                else:
+                    self.i = j  # newline handled above
+            else:
+                return
+
+    # -- main ---------------------------------------------------------------
+
+    def tokens(self) -> Iterator[Token]:
+        while True:
+            t = self.next_token()
+            yield t
+            if t.type == T_EOF:
+                return
+
+    def next_token(self) -> Token:
+        self._skip_ws_comments()
+        if self.i >= self.n:
+            return Token(T_EOF, line=self.line)
+        c = self.s[self.i]
+        ln = self.line
+
+        if c == "<":
+            return self._iri()
+        if c == '"' or c == "'":
+            if self.strict and c == "'":
+                raise self._err("single-quoted string not allowed in N-Triples")
+            return self._string(c)
+        if c == "_":
+            return self._bnode_label()
+        if c == "@":
+            return self._at()
+        if c == "^":
+            if self._peek(1) == "^":
+                self.i += 2
+                return Token(T_HATHAT, line=ln)
+            raise self._err("lone '^'")
+        if c in ".;,()[]{}":
+            # '.' may start a decimal like .5 (Turtle DOUBLE/DECIMAL)
+            if c == "." and not self.strict and self._peek(1) in _DIGITS:
+                return self._number()
+            self.i += 1
+            return Token(c, line=ln)
+        if c in "+-" or c in _DIGITS:
+            if self.strict:
+                raise self._err("bare numbers not allowed in N-Triples")
+            return self._number()
+        # prefixed name or bare keyword
+        if self.strict:
+            raise self._err(f"unexpected character {c!r}")
+        return self._pname_or_keyword()
+
+    # -- productions ---------------------------------------------------------
+
+    def _iri(self) -> Token:
+        ln = self.line
+        s = self.s
+        i = self.i + 1
+        out = []
+        while True:
+            if i >= self.n:
+                raise self._err("unterminated IRI")
+            c = s[i]
+            if c == ">":
+                self.i = i + 1
+                return Token(T_IRI, "".join(out), line=ln)
+            cp = ord(c)
+            if c == "\\":
+                e = s[i + 1] if i + 1 < self.n else ""
+                if e == "u":
+                    out.append(_hex_escape(s, i + 2, 4))
+                    i += 6
+                elif e == "U":
+                    out.append(_hex_escape(s, i + 2, 8))
+                    i += 10
+                else:
+                    raise self._err(f"illegal escape \\{e} in IRI")
+                continue
+            if cp <= 0x20 or c in '<"{}|^`':
+                raise self._err(f"illegal character {c!r} in IRI")
+            out.append(c)
+            i += 1
+
+    def _string(self, q: str) -> Token:
+        ln = self.line
+        s = self.s
+        if s.startswith(q * 3, self.i):
+            return self._long_string(q)
+        i = self.i + 1
+        out = []
+        while True:
+            if i >= self.n:
+                raise self._err("unterminated string")
+            c = s[i]
+            if c == q:
+                self.i = i + 1
+                return Token(T_STRING, "".join(out), q, line=ln)
+            if c == "\n" or c == "\r":
+                raise self._err("newline in single-line string")
+            if c == "\\":
+                e = s[i + 1] if i + 1 < self.n else ""
+                if e == "u":
+                    out.append(_hex_escape(s, i + 2, 4))
+                    i += 6
+                elif e == "U":
+                    out.append(_hex_escape(s, i + 2, 8))
+                    i += 10
+                elif e in 'tbnrf"\'\\':
+                    out.append(unescape_string("\\" + e))
+                    i += 2
+                else:
+                    raise self._err(f"illegal string escape \\{e}")
+                continue
+            out.append(c)
+            i += 1
+
+    def _long_string(self, q: str) -> Token:
+        ln = self.line
+        s = self.s
+        i = self.i + 3
+        out = []
+        while True:
+            if i >= self.n:
+                raise self._err("unterminated long string")
+            if s.startswith(q * 3, i):
+                # The first ''' / """ closes the string (a trailing quote
+                # inside must be escaped — W3C turtle-syntax-bad-string-06/07).
+                self.i = i + 3
+                return Token(T_STRING, "".join(out), q * 3, line=ln)
+            c = s[i]
+            if c == "\n":
+                self.line += 1
+                out.append(c)
+                i += 1
+                continue
+            if c == "\\":
+                e = s[i + 1] if i + 1 < self.n else ""
+                if e == "u":
+                    out.append(_hex_escape(s, i + 2, 4))
+                    i += 6
+                elif e == "U":
+                    out.append(_hex_escape(s, i + 2, 8))
+                    i += 10
+                elif e in 'tbnrf"\'\\':
+                    out.append(unescape_string("\\" + e))
+                    i += 2
+                else:
+                    raise self._err(f"illegal string escape \\{e}")
+                continue
+            out.append(c)
+            i += 1
+
+    def _bnode_label(self) -> Token:
+        ln = self.line
+        s = self.s
+        if self._peek(1) != ":":
+            raise self._err("'_' must start '_:'")
+        i = self.i + 2
+        if i >= self.n:
+            raise self._err("empty blank node label")
+        cp = ord(s[i])
+        if not (_is_pn_chars_u(cp) or 0x30 <= cp <= 0x39):
+            raise self._err(f"bad first char in blank node label: {s[i]!r}")
+        j = i + 1
+        last_good = j
+        while j < self.n:
+            c = s[j]
+            if c == ".":
+                # dots allowed inside but not at end
+                j += 1
+                continue
+            if _is_pn_chars(ord(c)):
+                j += 1
+                last_good = j
+                continue
+            break
+        # trim trailing dots
+        label = s[i:last_good]
+        self.i = last_good
+        return Token(T_BNODE, label, line=ln)
+
+    def _at(self) -> Token:
+        ln = self.line
+        s = self.s
+        i = self.i + 1
+        j = i
+        while j < self.n and (s[j].isascii() and s[j].isalpha()):
+            j += 1
+        word = s[i:j]
+        if word == "prefix" and not self.strict:
+            self.i = j
+            return Token(T_AT_PREFIX, line=ln)
+        if word == "base" and not self.strict:
+            self.i = j
+            return Token(T_AT_BASE, line=ln)
+        if not word:
+            raise self._err("empty language tag")
+        # LANGTAG: [a-zA-Z]+ ('-' [a-zA-Z0-9]+)*
+        parts = [word]
+        while j < self.n and s[j] == "-":
+            k = j + 1
+            m = k
+            while m < self.n and s[m].isascii() and s[m].isalnum():
+                m += 1
+            if m == k:
+                raise self._err("empty language subtag")
+            parts.append(s[k:m])
+            j = m
+        self.i = j
+        return Token(T_LANGTAG, "-".join(parts), line=ln)
+
+    def _number(self) -> Token:
+        ln = self.line
+        s = self.s
+        i = self.i
+        j = i
+        if s[j] in "+-":
+            j += 1
+        int_digits = 0
+        while j < self.n and s[j] in _DIGITS:
+            j += 1
+            int_digits += 1
+        frac_digits = 0
+        has_dot = False
+        if j < self.n and s[j] == ".":
+            # Only consume the dot if digits follow OR an exponent follows
+            # digits after dot... Turtle: DECIMAL requires digits after dot;
+            # "1." is INTEGER followed by DOT; "1.e0" is invalid.
+            k = j + 1
+            while k < self.n and s[k] in _DIGITS:
+                k += 1
+                frac_digits += 1
+            if frac_digits > 0 or (int_digits > 0 and k < self.n and s[k] in "eE"):
+                has_dot = True
+                j = k
+        has_exp = False
+        if j < self.n and s[j] in "eE" and (int_digits > 0 or frac_digits > 0):
+            k = j + 1
+            if k < self.n and s[k] in "+-":
+                k += 1
+            exp_digits = 0
+            while k < self.n and s[k] in _DIGITS:
+                k += 1
+                exp_digits += 1
+            if exp_digits == 0:
+                raise self._err("malformed double exponent")
+            has_exp = True
+            j = k
+        if int_digits == 0 and frac_digits == 0:
+            raise self._err("malformed number")
+        lex = s[i:j]
+        self.i = j
+        if has_exp:
+            return Token(T_DOUBLE, lex, line=ln)
+        if has_dot:
+            if frac_digits == 0:
+                raise self._err("malformed decimal")
+            return Token(T_DECIMAL, lex, line=ln)
+        return Token(T_INTEGER, lex, line=ln)
+
+    def _pname_or_keyword(self) -> Token:
+        ln = self.line
+        s = self.s
+        i = self.i
+        # scan prefix part: PN_PREFIX (may be empty before ':')
+        j = i
+        if j < self.n and s[j] != ":":
+            cp = ord(s[j])
+            if not _is_pn_chars_base(cp):
+                raise self._err(f"unexpected character {s[j]!r}")
+            j += 1
+            last_good = j
+            while j < self.n:
+                c = s[j]
+                if c == ".":
+                    j += 1
+                    continue
+                if _is_pn_chars(ord(c)):
+                    j += 1
+                    last_good = j
+                    continue
+                break
+            j = last_good
+        word = s[i:j]
+        if j < self.n and s[j] == ":":
+            # prefixed name
+            local, end = self._pn_local(j + 1)
+            self.i = end
+            return Token(T_PNAME, word, local, line=ln)
+        if not word:
+            raise self._err(f"unexpected character {s[i]!r}")
+        self.i = j
+        return Token(T_KEYWORD, word, line=ln)
+
+    def _pn_local(self, start: int) -> tuple[str, int]:
+        """PN_LOCAL with PLX escapes; returns (decoded local, end index).
+        May be empty.  Trailing '.' not part of the name."""
+        s = self.s
+        out = []
+        i = start
+        first = True
+        # positions of chars appended, to trim trailing dots
+        pend_dots = 0  # dots seen but not yet committed
+        while i < self.n:
+            c = s[i]
+            cp = ord(c)
+            ok: Optional[str] = None
+            consumed = 1
+            if c == "%":
+                if i + 2 < self.n and s[i + 1] in _HEXDIGITS and s[i + 2] in _HEXDIGITS:
+                    ok = s[i : i + 3]  # percent triplet kept verbatim
+                    consumed = 3
+                else:
+                    raise self._err("bad %-escape in local name")
+            elif c == "\\":
+                e = s[i + 1] if i + 1 < self.n else ""
+                if e in _PN_LOCAL_ESC:
+                    ok = e
+                    consumed = 2
+                else:
+                    raise self._err(f"bad local-name escape \\{e}")
+            elif c == ":":
+                ok = c
+            elif c == ".":
+                if first:
+                    break  # '.' cannot start PN_LOCAL
+                # defer: only keep if followed by more name chars
+                pend_dots += 1
+                i += 1
+                continue
+            elif first:
+                if _is_pn_chars_u(cp) or (0x30 <= cp <= 0x39):
+                    ok = c
+                else:
+                    break
+            else:
+                if _is_pn_chars(ord(c)):
+                    ok = c
+                else:
+                    break
+            if ok is None:
+                break
+            if pend_dots:
+                out.append("." * pend_dots)
+                pend_dots = 0
+            out.append(ok)
+            i += consumed
+            first = False
+        # trailing dots are not part of the local name
+        return "".join(out), i - pend_dots

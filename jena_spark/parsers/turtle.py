@@ -1,0 +1,396 @@
+"""Turtle and TriG recursive-descent parsers.
+
+Grammar semantics from the reference
+(riot/lang/LangTurtle.java over riot/lang/LangTurtleBase.java:
+directives :109-243, triples :244-560, predicateObjectList :582-667,
+objectList :669-685, blank-node property lists :748-763, collection
+expansion to rdf:first/rest/nil :767-811; TriG graph blocks
+riot/lang/LangTriG.java:56-120), following the W3C Turtle/TriG grammars.
+
+Term construction rules (riot/system/ParserProfileStd.java:291-360):
+bare INTEGER→xsd:integer, DECIMAL→xsd:decimal, DOUBLE→xsd:double,
+true/false→xsd:boolean, lexical forms kept exactly as written; IRIs
+resolved against the in-scope base (RFC 3986 §5.2, resolution only);
+undefined prefix is fatal.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+from ..iri import IRIResolver
+from ..skolem import BNodeAllocator
+from ..terms import (
+    RDF_FIRST,
+    RDF_NIL,
+    RDF_REST,
+    RDF_TYPE,
+    XSD_BOOLEAN,
+    XSD_DECIMAL,
+    XSD_DOUBLE,
+    XSD_INTEGER,
+    RDFSyntaxError,
+    Term,
+    mk_bnode,
+    mk_iri,
+    mk_literal,
+)
+from .tokenizer import (
+    T_AT_BASE,
+    T_AT_PREFIX,
+    T_BNODE,
+    T_COMMA,
+    T_DECIMAL,
+    T_DOT,
+    T_DOUBLE,
+    T_EOF,
+    T_HATHAT,
+    T_INTEGER,
+    T_IRI,
+    T_KEYWORD,
+    T_LANGTAG,
+    T_LBRACE,
+    T_LBRACKET,
+    T_LPAREN,
+    T_PNAME,
+    T_RBRACE,
+    T_RBRACKET,
+    T_RPAREN,
+    T_SEMI,
+    T_STRING,
+    Token,
+    Tokenizer,
+)
+
+Triple = Tuple[str, str, str]
+Quad = Tuple[Optional[str], str, str, str]
+
+_RDF_TYPE_TERM = mk_iri(RDF_TYPE)
+_RDF_NIL_TERM = mk_iri(RDF_NIL)
+_RDF_FIRST_TERM = mk_iri(RDF_FIRST)
+_RDF_REST_TERM = mk_iri(RDF_REST)
+
+
+class TurtleParser:
+    """One-document parser.  ``trig=True`` adds GRAPH blocks and emits quads
+    (graph None = default graph)."""
+
+    def __init__(
+        self,
+        text: str,
+        base: Optional[str],
+        alloc: BNodeAllocator,
+        trig: bool = False,
+    ):
+        self.tz = Tokenizer(text)
+        self.resolver = IRIResolver(base)
+        self.alloc = alloc
+        self.trig = trig
+        self.prefixes: dict[str, str] = {}
+        self.out: List[Quad] = []
+        self.graph: Optional[str] = None  # current graph term (encoded) or None
+        self.tok: Token = self.tz.next_token()
+
+    # -- token plumbing ------------------------------------------------------
+
+    def _advance(self) -> Token:
+        t = self.tok
+        self.tok = self.tz.next_token()
+        return t
+
+    def _expect(self, ttype: str) -> Token:
+        if self.tok.type != ttype:
+            raise RDFSyntaxError(
+                f"line {self.tok.line}: expected {ttype}, got {self.tok.type} {self.tok.value!r}"
+            )
+        return self._advance()
+
+    # -- emit ----------------------------------------------------------------
+
+    def _emit(self, s: Term, p: Term, o: Term) -> None:
+        self.out.append((self.graph, s.nt(), p.nt(), o.nt()))
+
+    # -- entry ---------------------------------------------------------------
+
+    def parse(self) -> List[Quad]:
+        while self.tok.type != T_EOF:
+            self._statement()
+        return self.out
+
+    def _statement(self) -> None:
+        t = self.tok
+        if t.type == T_AT_PREFIX:
+            self._advance()
+            self._directive_prefix(at_form=True)
+            return
+        if t.type == T_AT_BASE:
+            self._advance()
+            self._directive_base(at_form=True)
+            return
+        if t.type == T_KEYWORD:
+            kw = t.value.lower()
+            if kw == "prefix":
+                self._advance()
+                self._directive_prefix(at_form=False)
+                return
+            if kw == "base":
+                self._advance()
+                self._directive_base(at_form=False)
+                return
+            if self.trig and kw == "graph":
+                self._advance()
+                self._trig_graph_block()
+                return
+            # else fall through: bare keyword can't start triples (true/false
+            # are not subjects; 'a' is not a subject)
+            raise RDFSyntaxError(f"line {t.line}: unexpected keyword {t.value!r}")
+        if self.trig:
+            self._trig_block()
+        else:
+            self._triples()
+            self._expect(T_DOT)
+
+    # -- directives ------------------------------------------------------
+
+    def _directive_prefix(self, at_form: bool) -> None:
+        t = self._expect(T_PNAME)
+        if t.value2 != "":
+            raise RDFSyntaxError(f"line {t.line}: bad prefix declaration")
+        iri_tok = self._expect(T_IRI)
+        self.prefixes[t.value] = self.resolver.resolve(iri_tok.value)
+        if at_form:
+            self._expect(T_DOT)
+        elif self.tok.type == T_DOT:
+            raise RDFSyntaxError("SPARQL-style PREFIX takes no '.'")
+
+    def _directive_base(self, at_form: bool) -> None:
+        iri_tok = self._expect(T_IRI)
+        self.resolver.set_base(iri_tok.value)
+        if at_form:
+            self._expect(T_DOT)
+        elif self.tok.type == T_DOT:
+            raise RDFSyntaxError("SPARQL-style BASE takes no '.'")
+
+    # -- TriG blocks -------------------------------------------------------
+
+    def _trig_graph_block(self) -> None:
+        # GRAPH labelOrSubject { ... }
+        g = self._label_or_subject()
+        self._wrapped_graph(g)
+
+    def _trig_block(self) -> None:
+        t = self.tok
+        if t.type == T_LBRACE:
+            self._wrapped_graph(None)
+            return
+        if t.type == T_LBRACKET:
+            # could be an ANON graph label ("[] { ... }") or a blank-node
+            # property list subject — disambiguate on "[]" + "{"
+            # peek: ANON is LBRACKET immediately followed by RBRACKET
+            self._advance()
+            if self.tok.type == T_RBRACKET:
+                self._advance()
+                anon = mk_bnode(self.alloc.fresh())
+                if self.tok.type == T_LBRACE:
+                    self._wrapped_graph(anon)
+                    return
+                # "[] <p> <o> ." — ANON subject with predicateObjectList
+                self._predicate_object_list(anon)
+                self._expect(T_DOT)
+                return
+            # non-empty property list subject: parse its contents now
+            node = mk_bnode(self.alloc.fresh())
+            self._predicate_object_list(node)
+            self._expect(T_RBRACKET)
+            if self.tok.type not in (T_DOT,):
+                self._predicate_object_list(node)
+            self._expect(T_DOT)
+            return
+        if t.type in (T_IRI, T_PNAME, T_BNODE):
+            node = self._label_or_subject()
+            if self.tok.type == T_LBRACE:
+                self._wrapped_graph(node)
+                return
+            # plain triples in the default graph starting from this subject
+            self._predicate_object_list(node)
+            self._expect(T_DOT)
+            return
+        # triples2: bnode property list / collection subject in default graph
+        self._triples()
+        self._expect(T_DOT)
+
+    def _label_or_subject(self) -> Term:
+        t = self.tok
+        if t.type == T_IRI or t.type == T_PNAME:
+            return self._iri_node()
+        if t.type == T_BNODE:
+            self._advance()
+            return mk_bnode(self.alloc.get(t.value))
+        if t.type == T_LBRACKET:
+            # ANON graph label: "GRAPH [] { ... }"
+            self._advance()
+            self._expect(T_RBRACKET)
+            return mk_bnode(self.alloc.fresh())
+        raise RDFSyntaxError(f"line {t.line}: expected graph label or subject")
+
+    def _wrapped_graph(self, gnode: Optional[Term]) -> None:
+        prev = self.graph
+        self.graph = gnode.nt() if gnode is not None else None
+        self._expect(T_LBRACE)
+        # triplesBlock: triples ('.' triplesBlock?)?
+        while self.tok.type != T_RBRACE:
+            self._triples()
+            if self.tok.type == T_DOT:
+                self._advance()
+            elif self.tok.type != T_RBRACE:
+                raise RDFSyntaxError(
+                    f"line {self.tok.line}: expected '.' or '}}' in graph block"
+                )
+        self._advance()  # consume '}'
+        self.graph = prev
+
+    # -- Turtle core -------------------------------------------------------
+
+    def _triples(self) -> None:
+        t = self.tok
+        if t.type == T_LBRACKET:
+            subj = self._blank_node_property_list_or_anon()
+            # predicateObjectList is optional after a [...] subject
+            if self.tok.type not in (T_DOT, T_RBRACE):
+                self._predicate_object_list(subj)
+            return
+        if t.type == T_LPAREN:
+            subj = self._collection()
+            self._predicate_object_list(subj)
+            return
+        subj = self._subject()
+        self._predicate_object_list(subj)
+
+    def _subject(self) -> Term:
+        t = self.tok
+        if t.type == T_IRI or t.type == T_PNAME:
+            return self._iri_node()
+        if t.type == T_BNODE:
+            self._advance()
+            return mk_bnode(self.alloc.get(t.value))
+        raise RDFSyntaxError(f"line {t.line}: bad subject token {t.type}")
+
+    def _predicate_object_list(self, subj: Term) -> None:
+        while True:
+            pred = self._verb()
+            self._object_list(subj, pred)
+            if self.tok.type != T_SEMI:
+                return
+            while self.tok.type == T_SEMI:
+                self._advance()
+            # after ';' the next verb is optional (trailing semicolons)
+            if self.tok.type in (T_DOT, T_RBRACKET, T_RBRACE):
+                return
+
+    def _verb(self) -> Term:
+        t = self.tok
+        if t.type == T_KEYWORD and t.value == "a":
+            self._advance()
+            return _RDF_TYPE_TERM
+        if t.type == T_IRI or t.type == T_PNAME:
+            return self._iri_node()
+        raise RDFSyntaxError(f"line {t.line}: bad predicate token {t.type} {t.value!r}")
+
+    def _object_list(self, subj: Term, pred: Term) -> None:
+        while True:
+            obj = self._object()
+            self._emit(subj, pred, obj)
+            if self.tok.type != T_COMMA:
+                return
+            self._advance()
+
+    def _object(self) -> Term:
+        t = self.tok
+        if t.type == T_IRI or t.type == T_PNAME:
+            return self._iri_node()
+        if t.type == T_BNODE:
+            self._advance()
+            return mk_bnode(self.alloc.get(t.value))
+        if t.type == T_LBRACKET:
+            return self._blank_node_property_list_or_anon()
+        if t.type == T_LPAREN:
+            return self._collection()
+        if t.type == T_STRING:
+            return self._rdf_literal()
+        if t.type == T_INTEGER:
+            self._advance()
+            return mk_literal(t.value, datatype=XSD_INTEGER)
+        if t.type == T_DECIMAL:
+            self._advance()
+            return mk_literal(t.value, datatype=XSD_DECIMAL)
+        if t.type == T_DOUBLE:
+            self._advance()
+            return mk_literal(t.value, datatype=XSD_DOUBLE)
+        if t.type == T_KEYWORD and t.value in ("true", "false"):
+            self._advance()
+            return mk_literal(t.value, datatype=XSD_BOOLEAN)
+        raise RDFSyntaxError(f"line {t.line}: bad object token {t.type} {t.value!r}")
+
+    def _rdf_literal(self) -> Term:
+        t = self._advance()  # STRING
+        if self.tok.type == T_LANGTAG:
+            lt = self._advance()
+            return mk_literal(t.value, lang=lt.value)
+        if self.tok.type == T_HATHAT:
+            self._advance()
+            dt = self._iri_node()
+            return mk_literal(t.value, datatype=dt.lex)
+        return mk_literal(t.value)
+
+    def _iri_node(self) -> Term:
+        t = self._advance()
+        if t.type == T_IRI:
+            return mk_iri(self.resolver.resolve(t.value))
+        # PNAME
+        ns = self.prefixes.get(t.value)
+        if ns is None:
+            raise RDFSyntaxError(f"line {t.line}: undefined prefix {t.value!r}:")
+        return mk_iri(ns + t.value2)
+
+    def _blank_node_property_list_or_anon(self) -> Term:
+        self._expect(T_LBRACKET)
+        node = mk_bnode(self.alloc.fresh())
+        if self.tok.type == T_RBRACKET:
+            self._advance()
+            return node
+        self._predicate_object_list(node)
+        self._expect(T_RBRACKET)
+        return node
+
+    def _collection(self) -> Term:
+        """(...) expands to rdf:first/rdf:rest/rdf:nil chains with fresh
+        bnodes (reference: LangTurtleBase.java:767-811)."""
+        self._expect(T_LPAREN)
+        if self.tok.type == T_RPAREN:
+            self._advance()
+            return _RDF_NIL_TERM
+        head = mk_bnode(self.alloc.fresh())
+        cur = head
+        first = True
+        while self.tok.type != T_RPAREN:
+            if not first:
+                nxt = mk_bnode(self.alloc.fresh())
+                self._emit(cur, _RDF_REST_TERM, nxt)
+                cur = nxt
+            obj = self._object()
+            self._emit(cur, _RDF_FIRST_TERM, obj)
+            first = False
+        self._advance()  # ')'
+        self._emit(cur, _RDF_REST_TERM, _RDF_NIL_TERM)
+        return head
+
+
+def parse_turtle(
+    text: str, base: Optional[str], alloc: BNodeAllocator
+) -> List[Triple]:
+    quads = TurtleParser(text, base, alloc, trig=False).parse()
+    return [(s, p, o) for _, s, p, o in quads]
+
+
+def parse_trig(text: str, base: Optional[str], alloc: BNodeAllocator) -> List[Quad]:
+    return TurtleParser(text, base, alloc, trig=True).parse()

@@ -1,0 +1,263 @@
+"""W3C RDF 1.1 test-suite harness.
+
+Mirrors the reference's manifest-driven golden testing
+(jena-arq/src/test/.../junit/riot/RiotTests.java:42-110 dispatch;
+manifest walker .../junit/manifest/Manifest.java; eval comparison is graph
+isomorphism per RiotEvalTest.java:105-116 → sparql/util/IsoMatcher.java).
+
+The manifests themselves are Turtle — we parse them with our own parser
+(dogfooding).  Test corpus location: the read-only reference checkout's
+``jena-arq/testing/rdf-tests-cg/rdf/rdf11/`` directory.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from .skolem import BNodeAllocator, doc_seed
+from .parsers.turtle import parse_turtle, parse_trig
+from .parsers.ntriples import parse_ntriples, parse_nquads
+from .terms import RDFSyntaxError
+
+RDF_TESTS_DIR = (
+    "/root/reference/jena-arq/testing/rdf-tests-cg/rdf/rdf11"
+)
+
+MF = "http://www.w3.org/2001/sw/DataAccess/tests/test-manifest#"
+RDFT = "http://www.w3.org/ns/rdftest#"
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+Triple = Tuple[str, str, str]
+Quad = Tuple[Optional[str], str, str, str]
+
+
+@dataclass
+class W3CTest:
+    suite: str
+    name: str
+    test_type: str      # e.g. "TestTurtleEval", "TestTurtleNegativeSyntax"
+    action_path: str    # local file path
+    result_path: Optional[str]
+    base_iri: str       # base for parsing the action file
+
+
+def _local(path_dir: str, iri: str) -> str:
+    return os.path.join(path_dir, iri.rsplit("/", 1)[-1])
+
+
+def load_manifest(suite: str, suite_dir: Optional[str] = None) -> List[W3CTest]:
+    d = suite_dir or os.path.join(RDF_TESTS_DIR, f"rdf-{suite}")
+    manifest = os.path.join(d, "manifest.ttl")
+    with open(manifest, encoding="utf-8", newline="") as f:
+        text = f.read()
+    base = f"https://w3c.github.io/rdf-tests/rdf/rdf11/rdf-{suite}/manifest.ttl"
+    alloc = BNodeAllocator(doc_seed("w3c", manifest, "manifest"))
+    triples = parse_turtle(text, base, alloc)
+
+    by_s: Dict[str, Dict[str, List[str]]] = {}
+    for s, p, o in triples:
+        by_s.setdefault(s, {}).setdefault(p, []).append(o)
+
+    def get1(s: str, p: str) -> Optional[str]:
+        v = by_s.get(s, {}).get(f"<{p}>")
+        return v[0] if v else None
+
+    tests: List[W3CTest] = []
+    for s, props in by_s.items():
+        types = props.get(f"<{RDF_NS}type>", [])
+        ttype = None
+        for t in types:
+            if t.startswith(f"<{RDFT}"):
+                ttype = t[len(RDFT) + 1 : -1]
+                break
+        if ttype is None:
+            continue
+        name_lit = get1(s, MF + "name") or s
+        action = get1(s, MF + "action")
+        result = get1(s, MF + "result")
+        if action is None:
+            continue
+        action_iri = action[1:-1]
+        tests.append(
+            W3CTest(
+                suite=suite,
+                name=name_lit.strip('"'),
+                test_type=ttype,
+                action_path=_local(d, action_iri),
+                result_path=_local(d, result[1:-1]) if result else None,
+                base_iri=action_iri,
+            )
+        )
+    return tests
+
+
+# ---------------------------------------------------------------------------
+# Graph/dataset isomorphism (blank-node bijection)
+# ---------------------------------------------------------------------------
+
+def _split_bnodes(triples: Sequence[Tuple]) -> Tuple[set, List[Tuple]]:
+    ground = set()
+    open_ = []
+    for t in triples:
+        if any(x is not None and x.startswith("_:") for x in t):
+            open_.append(t)
+        else:
+            ground.add(t)
+    return ground, open_
+
+
+def _signature(t: Tuple) -> Tuple:
+    return tuple("_:" if (x is not None and x.startswith("_:")) else x for x in t)
+
+
+def isomorphic(a: Sequence[Tuple], b: Sequence[Tuple]) -> bool:
+    """Set-semantics graph (or dataset) isomorphism over tuples of encoded
+    terms; positions holding ``_:…`` are matched under a bijection.
+    Backtracking with signature pruning — fixture graphs are small
+    (reference oracle: IsoMatcher.java:53-71)."""
+    # normalize: None (default graph) → "" so tuples sort/compare cleanly
+    sa = {tuple("" if x is None else x for x in t) for t in a}
+    sb = {tuple("" if x is None else x for x in t) for t in b}
+    ground_a, open_a = _split_bnodes(sa)
+    ground_b, open_b = _split_bnodes(sb)
+    if ground_a != ground_b:
+        return False
+    if len(open_a) != len(open_b):
+        return False
+    if not open_a:
+        return True
+    if sorted(map(_signature, open_a)) != sorted(map(_signature, open_b)):
+        return False
+
+    bnodes_a = sorted({x for t in open_a for x in t if x and x.startswith("_:")})
+    bnodes_b = sorted({x for t in open_b for x in t if x and x.startswith("_:")})
+    if len(bnodes_a) != len(bnodes_b):
+        return False
+
+    open_b_set = set(open_b)
+
+    # order bnodes of a by degree (most constrained first)
+    deg: Dict[str, int] = {bn: 0 for bn in bnodes_a}
+    for t in open_a:
+        for x in t:
+            if x and x.startswith("_:"):
+                deg[x] += 1
+    order = sorted(bnodes_a, key=lambda bn: -deg[bn])
+
+    mapping: Dict[str, str] = {}
+    used: set = set()
+
+    def apply_map(t: Tuple) -> Tuple:
+        return tuple(
+            mapping.get(x, None) if (x and x.startswith("_:")) else x for x in t
+        )
+
+    def consistent() -> bool:
+        # every fully-mapped triple of a must exist in b
+        for t in open_a:
+            mt = apply_map(t)
+            if None in [
+                m
+                for x, m in zip(t, mt)
+                if x is not None and x.startswith("_:")
+            ]:
+                continue
+            # rebuild with original non-bnode values (None graph stays None)
+            full = tuple(
+                mapping[x] if (x and x.startswith("_:")) else x for x in t
+                ) if all(
+                (not (x and x.startswith("_:"))) or x in mapping for x in t
+            ) else None
+            if full is not None and full not in open_b_set:
+                return False
+        return True
+
+    def backtrack(idx: int) -> bool:
+        if idx == len(order):
+            return True
+        bn = order[idx]
+        for cand in bnodes_b:
+            if cand in used:
+                continue
+            mapping[bn] = cand
+            used.add(cand)
+            if consistent() and backtrack(idx + 1):
+                return True
+            del mapping[bn]
+            used.discard(cand)
+        return False
+
+    return backtrack(0)
+
+
+# ---------------------------------------------------------------------------
+# Running one test
+# ---------------------------------------------------------------------------
+
+def run_parser(
+    suite: str, text: str, base: str, alloc: BNodeAllocator
+) -> List[Quad]:
+    if suite == "turtle":
+        return [(None, s, p, o) for s, p, o in parse_turtle(text, base, alloc)]
+    if suite == "n-triples":
+        return [(None, s, p, o) for s, p, o in parse_ntriples(text, alloc)]
+    if suite == "n-quads":
+        return parse_nquads(text, alloc)
+    if suite == "trig":
+        return parse_trig(text, base, alloc)
+    if suite == "xml":
+        from .parsers.rdfxml import parse_rdfxml
+
+        return [(None, s, p, o) for s, p, o in parse_rdfxml(text, base, alloc)]
+    raise ValueError(f"unknown suite {suite}")
+
+
+def run_test(t: W3CTest) -> Tuple[bool, str]:
+    """Returns (passed, detail)."""
+    with open(t.action_path, encoding="utf-8", newline="") as f:
+        text = f.read()
+    alloc = BNodeAllocator(doc_seed("w3c", t.action_path, "test"))
+    negative = "Negative" in t.test_type
+    try:
+        got = run_parser(t.suite, text, t.base_iri, alloc)
+    except RDFSyntaxError as e:
+        if negative:
+            return True, ""
+        return False, f"unexpected parse error: {e}"
+    except RecursionError:
+        return False, "recursion"
+    if negative:
+        return False, f"expected parse error, got {len(got)} tuples"
+    if t.result_path is None:  # positive syntax only
+        return True, ""
+    with open(t.result_path, encoding="utf-8", newline="") as f:
+        golden_text = f.read()
+    galloc = BNodeAllocator(doc_seed("w3c", t.result_path, "golden"))
+    if t.result_path.endswith(".nq"):
+        golden = parse_nquads(golden_text, galloc)
+    else:
+        golden = [(None, s, p, o) for s, p, o in parse_ntriples(golden_text, galloc)]
+    if isomorphic(got, golden):
+        return True, ""
+    def _fmt(qs):
+        return sorted(tuple("" if x is None else x for x in t) for t in qs)
+    return False, f"graphs differ: got {_fmt(got)[:6]} want {_fmt(golden)[:6]}"
+
+
+def run_suite(suite: str) -> Tuple[int, int, List[Tuple[W3CTest, str]]]:
+    tests = load_manifest(suite)
+    passed = 0
+    failures: List[Tuple[W3CTest, str]] = []
+    for t in tests:
+        try:
+            ok, detail = run_test(t)
+        except Exception as e:  # harness robustness
+            ok, detail = False, f"harness error: {type(e).__name__}: {e}"
+        if ok:
+            passed += 1
+        else:
+            failures.append((t, detail))
+    return passed, len(tests), failures
