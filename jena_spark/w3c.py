@@ -44,8 +44,11 @@ class W3CTest:
     base_iri: str       # base for parsing the action file
 
 
-def _local(path_dir: str, iri: str) -> str:
-    return os.path.join(path_dir, iri.rsplit("/", 1)[-1])
+def _local(path_dir: str, iri: str, suite: str) -> str:
+    marker = f"/rdf-{suite}/"
+    k = iri.find(marker)
+    rel = iri[k + len(marker):] if k >= 0 else iri.rsplit("/", 1)[-1]
+    return os.path.join(path_dir, rel)
 
 
 def load_manifest(suite: str, suite_dir: Optional[str] = None) -> List[W3CTest]:
@@ -81,13 +84,26 @@ def load_manifest(suite: str, suite_dir: Optional[str] = None) -> List[W3CTest]:
         if action is None:
             continue
         action_iri = action[1:-1]
+        action_path = _local(d, action_iri, suite)
+        result_path = _local(d, result[1:-1], suite) if result else None
+        # Jena substitutes alternative goldens for the xml-canon tests —
+        # the W3C-committed ones predate the exclusive-c14n behavior
+        # (RiotTests.java:102-110).  Mirror that.
+        if result_path and "/xml-canon/" in result_path:
+            alt = result_path.replace(
+                "/rdf-tests-cg/rdf/rdf11/rdf-xml/xml-canon/",
+                "/RIOT/Lang/rdf-xml/xml-canon/",
+            ).replace(RDF_TESTS_DIR + "/rdf-xml/xml-canon/",
+                      "/root/reference/jena-arq/testing/RIOT/Lang/rdf-xml/xml-canon/")
+            if os.path.exists(alt):
+                result_path = alt
         tests.append(
             W3CTest(
                 suite=suite,
                 name=name_lit.strip('"'),
                 test_type=ttype,
-                action_path=_local(d, action_iri),
-                result_path=_local(d, result[1:-1]) if result else None,
+                action_path=action_path,
+                result_path=result_path,
                 base_iri=action_iri,
             )
         )
