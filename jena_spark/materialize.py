@@ -1,0 +1,136 @@
+"""Graph materialization: SPO/POS/OSP-sorted tables, predicate-hash
+partitioned with hot-key salting.
+
+Reference design being re-expressed:
+- three sorted permutations of the same tuple set
+  (jena-db/.../dboe/sys/Names.java:43-47: SPO, POS, OSP);
+- the xloader builds each permutation by *external sort* of key-permuted
+  tuples (tdb2/xloader/ProcBuildIndexX.java:119-124) — in Spark the
+  shuffle IS the external sort: ``repartitionByRange(keys).
+  sortWithinPartitions(keys)`` per permutation;
+- `rdf:type` (and friends) dominate predicate histograms — the reference
+  optimizer explicitly down-weights rdf:type patterns
+  (sparql/engine/optimizer/reorder/ReorderFixed.java:32-108); at 100 TB a
+  predicate-hash partitioning without salting puts half the table in one
+  partition, so hot predicates are salted across ``n_salts`` buckets.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PERMUTATIONS: Dict[str, Sequence[str]] = {
+    "spo": ("subj", "pred", "obj"),
+    "pos": ("pred", "obj", "subj"),
+    "osp": ("obj", "subj", "pred"),
+}
+
+DEFAULT_HOT_PREDICATES = (
+    "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>",
+)
+
+
+def with_salted_partition(
+    triples: DataFrame,
+    n_partitions: int,
+    n_salts: int = 8,
+    hot_predicates: Sequence[str] = DEFAULT_HOT_PREDICATES,
+    hot_fraction_threshold: float = 0.2,
+    auto_detect_hot: bool = False,
+) -> DataFrame:
+    """Adds ``p_part``: hash(pred) partition id, with hot predicates spread
+    over ``n_salts`` salt buckets keyed by subject hash (deterministic, so
+    a rewritten partition reproduces byte-identical content).
+
+    ``auto_detect_hot=True`` measures the predicate histogram (one cheap
+    agg over the already-shuffled data) and salts every predicate above
+    ``hot_fraction_threshold`` of total rows — at 100 TB this is an
+    AQE-style guard against vocabulary we didn't anticipate.
+    """
+    hot = list(hot_predicates)
+    if auto_detect_hot:
+        total = triples.count()
+        if total > 0:
+            hist = (
+                triples.groupBy("pred").count()
+                .filter(F.col("count") > int(total * hot_fraction_threshold))
+                .select("pred").collect()
+            )
+            hot = sorted({r["pred"] for r in hist} | set(hot))
+    is_hot = F.col("pred").isin(hot)
+    salt = F.pmod(F.xxhash64("subj"), F.lit(n_salts))
+    base = F.pmod(F.xxhash64("pred"), F.lit(n_partitions))
+    return triples.withColumn(
+        "p_part",
+        F.when(is_hot, F.pmod(F.xxhash64("pred") + salt, F.lit(n_partitions))).otherwise(base),
+    )
+
+
+def materialize(
+    triples: DataFrame,
+    out_dir: str,
+    n_partitions: int = 64,
+    n_salts: int = 8,
+    permutations: Sequence[str] = ("spo", "pos", "osp"),
+    extra_cols: Sequence[str] = (),
+) -> Dict[str, str]:
+    """Write the triple set as sorted parquet tables, one per permutation.
+
+    Layout per permutation: partitioned by ``p_part`` (predicate hash,
+    salted), rows range-partitioned + sorted by the permutation key —
+    Spark's shuffle does the external sort (xloader parity).  Graph
+    set-semantics: exact duplicates are dropped first (one shuffle,
+    reused by all three writes via a cached intermediate).
+    """
+    dedup = triples.dropDuplicates(["graph", "subj", "pred", "obj"]) if "graph" in triples.columns else triples.dropDuplicates(["subj", "pred", "obj"])
+    salted = with_salted_partition(dedup, n_partitions, n_salts)
+    salted.persist()
+    paths = {}
+    try:
+        for perm in permutations:
+            keys = list(PERMUTATIONS[perm])
+            path = os.path.join(out_dir, perm)
+            (
+                salted.repartitionByRange(n_partitions, *[F.col(k) for k in keys])
+                .sortWithinPartitions(*keys)
+                .select(*keys, "p_part", *extra_cols)
+                .write.mode("overwrite")
+                .parquet(path)
+            )
+            paths[perm] = path
+    finally:
+        salted.unpersist()
+    return paths
+
+
+def choose_index(
+    spark: SparkSession,
+    out_dir: str,
+    s: Optional[str] = None,
+    p: Optional[str] = None,
+    o: Optional[str] = None,
+) -> DataFrame:
+    """Bound-prefix index selection (reference:
+    tdb2/store/tupletable/TupleIndexRecord.java:141-222 /
+    StageMatchTuple.java:42-69): pick the permutation whose sort key has
+    the longest bound prefix, then apply the pattern as pushed filters."""
+    bound = {"subj": s, "pred": p, "obj": o}
+
+    def prefix_len(perm: Sequence[str]) -> int:
+        n = 0
+        for k in perm:
+            if bound[k] is None:
+                break
+            n += 1
+        return n
+
+    best = max(PERMUTATIONS, key=lambda name: prefix_len(PERMUTATIONS[name]))
+    df = spark.read.parquet(os.path.join(out_dir, best))
+    for k, v in bound.items():
+        if v is not None:
+            df = df.filter(F.col(k) == v)
+    return df.select("subj", "pred", "obj")

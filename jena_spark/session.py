@@ -1,0 +1,40 @@
+"""SparkSession factory with the pipeline's scale-oriented defaults.
+
+Defaults chosen for the 100 TB design point (AQE on, skew-join handling on,
+Arrow UDFs on); local test runs override parallelism via ``master``.
+"""
+
+from __future__ import annotations
+
+import os
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app: str = "jena_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle = shuffle_partitions or int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", cpus))
+    b = (
+        SparkSession.builder.appName(app)
+        .master(master)
+        # AQE: runtime re-plan, skew-join splitting, partition coalescing —
+        # the counterpart of the reference's stats-based BGP reorder
+        # (tdb2/solver/stats) and its skewed-join benchmark concern.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        # Arrow batches for pandas UDFs (the parse stage hot path).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # Keep scans splittable and bounded at 100 TB.
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return b.getOrCreate()

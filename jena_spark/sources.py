@@ -1,0 +1,241 @@
+"""Deterministic synthesis of the pipeline input table.
+
+The authoritative input shape (BASELINE.json input_hint) is an
+Iceberg/parquet table of source-code repository files:
+``(repo: string, path: string, commit: string, lang: string,
+content: string)``.  No external data: everything here is derived
+deterministically from row indices (hash-based choices, seed 42) or from
+the driver-provided ``documents.parquet`` testdata table.
+
+Three generators:
+
+- :func:`source_files_from_documents` — one Turtle document per
+  ``documents`` row, from a closed template, so a SQL oracle can
+  reconstruct the exact triples the parser must emit.
+- :func:`synth_source_files` — a scale-parameterized corpus of generated
+  Turtle / N-Triples / N-Quads / TriG / RDF-XML / JSON-LD documents with a
+  hot-predicate skew slice (≥50% rdf:type in one shard — exercises
+  salting), non-RDF code files (negative detection cases) and malformed
+  RDF files (negative-syntax cases → zero triples).  Used by bench.py.
+- :func:`w3c_source_files` — the vendored W3C fixture files as rows
+  (correctness corpus; content sha256 is the per-row invariant).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import Iterator, List, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType, StructField, StringType, LongType
+
+SOURCE_SCHEMA = StructType(
+    [
+        StructField("repo", StringType(), False),
+        StructField("path", StringType(), False),
+        StructField("commit", StringType(), False),
+        StructField("lang", StringType(), False),
+        StructField("content", StringType(), False),
+    ]
+)
+
+_SEED = 42
+
+
+def _h(s: str) -> int:
+    return int.from_bytes(hashlib.sha256(f"{_SEED}:{s}".encode()).digest()[:8], "big")
+
+
+# ---------------------------------------------------------------------------
+# documents.parquet → closed-template Turtle corpus (oracle-checkable)
+# ---------------------------------------------------------------------------
+
+DOC_TEMPLATE = """@prefix ex: <http://example.org/> .
+@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+ex:doc{d} rdf:type ex:Document ;
+    ex:lang "{lang}" ;
+    ex:source "{source}" ;
+    ex:nchars {n} ;
+    ex:shard ex:shard{shard} .
+"""
+
+
+def source_files_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One deterministic Turtle file per ``documents`` row.  The emitted
+    triples are exactly reconstructible in ANSI SQL from the same table —
+    this is the end-to-end correctness hook for the extraction pipeline."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = [
+                DOC_TEMPLATE.format(
+                    d=int(d), lang=l, source=s, n=int(n), shard=int(d) % 8
+                )
+                for d, l, s, n in zip(
+                    pdf["doc_id"], pdf["lang"], pdf["source"], pdf["n_chars"]
+                )
+            ]
+            yield pd.DataFrame(
+                {
+                    "repo": "synthetic/docs",
+                    "path": [f"data/doc{int(d)}.ttl" for d in pdf["doc_id"]],
+                    "commit": "0" * 40,
+                    "lang": "turtle",
+                    "content": content,
+                }
+            )
+
+    return docs.select("doc_id", "lang", "source", "n_chars").mapInPandas(
+        gen, SOURCE_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scale-parameterized synthetic corpus (bench / skew / detection)
+# ---------------------------------------------------------------------------
+
+_NT_DOC = """<http://bench.example/s{i}> <http://bench.example/p{p}> <http://bench.example/o{i}> .
+<http://bench.example/s{i}> <http://bench.example/value> "{i}"^^<http://www.w3.org/2001/XMLSchema#integer> .
+"""
+
+_TTL_DOC = """@prefix b: <http://bench.example/> .
+@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+b:item{i} rdf:type b:Class{c} ;
+    b:label "item {i}"@en ;
+    b:score {score}.{frac} ;
+    b:link b:item{j} ;
+    b:tags ("t{i}" "u{i}" {i}) .
+[] b:anon b:item{i} .
+"""
+
+# hot-predicate slice: >=50% rdf:type triples (exercises salting/AQE skew)
+_TTL_HOT = """@prefix b: <http://bench.example/> .
+@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+b:h{i}a rdf:type b:Hot . b:h{i}b rdf:type b:Hot . b:h{i}c rdf:type b:Hot .
+b:h{i}d rdf:type b:Hot . b:h{i}a b:near b:h{i}b . b:h{i}c b:near b:h{i}d .
+"""
+
+_TRIG_DOC = """@prefix b: <http://bench.example/> .
+GRAPH b:g{g} {{ b:s{i} b:p "{i}" . b:s{i} b:q b:o{i} . }}
+b:s{i} b:inGraph b:g{g} .
+"""
+
+_RDFXML_DOC = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:b="http://bench.example/">
+  <rdf:Description rdf:about="http://bench.example/x{i}">
+    <rdf:type rdf:resource="http://bench.example/XmlThing"/>
+    <b:name xml:lang="en">thing {i}</b:name>
+    <b:count rdf:datatype="http://www.w3.org/2001/XMLSchema#integer">{i}</b:count>
+  </rdf:Description>
+</rdf:RDF>
+"""
+
+_JSONLD_DOC = """{{
+  "@id": "http://bench.example/j{i}",
+  "@type": "http://bench.example/JsonThing",
+  "http://bench.example/jname": {{"@value": "json {i}", "@language": "en"}},
+  "http://bench.example/jref": {{"@id": "http://bench.example/j{j}"}}
+}}
+"""
+
+_CODE_DOC = '''# not RDF — negative detection case
+import os
+
+URL = "http://bench.example/not-a-triple"
+
+
+def main(i={i}):
+    """<looks like="xml" but="is not"/>"""
+    return URL + str(i)
+'''
+
+_BAD_TTL = """@prefix b: <http://bench.example/> .
+b:s{i} b:p "unterminated .
+"""
+
+
+def synth_row(idx: int) -> tuple[str, str, str, str]:
+    """(path, lang, content, kind) for global row index idx. Deterministic."""
+    r = _h(f"file:{idx}")
+    kind = r % 100
+    i = idx
+    j = _h(f"link:{idx}") % max(idx + 1, 1)
+    if kind < 30:
+        return (
+            f"src/data/part{i}.ttl",
+            "turtle",
+            _TTL_DOC.format(
+                i=i, c=r % 17, score=r % 1000, frac=(r // 7) % 100, j=j
+            ),
+            "turtle",
+        )
+    if kind < 45:
+        return (f"src/data/part{i}.nt", "ntriples", _NT_DOC.format(i=i, p=r % 23), "ntriples")
+    if kind < 60:  # hot rdf:type skew slice
+        return (f"src/hot/part{i}.ttl", "turtle", _TTL_HOT.format(i=i), "turtle")
+    if kind < 70:
+        return (f"src/data/part{i}.trig", "trig", _TRIG_DOC.format(i=i, g=r % 5), "trig")
+    if kind < 80:
+        return (f"src/data/part{i}.rdf", "rdfxml", _RDFXML_DOC.format(i=i), "rdfxml")
+    if kind < 87:
+        return (f"src/data/part{i}.jsonld", "jsonld", _JSONLD_DOC.format(i=i, j=j), "jsonld")
+    if kind < 97:
+        return (f"src/code/mod{i}.py", "python", _CODE_DOC.format(i=i), "code")
+    return (f"src/bad/broken{i}.ttl", "turtle", _BAD_TTL.format(i=i), "bad")
+
+
+def synth_source_files(
+    spark: SparkSession, n_files: int, partitions: Optional[int] = None
+) -> DataFrame:
+    """Distributed deterministic corpus; content derives only from the row
+    index so any subset/partitioning reproduces identical rows."""
+    rng = spark.range(0, n_files, numPartitions=partitions or spark.sparkContext.defaultParallelism)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [synth_row(int(i)) for i in pdf["id"]]
+            yield pd.DataFrame(
+                {
+                    "repo": "synthetic/bench",
+                    "path": [p for p, _, _, _ in rows],
+                    "commit": "f" * 40,
+                    "lang": [l for _, l, _, _ in rows],
+                    "content": [c for _, _, c, _ in rows],
+                }
+            )
+
+    return rng.mapInPandas(gen, SOURCE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# W3C fixture corpus
+# ---------------------------------------------------------------------------
+
+def w3c_source_files(spark: SparkSession) -> DataFrame:
+    """Every action/result file of the vendored W3C RDF 1.1 suites as a
+    source row (repo='w3c/rdf-tests').  Skipped gracefully if the read-only
+    reference checkout is absent."""
+    from .w3c import RDF_TESTS_DIR
+
+    rows: List[tuple] = []
+    for dirpath, _dirs, files in os.walk(RDF_TESTS_DIR):
+        for fn in sorted(files):
+            if not fn.endswith((".ttl", ".nt", ".nq", ".trig", ".rdf")):
+                continue
+            full = os.path.join(dirpath, fn)
+            try:
+                with open(full, encoding="utf-8", newline="") as f:
+                    content = f.read()
+            except UnicodeDecodeError:
+                continue
+            rel = os.path.relpath(full, RDF_TESTS_DIR)
+            ext = fn.rsplit(".", 1)[-1]
+            lang = {"ttl": "turtle", "nt": "ntriples", "nq": "nquads",
+                    "trig": "trig", "rdf": "rdfxml"}[ext]
+            rows.append(("w3c/rdf-tests", rel, "w3c" + "0" * 37, lang, content))
+    return spark.createDataFrame(rows, SOURCE_SCHEMA)
