@@ -1,38 +1,739 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship KG-extraction query;
+``queries()`` exposes one callable per implemented operator from
+SURVEY.md §2 (plus the training-data pipeline ops); ``oracle_sql()``
+gives the DuckDB-equivalent ANSI SQL for the value-level correctness
+gate.  Column names/types are aligned on both sides (aggregates cast to
+BIGINT, floats rounded, money summed in integer cents) so the driver's
+order-insensitive value-hash comparison is exact.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jena_spark.extract import detect, extract_triples, run_extraction, lineage
+from jena_spark.sources import source_files_from_documents
+from jena_spark.nodetable import build_node_table
+from jena_spark.materialize import with_salted_partition
+from jena_spark.ops.algebra import bgp, facet_counts, path_seq, path_transitive
+from jena_spark.pipelines import dedup as dd
+from jena_spark.pipelines import similarity as sim
+from jena_spark.pipelines import textstats as ts
+from jena_spark.pipelines import multimodal as mm
+
+RDF_TYPE = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+EX = "http://example.org/"
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _doc_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents-derived Turtle corpus, parsed by the real pipeline."""
+    files = source_files_from_documents(spark, sf_dir)
+    return run_extraction(files).select("subj", "pred", "obj")
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship query (driver smoke check at sf0.001)
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Full KG extraction over the documents-derived corpus + predicate
+    facet counts (parse → triples → groupBy) at sf0.001."""
+    tri = _doc_triples(spark, "/root/testdata/sf0.001")
+    return (
+        tri.groupBy("pred")
+        .agg(F.count("*").alias("n_triples"))
+        .orderBy(F.desc("n_triples"), F.asc("pred"))
+    )
 
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- KG construction pipeline (SURVEY.md §2.1-2.3) ----
+
+    def kg_extract_triples(spark, sf):
+        return _doc_triples(spark, sf)
+
+    def kg_pred_counts(spark, sf):
+        return (
+            _doc_triples(spark, sf)
+            .groupBy("pred")
+            .agg(F.count("*").alias("n_triples"))
+        )
+
+    def kg_node_table_terms(spark, sf):
+        tri = _doc_triples(spark, sf)
+        terms = (
+            tri.select(F.col("subj").alias("term"))
+            .unionAll(tri.select(F.col("pred").alias("term")))
+            .unionAll(tri.select(F.col("obj").alias("term")))
+        )
+        return terms.groupBy("term").agg(F.count("*").alias("n_uses"))
+
+    def kg_node_ids_dense(spark, sf):
+        # property check of the dictionary: ids are dense 0..N-1 and unique
+        tri = _doc_triples(spark, sf)
+        nt = build_node_table(tri.withColumn("graph", F.lit(None).cast("string")))
+        return nt.agg(
+            F.count("*").alias("n_terms"),
+            F.countDistinct("node_id").alias("n_ids"),
+            F.min("node_id").alias("min_id"),
+            F.max("node_id").alias("max_id"),
+        )
+
+    def kg_shard_facets(spark, sf):
+        tri = _doc_triples(spark, sf)
+        return facet_counts(tri, f"<{EX}shard>", max_values=100)
+
+    def kg_bgp_join(spark, sf):
+        tri = _doc_triples(spark, sf)
+        return bgp(
+            tri,
+            [
+                ("?d", RDF_TYPE, f"<{EX}Document>"),
+                ("?d", f"<{EX}shard>", "?s"),
+                ("?d", f"<{EX}lang>", "?l"),
+            ],
+        ).select(F.col("d").alias("doc"), F.col("s").alias("shard"), F.col("l").alias("lang"))
+
+    def kg_lineage(spark, sf):
+        files = source_files_from_documents(spark, sf)
+        tri = extract_triples(detect(files))
+        lin = lineage(files, tri)
+        return lin.select(
+            "path", "content_sha256", F.col("triples_out").cast("long").alias("triples_out")
+        )
+
+    def kg_salted_partitions(spark, sf):
+        # hot-predicate salting: rdf:type rows spread over >1 partition id
+        tri = _doc_triples(spark, sf)
+        salted = with_salted_partition(tri, n_partitions=16, n_salts=8)
+        return (
+            salted.filter(F.col("pred") == RDF_TYPE)
+            .agg(F.countDistinct("p_part").cast("long").alias("n_parts_rdf_type"))
+        )
+
+    q.update(
+        kg_extract_triples=kg_extract_triples,
+        kg_pred_counts=kg_pred_counts,
+        kg_node_table_terms=kg_node_table_terms,
+        kg_node_ids_dense=kg_node_ids_dense,
+        kg_shard_facets=kg_shard_facets,
+        kg_bgp_join=kg_bgp_join,
+        kg_lineage=kg_lineage,
+        kg_salted_partitions=kg_salted_partitions,
+    )
+
+    # ---- SPARQL algebra ops on TPC-H-ish tables (SURVEY.md §2.4-2.6) ----
+
+    def alg_group_agg(spark, sf):  # OpGroup + aggregates
+        li = _read(spark, sf, "lineitem")
+        cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+        return (
+            li.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+                F.sum(cents).alias("sum_price_cents"),
+                F.count("*").alias("n_rows"),
+                F.round(F.avg(F.col("l_discount")), 6).alias("avg_disc"),
+            )
+        )
+
+    def alg_join(spark, sf):  # OpJoin (broadcast dim)
+        o = _read(spark, sf, "orders")
+        c = _read(spark, sf, "customer")
+        n = _read(spark, sf, "nation")
+        cents = F.round(F.col("o_totalprice") * 100).cast("long")
+        return (
+            o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.sum(cents).alias("revenue_cents"), F.count("*").alias("n_orders"))
+        )
+
+    def alg_leftjoin(spark, sf):  # OpLeftJoin (OPTIONAL)
+        c = _read(spark, sf, "customer")
+        o = _read(spark, sf, "orders")
+        return (
+            c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+            .groupBy("c_custkey")
+            .agg(F.count("o_orderkey").alias("n_orders"))
+        )
+
+    def alg_semijoin(spark, sf):  # OpSemiJoin (EXISTS)
+        c = _read(spark, sf, "customer")
+        o = _read(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+        return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+            "c_custkey", "c_name"
+        )
+
+    def alg_antijoin(spark, sf):  # OpAntiJoin / OpMinus (NOT EXISTS)
+        c = _read(spark, sf, "customer")
+        o = _read(spark, sf, "orders")
+        return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+            "c_custkey", "c_name"
+        )
+
+    def alg_union_distinct(spark, sf):  # OpUnion + OpDistinct
+        c = _read(spark, sf, "customer").select(
+            F.col("c_nationkey").cast("long").alias("nationkey")
+        )
+        s = _read(spark, sf, "supplier").select(
+            F.col("s_nationkey").cast("long").alias("nationkey")
+        )
+        return c.union(s).distinct()
+
+    def alg_topn(spark, sf):  # OpTopN (ORDER BY + LIMIT fused)
+        o = _read(spark, sf, "orders")
+        return (
+            o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+            .limit(10)
+        )
+
+    def alg_slice(spark, sf):  # OpSlice (OFFSET + LIMIT)
+        o = _read(spark, sf, "orders")
+        return (
+            o.orderBy(F.asc("o_orderkey"))
+            .select("o_orderkey", "o_orderpriority")
+            .offset(100)
+            .limit(50)
+        )
+
+    def alg_values_join(spark, sf):  # OpTable (VALUES)
+        vals = spark.createDataFrame(
+            [(0, "alpha"), (2, "beta"), (4, "gamma")], ["r_regionkey", "tag"]
+        )
+        r = _read(spark, sf, "region")
+        return r.join(vals, "r_regionkey").select("r_regionkey", "r_name", "tag")
+
+    def alg_expr_funcs(spark, sf):  # §2.6 scalar expression library
+        o = _read(spark, sf, "orders").filter(F.col("o_orderkey") <= 200)
+        return o.select(
+            "o_orderkey",
+            F.md5(F.col("o_orderpriority")).alias("prio_md5"),
+            F.sha2(F.col("o_orderstatus"), 256).alias("status_sha256"),
+            F.upper(F.substring(F.col("o_orderpriority"), 1, 3)).alias("prio3"),
+            F.length(F.col("o_orderpriority")).alias("prio_len"),
+            F.year(F.col("o_orderdate")).alias("order_year"),
+            F.month(F.col("o_orderdate")).alias("order_month"),
+            F.pmod(F.col("o_orderkey"), F.lit(7)).cast("long").alias("key_mod7"),
+            F.abs(F.col("o_custkey") - 50).cast("long").alias("cust_abs"),
+            F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+            F.coalesce(
+                F.when(F.col("o_totalprice") > 100000, F.lit("big")), F.lit("small")
+            ).alias("size_class"),
+        )
+
+    def alg_agg_variety(spark, sf):  # §2.5 aggregate inventory
+        li = _read(spark, sf, "lineitem")
+        qty = F.col("l_quantity").cast("long")
+        return (
+            li.groupBy("l_returnflag")
+            .agg(
+                F.count("*").alias("n"),
+                F.countDistinct("l_suppkey").alias("n_supp"),
+                F.sum(qty).alias("sum_qty"),
+                F.min(qty).alias("min_qty"),
+                F.max(qty).alias("max_qty"),
+                F.round(F.avg(qty), 6).alias("avg_qty"),
+                F.median(F.col("l_quantity")).alias("median_qty"),
+                F.concat_ws(
+                    ",", F.array_sort(F.collect_set("l_linestatus"))
+                ).alias("statuses"),  # GROUP_CONCAT DISTINCT w/ determinism
+            )
+        )
+
+    def alg_window_rank(spark, sf):  # windowed top-2 per group
+        from pyspark.sql import Window
+
+        o = _read(spark, sf, "orders")
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.desc("o_totalprice"), F.asc("o_orderkey")
+        )
+        return (
+            o.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 2)
+            .select("o_custkey", "o_orderkey", F.col("rk").cast("long").alias("rk"))
+        )
+
+    def alg_events_window(spark, sf):  # tumbling event-time window agg
+        e = _read(spark, sf, "events")
+        return (
+            e.groupBy(
+                F.window("ts", "1 hour").start.alias("win_start"),
+                "event_type",
+            )
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
+        )
+
+    q.update(
+        alg_group_agg=alg_group_agg,
+        alg_join=alg_join,
+        alg_leftjoin=alg_leftjoin,
+        alg_semijoin=alg_semijoin,
+        alg_antijoin=alg_antijoin,
+        alg_union_distinct=alg_union_distinct,
+        alg_topn=alg_topn,
+        alg_slice=alg_slice,
+        alg_values_join=alg_values_join,
+        alg_expr_funcs=alg_expr_funcs,
+        alg_agg_variety=alg_agg_variety,
+        alg_window_rank=alg_window_rank,
+        alg_events_window=alg_events_window,
+    )
+
+    # ---- property paths (SURVEY.md §2.7) ----
+
+    def _geo_triples(spark, sf):
+        c = _read(spark, sf, "customer")
+        n = _read(spark, sf, "nation")
+        t1 = c.select(
+            F.concat(F.lit("<c"), F.col("c_custkey"), F.lit(">")).alias("subj"),
+            F.lit("<p:inNation>").alias("pred"),
+            F.concat(F.lit("<n"), F.col("c_nationkey"), F.lit(">")).alias("obj"),
+        )
+        t2 = n.select(
+            F.concat(F.lit("<n"), F.col("n_nationkey"), F.lit(">")).alias("subj"),
+            F.lit("<p:inRegion>").alias("pred"),
+            F.concat(F.lit("<r"), F.col("n_regionkey"), F.lit(">")).alias("obj"),
+        )
+        return t1.unionAll(t2)
+
+    def path_fixed_2hop(spark, sf):  # P_Seq: customer/inNation/inRegion
+        tri = _geo_triples(spark, sf)
+        return path_seq(tri, ["<p:inNation>", "<p:inRegion>"])
+
+    def path_transitive_plus(spark, sf):  # P_OneOrMore over a chain graph
+        n = _read(spark, sf, "nation")
+        edges = n.filter(F.col("n_nationkey") >= 5).select(
+            F.concat(F.lit("<n"), F.col("n_nationkey"), F.lit(">")).alias("subj"),
+            F.lit("<p:next>").alias("pred"),
+            F.concat(F.lit("<n"), F.col("n_nationkey") - 5, F.lit(">")).alias("obj"),
+        )
+        return path_transitive(edges, "<p:next>")
+
+    q.update(
+        path_fixed_2hop=path_fixed_2hop,
+        path_transitive_plus=path_transitive_plus,
+    )
+
+    # ---- training-data pipeline ops ----
+
+    def dedup_exact(spark, sf):
+        return dd.dedup_exact(_read(spark, sf, "documents"))
+
+    def dedup_minhash_sigs(spark, sf):
+        return dd.minhash_signatures(
+            _read(spark, sf, "documents"), k=5, num_perm=8
+        )
+
+    def dedup_minhash_pairs(spark, sf):
+        sigs = dd.minhash_signatures(_read(spark, sf, "documents"), k=5, num_perm=8)
+        return dd.minhash_candidates(sigs, bands=4, rows_per_band=2)
+
+    def dedup_jaccard(spark, sf):
+        docs = _read(spark, sf, "documents")
+        sigs = dd.minhash_signatures(docs, k=5, num_perm=8)
+        cands = dd.minhash_candidates(sigs, bands=4, rows_per_band=2)
+        return dd.jaccard_pairs(docs, cands, k=5)
+
+    def dedup_simhash(spark, sf):
+        return dd.simhash(_read(spark, sf, "documents"), nbits=16)
+
+    def text_langid(spark, sf):
+        return ts.langid(_read(spark, sf, "documents"))
+
+    def text_quality(spark, sf):
+        return ts.quality(_read(spark, sf, "documents"))
+
+    def text_token_counts(spark, sf):
+        return ts.token_counts(_read(spark, sf, "documents"))
+
+    def text_fingerprint(spark, sf):
+        return ts.fingerprint(_read(spark, sf, "documents"))
+
+    def ann_cosine_topk(spark, sf):
+        emb = _read(spark, sf, "embeddings")
+        qv = [float((i * 37 % 19) - 9) / 10.0 for i in range(64)]
+        return sim.cosine_topk(emb, qv, k=20)
+
+    def mm_metadata(spark, sf):
+        media = mm.media_from_documents(_read(spark, sf, "documents"))
+        meta = mm.extract_metadata(media)
+        return meta.select("media_id", "n_bytes", "sha256", "media_type")
+
+    q.update(
+        dedup_exact=dedup_exact,
+        dedup_minhash_sigs=dedup_minhash_sigs,
+        dedup_minhash_pairs=dedup_minhash_pairs,
+        dedup_jaccard=dedup_jaccard,
+        dedup_simhash=dedup_simhash,
+        text_langid=text_langid,
+        text_quality=text_quality,
+        text_token_counts=text_token_counts,
+        text_fingerprint=text_fingerprint,
+        ann_cosine_topk=ann_cosine_topk,
+        mm_metadata=mm_metadata,
+    )
+    return q
+
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
+
+_DOC_TRIPLES_CTE = """
+doc_triples AS (
+    SELECT '<http://example.org/doc' || doc_id || '>' AS subj,
+           '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>' AS pred,
+           '<http://example.org/Document>' AS obj
+    FROM documents
+    UNION ALL
+    SELECT '<http://example.org/doc' || doc_id || '>',
+           '<http://example.org/lang>', '"' || lang || '"'
+    FROM documents
+    UNION ALL
+    SELECT '<http://example.org/doc' || doc_id || '>',
+           '<http://example.org/source>', '"' || source || '"'
+    FROM documents
+    UNION ALL
+    SELECT '<http://example.org/doc' || doc_id || '>',
+           '<http://example.org/nchars>',
+           '"' || n_chars || '"^^<http://www.w3.org/2001/XMLSchema#integer>'
+    FROM documents
+    UNION ALL
+    SELECT '<http://example.org/doc' || doc_id || '>',
+           '<http://example.org/shard>',
+           '<http://example.org/shard' || (doc_id % 8) || '>'
+    FROM documents
+)
+"""
+
+_DOC_CONTENT_SQL = (
+    "'@prefix ex: <http://example.org/> .' || chr(10) || "
+    "'@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .' || chr(10) || "
+    "'ex:doc' || doc_id || ' rdf:type ex:Document ;' || chr(10) || "
+    "'    ex:lang \"' || lang || '\" ;' || chr(10) || "
+    "'    ex:source \"' || source || '\" ;' || chr(10) || "
+    "'    ex:nchars ' || n_chars || ' ;' || chr(10) || "
+    "'    ex:shard ex:shard' || (doc_id % 8) || ' .' || chr(10)"
+)
+
+# shared SQL fragments for the dedup oracles (mirror dedup.py exactly)
+_SHINGLES_SQL = (
+    "list_distinct([substr(text, i, 5) for i in range(1, greatest(length(text) - 4, 0) + 1)])"
+)
+
+
+def _minhash_sigs_sql() -> str:
+    mins = ", ".join(
+        f"list_min([md5('{s}:' || sh) for sh in shingles]) AS mh_{s}" for s in range(8)
+    )
+    return f"""
+sigs AS (
+    SELECT doc_id, {mins}
+    FROM (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents)
+    WHERE len(shingles) > 0
+)"""
+
+
+def _band_pairs_sql() -> str:
+    bands = []
+    for b in range(4):
+        c1, c2 = f"mh_{2*b}", f"mh_{2*b+1}"
+        bands.append(
+            f"SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+            f"FROM sigs a JOIN sigs b ON md5(a.{c1} || '|' || a.{c2}) = md5(b.{c1} || '|' || b.{c2}) "
+            f"WHERE a.doc_id < b.doc_id"
+        )
+    return "pairs AS (" + " UNION ".join(bands) + ")"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+
+    o["kg_extract_triples"] = f"WITH {_DOC_TRIPLES_CTE} SELECT subj, pred, obj FROM doc_triples"
+
+    o["kg_pred_counts"] = (
+        f"WITH {_DOC_TRIPLES_CTE} "
+        "SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_triples FROM doc_triples GROUP BY pred"
+    )
+
+    o["kg_node_table_terms"] = (
+        f"WITH {_DOC_TRIPLES_CTE}, "
+        "terms AS (SELECT subj AS term FROM doc_triples UNION ALL "
+        "SELECT pred FROM doc_triples UNION ALL SELECT obj FROM doc_triples) "
+        "SELECT term, CAST(COUNT(*) AS BIGINT) AS n_uses FROM terms GROUP BY term"
+    )
+
+    o["kg_node_ids_dense"] = (
+        f"WITH {_DOC_TRIPLES_CTE}, "
+        "terms AS (SELECT DISTINCT term FROM (SELECT subj AS term FROM doc_triples "
+        "UNION ALL SELECT pred FROM doc_triples UNION ALL SELECT obj FROM doc_triples)) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_terms, CAST(COUNT(*) AS BIGINT) AS n_ids, "
+        "CAST(0 AS BIGINT) AS min_id, CAST(COUNT(*) - 1 AS BIGINT) AS max_id FROM terms"
+    )
+
+    o["kg_shard_facets"] = (
+        "SELECT '<http://example.org/shard' || (doc_id % 8) || '>' AS facet_value, "
+        "CAST(COUNT(*) AS BIGINT) AS facet_count FROM documents "
+        "GROUP BY 1 ORDER BY facet_count DESC, facet_value ASC LIMIT 100"
+    )
+
+    o["kg_bgp_join"] = (
+        "SELECT '<http://example.org/doc' || doc_id || '>' AS doc, "
+        "'<http://example.org/shard' || (doc_id % 8) || '>' AS shard, "
+        "'\"' || lang || '\"' AS lang FROM documents"
+    )
+
+    o["kg_lineage"] = (
+        f"SELECT 'data/doc' || doc_id || '.ttl' AS path, "
+        f"sha256({_DOC_CONTENT_SQL}) AS content_sha256, "
+        f"CAST(5 AS BIGINT) AS triples_out FROM documents"
+    )
+
+    # kg_salted_partitions: rows-only check (partition layout is Spark-side)
+
+    o["alg_group_agg"] = (
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+        "CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents, "
+        "CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "round(AVG(l_discount), 6) AS avg_disc "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+    )
+
+    o["alg_join"] = (
+        "SELECT n_name, "
+        "CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents, "
+        "CAST(COUNT(*) AS BIGINT) AS n_orders "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+    )
+
+    o["alg_leftjoin"] = (
+        "SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders "
+        "FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey"
+    )
+
+    o["alg_semijoin"] = (
+        "SELECT c_custkey, c_name FROM customer WHERE EXISTS "
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')"
+    )
+
+    o["alg_antijoin"] = (
+        "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS "
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+    )
+
+    o["alg_union_distinct"] = (
+        "SELECT DISTINCT nationkey FROM ("
+        "SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer "
+        "UNION ALL SELECT CAST(s_nationkey AS BIGINT) FROM supplier)"
+    )
+
+    o["alg_topn"] = (
+        "SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"
+    )
+
+    o["alg_slice"] = (
+        "SELECT o_orderkey, o_orderpriority FROM orders "
+        "ORDER BY o_orderkey ASC LIMIT 50 OFFSET 100"
+    )
+
+    o["alg_values_join"] = (
+        "SELECT r.r_regionkey, r.r_name, v.tag FROM region r "
+        "JOIN (VALUES (0, 'alpha'), (2, 'beta'), (4, 'gamma')) v(r_regionkey, tag) "
+        "ON r.r_regionkey = v.r_regionkey"
+    )
+
+    o["alg_expr_funcs"] = (
+        "SELECT o_orderkey, md5(o_orderpriority) AS prio_md5, "
+        "sha256(o_orderstatus) AS status_sha256, "
+        "upper(substr(o_orderpriority, 1, 3)) AS prio3, "
+        "CAST(length(o_orderpriority) AS INT) AS prio_len, "
+        "CAST(year(o_orderdate) AS INT) AS order_year, "
+        "CAST(month(o_orderdate) AS INT) AS order_month, "
+        "CAST(o_orderkey % 7 AS BIGINT) AS key_mod7, "
+        "CAST(abs(o_custkey - 50) AS BIGINT) AS cust_abs, "
+        "o_orderstatus || '-' || o_orderpriority AS status_prio, "
+        "CASE WHEN o_totalprice > 100000 THEN 'big' ELSE 'small' END AS size_class "
+        "FROM orders WHERE o_orderkey <= 200"
+    )
+
+    o["alg_agg_variety"] = (
+        "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp, "
+        "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+        "CAST(MIN(CAST(l_quantity AS BIGINT)) AS BIGINT) AS min_qty, "
+        "CAST(MAX(CAST(l_quantity AS BIGINT)) AS BIGINT) AS max_qty, "
+        "round(AVG(CAST(l_quantity AS BIGINT)), 6) AS avg_qty, "
+        "CAST(median(l_quantity) AS DOUBLE) AS median_qty, "
+        "string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses "
+        "FROM lineitem GROUP BY l_returnflag"
+    )
+
+    o["alg_window_rank"] = (
+        "SELECT o_custkey, o_orderkey, CAST(rk AS BIGINT) AS rk FROM ("
+        "SELECT o_custkey, o_orderkey, row_number() OVER "
+        "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk "
+        "FROM orders) WHERE rk <= 2"
+    )
+
+    o["alg_events_window"] = (
+        "SELECT date_trunc('hour', ts) AS win_start, event_type, "
+        "CAST(COUNT(*) AS BIGINT) AS n_events, round(SUM(value), 2) AS sum_value "
+        "FROM events GROUP BY 1, 2"
+    )
+
+    o["path_fixed_2hop"] = (
+        "SELECT '<c' || c_custkey || '>' AS src, '<r' || n_regionkey || '>' AS dst "
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey"
+    )
+
+    o["path_transitive_plus"] = (
+        "WITH RECURSIVE e(src, dst) AS ("
+        "SELECT n_nationkey, n_nationkey - 5 FROM nation WHERE n_nationkey >= 5), "
+        "r(src, dst) AS (SELECT src, dst FROM e "
+        "UNION SELECT r.src, e.dst FROM r JOIN e ON r.dst = e.src) "
+        "SELECT '<n' || src || '>' AS src, '<n' || dst || '>' AS dst FROM r"
+    )
+
+    o["dedup_exact"] = (
+        "SELECT md5(text) AS content_md5, CAST(MIN(doc_id) AS BIGINT) AS keep_id, "
+        "CAST(COUNT(*) AS BIGINT) AS n_copies FROM documents GROUP BY md5(text)"
+    )
+
+    o["dedup_minhash_sigs"] = (
+        f"WITH {_minhash_sigs_sql()} SELECT * FROM sigs"
+    )
+
+    o["dedup_minhash_pairs"] = (
+        f"WITH {_minhash_sigs_sql()}, {_band_pairs_sql()} "
+        "SELECT DISTINCT id_a, id_b FROM pairs"
+    )
+
+    o["dedup_jaccard"] = (
+        f"WITH {_minhash_sigs_sql()}, {_band_pairs_sql()}, "
+        "cand AS (SELECT DISTINCT id_a, id_b FROM pairs), "
+        f"sh AS (SELECT doc_id AS id, unnest({_SHINGLES_SQL}) AS sh FROM documents), "
+        "sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY id), "
+        "inter AS (SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS i FROM cand c "
+        "JOIN sh a ON a.id = c.id_a JOIN sh b ON b.id = c.id_b AND b.sh = a.sh "
+        "GROUP BY c.id_a, c.id_b) "
+        "SELECT i.id_a, i.id_b, "
+        "round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) AS jaccard "
+        "FROM inter i JOIN sizes sa ON sa.id = i.id_a JOIN sizes sb ON sb.id = i.id_b"
+    )
+
+    # simhash: bit i of a token = parity of i-th hex digit of md5(token)
+    bit_exprs = ", ".join(
+        f"SUM(CASE WHEN instr('13579bdf', substr(md5(tok), {i + 1}, 1)) > 0 "
+        f"THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(16)
+    )
+    fp_expr = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN 1 ELSE 0 END) * {2 ** i}" for i in range(16)
+    )
+    o["dedup_simhash"] = (
+        "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok "
+        "FROM documents), "
+        f"bits AS (SELECT doc_id, {bit_exprs} FROM toks WHERE tok <> '' GROUP BY doc_id) "
+        f"SELECT doc_id, CAST({fp_expr} AS BIGINT) AS simhash FROM bits"
+    )
+
+    # text analysis oracles — mirror textstats.py formulas exactly
+    def occ(needle: str) -> str:
+        pad = "' ' || lower(text) || ' '"
+        return (
+            f"(length({pad}) - length(replace({pad}, ' {needle} ', ''))) / {len(needle) + 2}.0"
+        )
+
+    from jena_spark.pipelines.textstats import LANG_MARKERS
+
+    score_sqls = {}
+    for lang, words in sorted(LANG_MARKERS.items()):
+        if lang == "zh":
+            score_sqls[lang] = (
+                "CAST(length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS DOUBLE)"
+            )
+        else:
+            score_sqls[lang] = "CAST(" + " + ".join(occ(w) for w in words) + " AS DOUBLE)"
+    # deterministic argmax: max by (score, lang) — same struct ordering as Spark
+    pairs = ", ".join(f"({s}, '{l}')" for l, s in sorted(score_sqls.items()))
+    o["text_langid"] = (
+        f"WITH scored AS (SELECT doc_id, list_max([{pairs}]) AS best FROM documents) "
+        "SELECT doc_id, best[2] AS pred_lang, round(CAST(best[1] AS DOUBLE), 6) AS lang_score "
+        "FROM scored"
+    )
+
+    stop = " + ".join(occ(w) for w in LANG_MARKERS["en"])
+    o["text_quality"] = (
+        "SELECT doc_id, CAST(length(text) AS INT) AS n_chars_m, "
+        "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
+        "length(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens, "
+        "round(length(text) / greatest(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
+        "length(regexp_split_to_array(trim(text), '\\s+')) END, 1), 6) AS mean_tok_len, "
+        "round(length(regexp_replace(text, '[^.,;:!?''\"()\\[\\]{}-]', '', 'g')) * 1.0 "
+        "/ greatest(length(text), 1), 6) AS punct_ratio, "
+        "round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 "
+        "/ greatest(length(text), 1), 6) AS alpha_ratio, "
+        f"round(({stop}) / greatest(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
+        "length(regexp_split_to_array(trim(text), '\\s+')) END, 1), 6) AS stopword_ratio "
+        "FROM documents"
+    )
+
+    o["text_token_counts"] = (
+        "SELECT doc_id, "
+        "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
+        "length(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS ws_tokens, "
+        "CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
+        "x -> length(x) > 0)) AS BIGINT) AS subword_pieces "
+        "FROM documents"
+    )
+
+    o["text_fingerprint"] = (
+        "SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) "
+        "AS fingerprint FROM documents"
+    )
+
+    qv = [float((i * 37 % 19) - 9) / 10.0 for i in range(64)]
+    qlist = "[" + ", ".join(str(x) for x in qv) + "]"
+    o["ann_cosine_topk"] = (
+        f"SELECT vec_id, round(list_dot_product(CAST(embedding AS DOUBLE[]), {qlist}) / "
+        f"(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) * "
+        f"sqrt(list_dot_product({qlist}, {qlist}))), 4) AS cosine "
+        "FROM embeddings ORDER BY cosine DESC, vec_id ASC LIMIT 20"
+    )
+
+    o["mm_metadata"] = (
+        "SELECT CAST(doc_id AS BIGINT) AS media_id, "
+        "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
+        "sha256(text) AS sha256, "
+        "['image', 'audio', 'video'][(doc_id % 3) + 1] AS media_type "
+        "FROM documents"
+    )
+
+    return o

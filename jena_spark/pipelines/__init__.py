@@ -1,0 +1,3 @@
+"""Large-scale training-data pipeline operators over the documents /
+embeddings tables: deduplication, similarity search, text analysis,
+multimodal plumbing."""

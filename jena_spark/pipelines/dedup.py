@@ -1,0 +1,177 @@
+"""Deduplication operators: exact, MinHash(+LSH), SimHash, n-gram Jaccard.
+
+Every operator here is pure ``pyspark.sql.functions`` (JVM-side,
+whole-stage codegen) — no Python UDFs in the hot path.  The hash
+primitives are md5-string-based so a DuckDB oracle can reproduce values
+bit-for-bit (md5 is the one hash both engines share).
+
+Scale notes (100 TB design point):
+- exact dedup: one hash-shuffle on md5(text) — never on raw text
+  (shuffle payload is 32 bytes/row + keys);
+- MinHash: shingling + per-seed minima are narrow (no shuffle until the
+  band groupBy); candidate pairs come from a band-bucket self-join whose
+  key cardinality grows with corpus size → hash-partition naturally;
+  skewed buckets (boilerplate docs) are handled by AQE skew-join;
+- pairwise verification (Jaccard) joins only candidate pairs, never the
+  full cross product.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Representative (min id) per distinct content hash."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("content_md5"))
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash
+# ---------------------------------------------------------------------------
+
+def _shingles(text_col: str, k: int) -> F.Column:
+    """Character k-shingles as an array column, all JVM-side:
+    positions 1..len-k+1 → substr.  Deduplicated (set semantics)."""
+    c = F.col(text_col)
+    n = F.greatest(F.length(c) - F.lit(k - 1), F.lit(0))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda i: c.substr(i, F.lit(k)))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_perm: int = 8,
+) -> DataFrame:
+    """Per-doc MinHash signature: for seed s, min over shingles of
+    md5(s || ':' || shingle) — lexicographic min over md5 hex strings is a
+    valid min-hash (uniform under the random-oracle view of md5).
+    Columns: id, mh_0..mh_{num_perm-1}."""
+    df = docs.withColumn("__sh", _shingles(text_col, k)).filter(F.size("__sh") > 0)
+
+    def hasher(seed: int):
+        # NB: a 2-arg lambda would be treated by F.transform as
+        # (element, index) — bind the seed via closure, one arg only.
+        prefix = F.lit(f"{seed}:")
+        return lambda x: F.md5(F.concat(prefix, x))
+
+    sigs = [
+        F.array_min(F.transform(F.col("__sh"), hasher(s))).alias(f"mh_{s}")
+        for s in range(num_perm)
+    ]
+    return df.select(F.col(id_col), *sigs)
+
+
+def minhash_candidates(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs
+    (id_a < id_b).  Band key = md5 of the band's concatenated minima."""
+    sig_cols = [c for c in signatures.columns if c.startswith("mh_")]
+    assert len(sig_cols) >= bands * rows_per_band
+    pairs: Optional[DataFrame] = None
+    for b in range(bands):
+        cols = sig_cols[b * rows_per_band : (b + 1) * rows_per_band]
+        banded = signatures.select(
+            F.col(id_col),
+            F.md5(F.concat_ws("|", *[F.col(c) for c in cols])).alias("band_key"),
+        )
+        left = banded.withColumnRenamed(id_col, "id_a")
+        right = banded.withColumnRenamed(id_col, "id_b")
+        p = left.join(right, "band_key").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+        pairs = p if pairs is None else pairs.unionAll(p)
+    return pairs.distinct()
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard verification
+# ---------------------------------------------------------------------------
+
+def jaccard_pairs(
+    docs: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs only:
+    explode shingles → semi-join to candidates → intersection counts.
+    Returns (id_a, id_b, jaccard)."""
+    sh = docs.select(
+        F.col(id_col).alias("id"), F.explode(_shingles(text_col, k)).alias("sh")
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    a = sh.withColumnRenamed("id", "id_a")
+    b = sh.withColumnRenamed("id", "id_b")
+    inter = (
+        candidates.join(a, "id_a")
+        .join(b, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+            ),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    nbits: int = 16,
+) -> DataFrame:
+    """nbits-bit SimHash over whitespace tokens.  Bit i of a token's
+    fingerprint = parity of the i-th hex digit of md5(token) — a formula
+    both Spark and an ANSI-SQL oracle can evaluate identically.
+    simhash bit i = 1 iff sum over tokens of (+1/-1) > 0."""
+    assert nbits <= 32
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    h = F.md5(F.col("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(
+                F.instr(F.lit("13579bdf"), F.substring(h, i + 1, 1)) > 0, 1
+            ).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(nbits)
+    ]
+    agg = toks.groupBy("id").agg(*bit_sums)
+    fp = None
+    for i in range(nbits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0))
+        term = bit * F.lit(2 ** i)
+        fp = term if fp is None else fp + term
+    return agg.select(F.col("id").alias(id_col), fp.cast("long").alias("simhash"))

@@ -1,0 +1,122 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting.  All pure built-in column expressions (JVM-side)
+— each has an exact ANSI-SQL mirror for oracle checking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# marker-word heuristics per language; counts of ' w ' occurrences.
+LANG_MARKERS = {
+    "de": ["der", "und", "die", "nicht", "ist"],
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "de", "que", "los", "es"],
+    "fr": ["le", "et", "les", "des", "est"],
+    "zh": [],  # handled by CJK character presence
+}
+
+
+def _count_occurrences(col, needle: str):
+    """occurrences of ``needle`` in col — (len(x) - len(replace(x, n, ''))) / len(n);
+    the same formula is emitted in the SQL oracle."""
+    return (F.length(col) - F.length(F.regexp_replace(col, F.lit(needle), F.lit("")))) / len(needle)
+
+
+def lang_scores(text_col) -> dict:
+    padded = F.concat(F.lit(" "), F.lower(text_col), F.lit(" "))
+    scores = {}
+    for lang, words in LANG_MARKERS.items():
+        if lang == "zh":
+            # CJK presence: count of chars in the unified ideograph block
+            scores[lang] = F.length(
+                F.regexp_replace(text_col, r"[^一-鿿]", "")
+            ).cast("double")
+        else:
+            s = None
+            for w in words:
+                c = _count_occurrences(padded, f" {w} ")
+                s = c if s is None else s + c
+            scores[lang] = s.cast("double")
+    return scores
+
+
+def langid(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """n-gram/marker-word language ID with deterministic tie-break
+    (highest score, then language name)."""
+    scores = lang_scores(F.col(text_col))
+    pairs = F.array(
+        *[
+            F.struct(v.alias("score"), F.lit(k).alias("lang"))
+            for k, v in sorted(scores.items())
+        ]
+    )
+    best = F.array_max(
+        F.transform(
+            pairs, lambda p: F.struct(p["score"].alias("score"), p["lang"].alias("lang"))
+        )
+    )
+    # array_max on struct orders by score then lang — ties break to the
+    # lexicographically LAST language; invert lang for first-wins? keep
+    # score-desc, lang-desc: deterministic either way; document it.
+    return docs.select(
+        F.col(id_col),
+        best["lang"].alias("pred_lang"),
+        F.round(best["score"], 6).alias("lang_score"),
+    )
+
+
+def quality(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Quality features: char length, token count, mean token length,
+    punctuation ratio, stopword ratio, alpha ratio."""
+    t = F.col(text_col)
+    trimmed = F.trim(t)
+    tokens = F.split(trimmed, r"\s+")
+    n_tokens = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(F.size(tokens))
+    n_chars = F.length(t)
+    n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?'\"()\[\]{}-]", ""))
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    padded = F.concat(F.lit(" "), F.lower(t), F.lit(" "))
+    stop_hits = None
+    for w in LANG_MARKERS["en"]:
+        c = _count_occurrences(padded, f" {w} ")
+        stop_hits = c if stop_hits is None else stop_hits + c
+    return docs.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_m"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(n_chars / F.greatest(n_tokens, F.lit(1)), 6).alias("mean_tok_len"),
+        F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6).alias("punct_ratio"),
+        F.round(n_alpha / F.greatest(n_chars, F.lit(1)), 6).alias("alpha_ratio"),
+        F.round(stop_hits / F.greatest(n_tokens, F.lit(1)), 6).alias("stopword_ratio"),
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace tokens + a BPE-ish subword proxy: count of
+    letter-digit/camel/punct boundaries (regex split points)."""
+    t = F.col(text_col)
+    trimmed = F.trim(t)
+    ws_tokens = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+    # subword pieces: split on whitespace AND on transitions (regex class
+    # boundaries approximated by splitting on non-alphanumerics too)
+    pieces = F.size(
+        F.filter(
+            F.split(F.lower(t), r"[^a-z0-9]+"), lambda x: F.length(x) > 0
+        )
+    )
+    return docs.select(
+        F.col(id_col),
+        ws_tokens.cast("long").alias("ws_tokens"),
+        pieces.cast("long").alias("subword_pieces"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprint: md5 of the whitespace-normalized, lowercased
+    text (the cheap, exact-dup-robust canonical form)."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    return docs.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
