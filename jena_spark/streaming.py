@@ -1,0 +1,92 @@
+"""Structured Streaming surface.
+
+The reference is pull/push streaming with NO event-time semantics
+(SURVEY.md §2.9): StreamRDF push pipelines, AsyncParser (parser thread +
+bounded queue, riot/system/AsyncParser.java:293-346) and the RDF Patch
+change stream (jena-rdfpatch/.../RDFChanges.java).  The Spark-native
+equivalents:
+
+- :func:`stream_extract` — ``readStream`` over arriving source-file
+  batches → the same Arrow parse UDF → ``writeStream`` of triples.
+  AsyncParser's bounded-queue backpressure is Structured Streaming's
+  micro-batch admission control (``maxFilesPerTrigger``).
+- :func:`stream_predicate_counts` — incremental aggregation (counts per
+  predicate) with a processing-time watermark — the "load monitor"
+  analog of the reference's ProgressMonitorOutput ticks.
+- :func:`patch_stream` — an RDF-Patch-style add/delete row stream:
+  quads + op column ('A'/'D'), applying to a materialized table =
+  foreachBatch merge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .extract import TRIPLES_SCHEMA, extract_triples, detect
+from .sources import SOURCE_SCHEMA
+
+
+def stream_extract(
+    spark: SparkSession,
+    input_dir: str,
+    max_files_per_trigger: int = 16,
+) -> DataFrame:
+    """Streaming triples DF from a directory of arriving parquet source
+    files (same schema as the batch input table)."""
+    files = (
+        spark.readStream.schema(SOURCE_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    return extract_triples(detect(files)).filter(F.col("error").isNull()).drop("error")
+
+
+def stream_predicate_counts(triples_stream: DataFrame) -> DataFrame:
+    """Incremental predicate histogram with an ingest-time watermark —
+    demonstrates watermark + windowed aggregation over the triple stream."""
+    with_ts = triples_stream.withColumn("ingest_ts", F.current_timestamp())
+    return (
+        with_ts.withWatermark("ingest_ts", "10 seconds")
+        .groupBy(F.window("ingest_ts", "10 seconds").start.alias("win"), "pred")
+        .agg(F.count("*").alias("n_triples"))
+    )
+
+
+def run_stream_to_parquet(
+    triples_stream: DataFrame, out_dir: str, checkpoint_dir: str
+) -> None:
+    """Drain all currently-available input (Trigger.AvailableNow) into a
+    parquet sink with exactly-once checkpointing, then stop."""
+    q = (
+        triples_stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def apply_patch_batch(target_dir: str):
+    """foreachBatch function applying an RDF-Patch-style (op, graph, subj,
+    pred, obj) micro-batch to a parquet table: 'A' rows appended, 'D'
+    rows anti-joined away.  (RDFChanges.add/delete parity; txn markers
+    map to micro-batch boundaries, which are atomic per sink commit.)"""
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        adds = batch.filter(F.col("op") == "A").drop("op")
+        dels = batch.filter(F.col("op") == "D").drop("op")
+        try:
+            cur = spark.read.parquet(target_dir)
+        except Exception:
+            cur = spark.createDataFrame([], adds.schema)
+        key = ["graph", "subj", "pred", "obj"]
+        nxt = cur.join(dels, key, "left_anti").unionByName(adds).dropDuplicates(key)
+        # rewrite (small demo table); at scale this would be an Iceberg
+        # MERGE with positional deletes instead of a full rewrite
+        nxt.write.mode("overwrite").parquet(target_dir + "_next")
+        spark.read.parquet(target_dir + "_next").write.mode("overwrite").parquet(target_dir)
+
+    return apply

@@ -1,0 +1,104 @@
+"""Unit tests for the SPARQL-algebra DataFrame layer."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from jena_spark.ops.algebra import (
+    bgp,
+    facet_counts,
+    path_alt,
+    path_inverse,
+    path_negated,
+    path_seq,
+    path_transitive,
+    path_zero_or_one,
+)
+
+RDF_TYPE = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+
+
+@pytest.fixture(scope="module")
+def tri(spark):
+    rows = [
+        ("<a>", RDF_TYPE, "<T>"),
+        ("<b>", RDF_TYPE, "<T>"),
+        ("<a>", "<knows>", "<b>"),
+        ("<b>", "<knows>", "<c>"),
+        ("<c>", "<knows>", "<d>"),
+        ("<a>", "<name>", '"alice"'),
+        ("<b>", "<name>", '"bob"'),
+        ("<x>", "<likes>", "<a>"),
+    ]
+    return spark.createDataFrame(rows, ["subj", "pred", "obj"]).cache()
+
+
+def test_bgp_two_patterns(tri):
+    out = bgp(tri, [("?p", RDF_TYPE, "<T>"), ("?p", "<name>", "?n")])
+    got = {(r["p"], r["n"]) for r in out.collect()}
+    assert got == {("<a>", '"alice"'), ("<b>", '"bob"')}
+
+
+def test_bgp_chain_join(tri):
+    out = bgp(tri, [("?x", "<knows>", "?y"), ("?y", "<knows>", "?z")])
+    got = {(r["x"], r["z"]) for r in out.collect()}
+    assert got == {("<a>", "<c>"), ("<b>", "<d>")}
+
+
+def test_bgp_same_var_twice(tri, spark):
+    loops = spark.createDataFrame(
+        [("<s>", "<p>", "<s>"), ("<s>", "<p>", "<o>")], ["subj", "pred", "obj"]
+    )
+    out = bgp(loops, [("?x", "<p>", "?x")])
+    assert [r["x"] for r in out.collect()] == ["<s>"]
+
+
+def test_path_seq(tri):
+    out = path_seq(tri, ["<knows>", "<knows>"])
+    got = {(r["src"], r["dst"]) for r in out.collect()}
+    assert got == {("<a>", "<c>"), ("<b>", "<d>")}
+
+
+def test_path_alt_and_inverse(tri):
+    alt = path_alt(tri, ["<knows>", "<likes>"])
+    assert ("<x>", "<a>") in {(r["src"], r["dst"]) for r in alt.collect()}
+    inv = path_inverse(tri, "<likes>")
+    assert {(r["src"], r["dst"]) for r in inv.collect()} == {("<a>", "<x>")}
+
+
+def test_path_transitive_plus(tri):
+    out = path_transitive(tri, "<knows>")
+    got = {(r["src"], r["dst"]) for r in out.collect()}
+    assert got == {
+        ("<a>", "<b>"), ("<b>", "<c>"), ("<c>", "<d>"),
+        ("<a>", "<c>"), ("<b>", "<d>"), ("<a>", "<d>"),
+    }
+
+
+def test_path_transitive_star_includes_reflexive(tri):
+    out = path_transitive(tri, "<knows>", zero=True)
+    got = {(r["src"], r["dst"]) for r in out.collect()}
+    assert ("<d>", "<d>") in got and ("<a>", "<a>") in got
+
+
+def test_path_zero_or_one(tri):
+    out = path_zero_or_one(tri, "<knows>")
+    got = {(r["src"], r["dst"]) for r in out.collect()}
+    assert ("<a>", "<b>") in got and ("<c>", "<c>") in got
+
+
+def test_path_negated(tri):
+    out = path_negated(tri, [RDF_TYPE, "<name>"])
+    preds_src = {(r["src"], r["dst"]) for r in out.collect()}
+    assert ("<a>", "<b>") in preds_src and ("<x>", "<a>") in preds_src
+
+
+def test_path_transitive_cycle_terminates(spark):
+    rows = [("<a>", "<e>", "<b>"), ("<b>", "<e>", "<c>"), ("<c>", "<e>", "<a>")]
+    tri = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    out = path_transitive(tri, "<e>")
+    assert out.count() == 9  # complete digraph over the 3-cycle
+
+
+def test_facet_counts(tri):
+    out = facet_counts(tri, RDF_TYPE).collect()
+    assert [(r["facet_value"], r["facet_count"]) for r in out] == [("<T>", 2)]

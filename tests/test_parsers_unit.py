@@ -1,0 +1,110 @@
+import pytest
+
+from jena_spark.skolem import BNodeAllocator, doc_seed
+from jena_spark.terms import RDFSyntaxError
+from jena_spark.parsers.ntriples import parse_ntriples, parse_nquads
+from jena_spark.parsers.turtle import parse_turtle, parse_trig
+from jena_spark.parsers.rdfxml import parse_rdfxml
+from jena_spark.parsers.jsonld import parse_jsonld
+from jena_spark.parsers.registry import parse_document, detect_lang
+
+
+def alloc():
+    return BNodeAllocator(doc_seed("r", "p", "c"))
+
+
+def test_nt_basic():
+    out = parse_ntriples('<http://e/s> <http://e/p> "x" .\n', alloc())
+    assert out == [("<http://e/s>", "<http://e/p>", '"x"')]
+
+
+def test_nt_rejects_relative():
+    with pytest.raises(RDFSyntaxError):
+        parse_ntriples("<s> <http://e/p> <http://e/o> .", alloc())
+
+
+def test_nq_graph():
+    out = parse_nquads("<http://e/s> <http://e/p> <http://e/o> <http://e/g> .", alloc())
+    assert out[0][0] == "<http://e/g>"
+
+
+def test_turtle_numbers_keep_lexical_form():
+    # bare tokens typed, lexical form preserved verbatim
+    # (ParserProfileStd.java:307-312)
+    out = parse_turtle("<http://e/s> <http://e/p> 01, 1.50, 1e0, true .", None, alloc())
+    objs = {o for _, _, o in out}
+    assert objs == {
+        '"01"^^<http://www.w3.org/2001/XMLSchema#integer>',
+        '"1.50"^^<http://www.w3.org/2001/XMLSchema#decimal>',
+        '"1e0"^^<http://www.w3.org/2001/XMLSchema#double>',
+        '"true"^^<http://www.w3.org/2001/XMLSchema#boolean>',
+    }
+
+
+def test_turtle_collection_expansion():
+    out = parse_turtle("<http://e/s> <http://e/p> (1) .", None, alloc())
+    rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    preds = sorted(p for _, p, _ in out)
+    assert preds == sorted([f"<{rdf}first>", f"<{rdf}rest>", "<http://e/p>"])
+    assert len(out) == 3
+
+
+def test_turtle_prefix_reassignment():
+    ttl = "@prefix p: <http://a/> . p:x p:y p:z .\n@prefix p: <http://b/> . p:x p:y p:z ."
+    out = parse_turtle(ttl, None, alloc())
+    assert ("<http://a/x>", "<http://a/y>", "<http://a/z>") in out
+    assert ("<http://b/x>", "<http://b/y>", "<http://b/z>") in out
+
+
+def test_turtle_undefined_prefix_fatal():
+    with pytest.raises(RDFSyntaxError):
+        parse_turtle("q:x <http://e/p> <http://e/o> .", None, alloc())
+
+
+def test_trig_quads():
+    out = parse_trig(
+        "@prefix e: <http://e/> . GRAPH e:g { e:s e:p e:o . } e:s e:q e:o .",
+        None,
+        alloc(),
+    )
+    assert ("<http://e/g>", "<http://e/s>", "<http://e/p>", "<http://e/o>") in out
+    assert (None, "<http://e/s>", "<http://e/q>", "<http://e/o>") in out
+
+
+def test_rdfxml_basic():
+    xml = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+      xmlns:e="http://e/"><e:Thing rdf:about="http://e/s"><e:p>v</e:p></e:Thing></rdf:RDF>"""
+    out = parse_rdfxml(xml, "http://base/", alloc())
+    assert ("<http://e/s>", "<http://e/p>", '"v"') in out
+    assert (
+        "<http://e/s>",
+        "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>",
+        "<http://e/Thing>",
+    ) in out
+
+
+def test_jsonld_expanded():
+    doc = '{"@id": "http://e/s", "http://e/p": [{"@value": "x", "@language": "en"}]}'
+    out = parse_jsonld(doc, None, alloc())
+    assert out == [(None, "<http://e/s>", "<http://e/p>", '"x"@en')]
+
+
+def test_registry_negative_yields_zero():
+    quads, err = parse_document("r", "f.ttl", "c", "turtle", "<bad .")
+    assert quads == [] and err is not None and err.startswith("syntax")
+
+
+def test_registry_detect():
+    assert detect_lang("a/b.ttl") == "turtle"
+    assert detect_lang("a/b.owl") == "rdfxml"
+    assert detect_lang("a/b.py") is None
+    assert detect_lang("a/b.py", "turtle") == "turtle"
+
+
+def test_skolem_determinism_and_scope():
+    a1 = BNodeAllocator(doc_seed("r", "p", "c"))
+    a2 = BNodeAllocator(doc_seed("r", "p", "c"))
+    other = BNodeAllocator(doc_seed("r", "p2", "c"))
+    assert a1.get("x") == a2.get("x")
+    assert a1.fresh() == a2.fresh()
+    assert a1.get("x") != other.get("x")  # per-document scope

@@ -1,0 +1,138 @@
+"""Dedup / similarity / text / multimodal / linking pipeline tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from jena_spark.pipelines import dedup as dd
+from jena_spark.pipelines import similarity as sim
+from jena_spark.pipelines import textstats as ts
+from jena_spark.pipelines import multimodal as mm
+from jena_spark import linking
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("lazy", "sleepy")),  # near dup
+        (3, "completely different content about spark shuffles and parquet files"),
+        (4, "short text"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"]).cache()
+
+
+def test_exact_dedup(docs):
+    out = dd.dedup_exact(docs).collect()
+    groups = {r["keep_id"]: r["n_copies"] for r in out}
+    assert groups[0] == 2  # docs 0 and 1 collapse
+    assert len(out) == 4
+
+
+def test_minhash_finds_near_dups(docs):
+    sigs = dd.minhash_signatures(docs, k=5, num_perm=8)
+    pairs = {(r["id_a"], r["id_b"]) for r in dd.minhash_candidates(sigs).collect()}
+    assert (0, 1) in pairs  # exact dup always collides
+    assert (0, 2) in pairs  # near dup collides in some band
+    assert (0, 3) not in pairs and (3, 4) not in pairs
+
+
+def test_jaccard_scores(docs):
+    sigs = dd.minhash_signatures(docs, k=5, num_perm=8)
+    cands = dd.minhash_candidates(sigs)
+    jac = {(r["id_a"], r["id_b"]): r["jaccard"] for r in dd.jaccard_pairs(docs, cands).collect()}
+    assert jac[(0, 1)] == 1.0
+    assert 0.5 < jac[(0, 2)] < 1.0
+
+
+def test_simhash_near_for_near_dups(docs):
+    out = {r["doc_id"]: r["simhash"] for r in dd.simhash(docs, nbits=16).collect()}
+    assert out[0] == out[1]
+    ham02 = bin(out[0] ^ out[2]).count("1")
+    ham03 = bin(out[0] ^ out[3]).count("1")
+    assert ham02 < ham03
+
+
+def test_cosine_topk_exact_baseline(spark):
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = sim.cosine_topk(emb, [1.0, 0.1, 0.0, 0.0], k=2).collect()
+    assert out[0]["vec_id"] == 0 and out[1]["vec_id"] == 1
+
+
+def test_ivf_recall_against_bruteforce(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [float((i * 37 % 19) - 9) / 10.0 for i in range(64)]
+    exact = [r["vec_id"] for r in sim.cosine_topk(emb, qv, k=10).collect()]
+    approx = [r["vec_id"] for r in sim.ivf_topk(emb, qv, k=10, n_centroids=8, n_probe=4).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5  # probe half the space → decent recall
+
+
+def test_langid_markers(spark):
+    rows = [
+        (0, "the cat and the dog is of to the house"),
+        (1, "der hund und die katze ist nicht der beste"),
+        (2, "le chat et les chiens est des amis"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["pred_lang"] for r in ts.langid(docs).collect()}
+    assert out == {0: "en", 1: "de", 2: "fr"}
+
+
+def test_quality_and_tokens(docs):
+    q = {r["doc_id"]: r for r in ts.quality(docs).collect()}
+    assert q[4]["n_tokens"] == 2
+    t = {r["doc_id"]: r for r in ts.token_counts(docs).collect()}
+    assert t[4]["ws_tokens"] == 2 and t[4]["subword_pieces"] == 2
+
+
+def test_fingerprint_ws_insensitive(spark):
+    docs = spark.createDataFrame(
+        [(0, "Hello  World"), (1, " hello world ")], ["doc_id", "text"]
+    )
+    fps = [r["fingerprint"] for r in ts.fingerprint(docs).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_multimodal_metadata_and_frames(spark):
+    docs = spark.createDataFrame(
+        [(i, "payload " * (i + 1)) for i in range(6)], ["doc_id", "text"]
+    )
+    media = mm.media_from_documents(docs)
+    meta = mm.extract_metadata(media).collect()
+    assert len(meta) == 6
+    imgs = [r for r in meta if r["media_type"] == "image"]
+    assert all(r["fake_width"] is not None for r in imgs)
+    auds = [r for r in meta if r["media_type"] != "image"]
+    assert all(r["fake_width"] is None for r in auds)
+    frames = mm.frame_sample(media, every_n=8)
+    vids = {r["media_id"] for r in frames.collect()}
+    assert vids == {2, 5}  # doc_id % 3 == 2 → video
+
+
+def test_decode_image_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"\x89PNG")
+
+
+def test_linking_pr_gates(spark):
+    mdf, edf = linking.linking_fixtures(spark, n_entities=60)
+    # candidate recall on true pairs (LSH stage)
+    cands = linking.lsh_candidates(mdf, edf)
+    gold = mdf.filter("should_link").select(
+        F.col("mention"), F.col("gold_iri").alias("entity_iri")
+    ).distinct()
+    hit = cands.join(gold, ["mention", "entity_iri"], "left_semi").count()
+    recall_cand = hit / gold.count()
+    assert recall_cand >= 0.95, f"candidate recall {recall_cand:.3f}"
+    # end-to-end link accuracy
+    links = linking.link_entities(mdf, edf)
+    joined = links.join(mdf.filter("should_link"), "mention")
+    correct = joined.filter(F.col("entity_iri") == F.col("gold_iri")).count()
+    total_links = links.count()
+    precision = correct / total_links
+    recall = correct / gold.count()
+    assert precision >= 0.9, f"precision {precision:.3f}"
+    assert recall >= 0.9, f"recall {recall:.3f}"

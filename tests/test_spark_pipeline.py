@@ -1,0 +1,148 @@
+"""Spark-side pipeline tests: extraction determinism, node table,
+materialization, checkpoint/resume, streaming."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from jena_spark.sources import synth_source_files, source_files_from_documents
+from jena_spark.extract import detect, extract_triples, run_extraction, lineage
+from jena_spark.nodetable import build_node_table, encode_triples, decode_triples
+from jena_spark.materialize import materialize, choose_index, with_salted_partition
+from jena_spark.checkpoint import CheckpointedExtraction
+
+N_FILES = 400
+
+
+@pytest.fixture(scope="module")
+def files(spark):
+    return synth_source_files(spark, N_FILES).cache()
+
+
+@pytest.fixture(scope="module")
+def triples(spark, files):
+    return run_extraction(files).cache()
+
+
+def test_extraction_deterministic_across_partitionings(spark, files, triples):
+    """North rule: identical triple set no matter the parallelism/layout
+    (skolem labels are document-seeded, not partition-dependent)."""
+    t1 = sorted(triples.select("subj", "pred", "obj").collect())
+    t8 = sorted(
+        run_extraction(files.repartition(8)).select("subj", "pred", "obj").collect()
+    )
+    assert t1 == t8 and len(t1) > 0
+
+
+def test_negative_docs_yield_zero_triples(spark, files):
+    te = extract_triples(detect(files))
+    bad = te.filter(F.col("path").startswith("src/bad/"))
+    assert bad.filter(F.col("error").isNull()).count() == 0
+    assert bad.filter(F.col("error").isNotNull()).count() > 0
+
+
+def test_non_rdf_filtered_before_udf(spark, files):
+    detected = detect(files)
+    assert detected.filter(F.col("path").endswith(".py")).count() == 0
+
+
+def test_lineage_sha_and_counts(spark, files):
+    te = extract_triples(detect(files))
+    lin = lineage(files, te)
+    row = lin.filter(F.col("triples_out") > 0).first()
+    assert len(row["content_sha256"]) == 64
+    # every input row appears exactly once
+    assert lin.count() == files.count()
+    assert lin.select("repo", "path", "commit").distinct().count() == files.count()
+
+
+def test_node_table_dense_unique_deterministic(spark, triples):
+    nt1 = build_node_table(triples)
+    n = nt1.count()
+    agg = nt1.agg(
+        F.countDistinct("node_id").alias("ids"),
+        F.min("node_id").alias("mn"),
+        F.max("node_id").alias("mx"),
+    ).first()
+    assert agg["ids"] == n and agg["mn"] == 0 and agg["mx"] == n - 1
+    # deterministic across input partitioning
+    nt2 = build_node_table(triples.repartition(16))
+    assert nt1.exceptAll(nt2).count() == 0 and nt2.exceptAll(nt1).count() == 0
+
+
+def test_encode_decode_roundtrip(spark, triples):
+    nt = build_node_table(triples)
+    enc = encode_triples(triples.select("subj", "pred", "obj"), nt, broadcast=True)
+    assert enc.filter(
+        F.col("s_id").isNull() | F.col("p_id").isNull() | F.col("o_id").isNull()
+    ).count() == 0
+    dec = decode_triples(enc, nt).select("subj", "pred", "obj")
+    orig = triples.select("subj", "pred", "obj")
+    assert dec.exceptAll(orig).count() == 0 and orig.exceptAll(dec).count() == 0
+
+
+def test_materialize_permutations_sorted_and_equal(spark, triples, tmp_path):
+    out = str(tmp_path / "mat")
+    paths = materialize(triples.select("graph", "subj", "pred", "obj"), out, n_partitions=4)
+    spo = spark.read.parquet(paths["spo"]).select("subj", "pred", "obj")
+    pos = spark.read.parquet(paths["pos"]).select("subj", "pred", "obj")
+    assert spo.exceptAll(pos).count() == 0 and pos.exceptAll(spo).count() == 0
+    # set semantics: no duplicate triples
+    assert spo.count() == spo.distinct().count()
+    # index selection picks the right table and returns the right rows
+    rdf_type = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+    got = choose_index(spark, out, p=rdf_type).count()
+    want = spo.filter(F.col("pred") == rdf_type).count()
+    assert got == want > 0
+
+
+def test_salting_spreads_hot_predicate(spark, triples):
+    rdf_type = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+    salted = with_salted_partition(
+        triples.select("subj", "pred", "obj"), n_partitions=16, n_salts=8
+    )
+    hot_parts = (
+        salted.filter(F.col("pred") == rdf_type)
+        .select("p_part").distinct().count()
+    )
+    cold_parts = (
+        salted.filter(F.col("pred") == "<http://bench.example/label>")
+        .select("p_part").distinct().count()
+    )
+    assert hot_parts >= 4  # spread over salt buckets
+    assert cold_parts == 1  # non-hot predicates stay co-located
+
+
+def test_checkpoint_resume(spark, files, tmp_path):
+    work = str(tmp_path / "ck")
+    ck = CheckpointedExtraction(spark, work)
+    half = files.limit(N_FILES // 2)
+    n1 = ck.run(half)
+    assert n1 == N_FILES // 2
+    # resume over the full input: only the remainder is processed
+    n2 = ck.run(files)
+    assert n2 == N_FILES - n1
+    # third run: nothing left
+    assert ck.run(files) == 0
+    # the checkpointed result equals a fresh full run
+    full = run_extraction(files).select("subj", "pred", "obj")
+    ckt = ck.triples().select("subj", "pred", "obj")
+    assert full.exceptAll(ckt).count() == 0 and ckt.exceptAll(full).count() == 0
+
+
+def test_streaming_extraction(spark, tmp_path):
+    from jena_spark.streaming import stream_extract, run_stream_to_parquet
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckp = str(tmp_path / "ckp")
+    batch = synth_source_files(spark, 100)
+    batch.write.parquet(src)
+    tri_stream = stream_extract(spark, src)
+    assert tri_stream.isStreaming
+    run_stream_to_parquet(tri_stream, out, ckp)
+    got = spark.read.parquet(out).select("subj", "pred", "obj")
+    want = run_extraction(batch).select("subj", "pred", "obj")
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
