@@ -90,7 +90,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def kg_node_ids_dense(spark, sf):
         # property check of the dictionary: ids are dense 0..N-1 and unique
         tri = _doc_triples(spark, sf)
-        nt = build_node_table(tri.withColumn("graph", F.lit(None).cast("string")))
+        nt = build_node_table(tri, dense=True)
         return nt.agg(
             F.count("*").alias("n_terms"),
             F.countDistinct("node_id").alias("n_ids"),

@@ -58,9 +58,9 @@ def detect(files: DataFrame) -> DataFrame:
     df = files.withColumn("rdf_lang", lang_column(F.col("path"), F.col("lang")))
     head = F.substring(F.col("content"), 1, 4096)
     sniff_ok = (
-        F.when(F.col("rdf_lang") == "rdfxml", head.contains("<"))
+        F.when(F.col("rdf_lang").isin("rdfxml", "trix"), head.contains("<"))
         .when(
-            F.col("rdf_lang") == "jsonld",
+            F.col("rdf_lang").isin("jsonld", "rdfjson"),
             F.ltrim(head).startswith("{") | F.ltrim(head).startswith("["),
         )
         .otherwise(F.lit(True))

@@ -16,6 +16,7 @@ from .ntriples import parse_ntriples, parse_nquads
 from .turtle import parse_turtle, parse_trig
 from .rdfxml import parse_rdfxml
 from .jsonld import parse_jsonld
+from .rdfjson import parse_rdfjson, parse_trix
 
 Quad = Tuple[Optional[str], str, str, str]
 
@@ -29,6 +30,8 @@ EXT_TO_LANG = {
     "owl": "rdfxml",
     "xml": "rdfxml",
     "jsonld": "jsonld",
+    "rj": "rdfjson",
+    "trix": "trix",
 }
 
 RDF_LANGS = set(EXT_TO_LANG.values())
@@ -45,9 +48,9 @@ def sniff(content: str, lang: str) -> bool:
     """Cheap pre-parse plausibility check (runs as a Spark column predicate
     before the UDF; duplicated here for direct callers)."""
     head = content[:4096]
-    if lang == "rdfxml":
+    if lang in ("rdfxml", "trix"):
         return "<" in head
-    if lang == "jsonld":
+    if lang in ("jsonld", "rdfjson"):
         h = head.lstrip()
         return h.startswith("{") or h.startswith("[")
     return True  # turtle-family: no reliable sniff beyond extension
@@ -77,6 +80,10 @@ def parse_document(
             quads = [(None, s, p, o) for s, p, o in parse_rdfxml(content, base, alloc)]
         elif lang == "jsonld":
             quads = parse_jsonld(content, base, alloc)
+        elif lang == "rdfjson":
+            quads = [(None, s, p, o) for s, p, o in parse_rdfjson(content, base, alloc)]
+        elif lang == "trix":
+            quads = parse_trix(content, base, alloc)
         else:
             return [], f"unsupported-lang:{lang}"
     except RDFSyntaxError as e:

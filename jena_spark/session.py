@@ -30,11 +30,12 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle))
         # Arrow batches for pandas UDFs (the parse stage hot path).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
         # Keep scans splittable and bounded at 100 TB.
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
     )
     return b.getOrCreate()

@@ -110,7 +110,9 @@ b:item{i} rdf:type b:Class{c} ;
     b:link b:item{j} ;
     b:tags ("t{i}" "u{i}" {i}) .
 [] b:anon b:item{i} .
-"""
+{extra}"""
+
+_TTL_EXTRA = 'b:item{i} b:prop{n} "value {i} {n}" .\n'
 
 # hot-predicate slice: >=50% rdf:type triples (exercises salting/AQE skew)
 _TTL_HOT = """@prefix b: <http://bench.example/> .
@@ -159,23 +161,33 @@ b:s{i} b:p "unterminated .
 """
 
 
-def synth_row(idx: int) -> tuple[str, str, str, str]:
-    """(path, lang, content, kind) for global row index idx. Deterministic."""
+def synth_row(idx: int, doc_scale: int = 1) -> tuple[str, str, str, str]:
+    """(path, lang, content, kind) for global row index idx. Deterministic.
+    ``doc_scale`` > 1 multiplies triples per document (heavier files, the
+    realistic shape for repo-scale corpora) without changing file count."""
     r = _h(f"file:{idx}")
     kind = r % 100
     i = idx
     j = _h(f"link:{idx}") % max(idx + 1, 1)
     if kind < 30:
+        extra = "".join(
+            _TTL_EXTRA.format(i=i, n=n) for n in range((doc_scale - 1) * 8)
+        )
         return (
             f"src/data/part{i}.ttl",
             "turtle",
             _TTL_DOC.format(
-                i=i, c=r % 17, score=r % 1000, frac=(r // 7) % 100, j=j
+                i=i, c=r % 17, score=r % 1000, frac=(r // 7) % 100, j=j,
+                extra=extra,
             ),
             "turtle",
         )
     if kind < 45:
-        return (f"src/data/part{i}.nt", "ntriples", _NT_DOC.format(i=i, p=r % 23), "ntriples")
+        nt = _NT_DOC.format(i=i, p=r % 23) + "".join(
+            f"<http://bench.example/s{i}> <http://bench.example/q{n}> \"w {i} {n}\" .\n"
+            for n in range((doc_scale - 1) * 8)
+        )
+        return (f"src/data/part{i}.nt", "ntriples", nt, "ntriples")
     if kind < 60:  # hot rdf:type skew slice
         return (f"src/hot/part{i}.ttl", "turtle", _TTL_HOT.format(i=i), "turtle")
     if kind < 70:
@@ -190,15 +202,21 @@ def synth_row(idx: int) -> tuple[str, str, str, str]:
 
 
 def synth_source_files(
-    spark: SparkSession, n_files: int, partitions: Optional[int] = None
+    spark: SparkSession,
+    n_files: int,
+    partitions: Optional[int] = None,
+    doc_scale: int = 1,
 ) -> DataFrame:
     """Distributed deterministic corpus; content derives only from the row
-    index so any subset/partitioning reproduces identical rows."""
-    rng = spark.range(0, n_files, numPartitions=partitions or spark.sparkContext.defaultParallelism)
+    index so any subset/partitioning reproduces identical rows.
+    Over-partitions 4× the core count by default — smaller tasks even out
+    stragglers from skewed document sizes."""
+    nparts = partitions or 4 * spark.sparkContext.defaultParallelism
+    rng = spark.range(0, n_files, numPartitions=nparts)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [synth_row(int(i)) for i in pdf["id"]]
+            rows = [synth_row(int(i), doc_scale) for i in pdf["id"]]
             yield pd.DataFrame(
                 {
                     "repo": "synthetic/bench",

@@ -59,7 +59,7 @@ def test_lineage_sha_and_counts(spark, files):
 
 
 def test_node_table_dense_unique_deterministic(spark, triples):
-    nt1 = build_node_table(triples)
+    nt1 = build_node_table(triples, dense=True)
     n = nt1.count()
     agg = nt1.agg(
         F.countDistinct("node_id").alias("ids"),
@@ -68,12 +68,23 @@ def test_node_table_dense_unique_deterministic(spark, triples):
     ).first()
     assert agg["ids"] == n and agg["mn"] == 0 and agg["mx"] == n - 1
     # deterministic across input partitioning
-    nt2 = build_node_table(triples.repartition(16))
+    nt2 = build_node_table(triples.repartition(16), dense=True)
     assert nt1.exceptAll(nt2).count() == 0 and nt2.exceptAll(nt1).count() == 0
 
 
+def test_node_table_hash_ids_unique_and_joinfree(spark, triples):
+    from jena_spark.nodetable import assert_ids_unique
+
+    nt = build_node_table(triples)  # hash mode
+    assert_ids_unique(nt)
+    # inline encode (no node table join) agrees with the dictionary
+    enc = encode_triples(triples.select("subj", "pred", "obj"))
+    joined = encode_triples(triples.select("subj", "pred", "obj"), nt, broadcast=True)
+    assert enc.exceptAll(joined).count() == 0 and joined.exceptAll(enc).count() == 0
+
+
 def test_encode_decode_roundtrip(spark, triples):
-    nt = build_node_table(triples)
+    nt = build_node_table(triples, dense=True)
     enc = encode_triples(triples.select("subj", "pred", "obj"), nt, broadcast=True)
     assert enc.filter(
         F.col("s_id").isNull() | F.col("p_id").isNull() | F.col("o_id").isNull()

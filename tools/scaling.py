@@ -1,0 +1,98 @@
+"""North-rule scaling evidence: run the identical KG-construction job at
+two parallelism levels (local[N] and local[4N] — this sandbox's stand-in
+for N and 4N executors) on the same input, report triples/sec at both and
+the scaling efficiency = throughput(4N) / (4 × throughput(N)).
+
+Each level runs in a fresh subprocess (fresh JVM) so no JIT/cache state
+leaks between levels.  Results are appended to BENCH/BASELINE.md.
+
+Usage: python tools/scaling.py [n_files] [N]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_CHILD = r"""
+import json, os, sys, tempfile, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from jena_spark.session import get_spark
+from jena_spark.sources import synth_source_files
+from jena_spark.extract import run_extraction
+from jena_spark.nodetable import build_node_table, encode_triples
+from jena_spark.materialize import materialize
+
+cores = {cores}
+n_files = {n_files}
+doc_scale = {doc_scale}
+spark = get_spark(app="scaling", master=f"local[{{cores}}]", shuffle_partitions=cores)
+spark.sparkContext.setLogLevel("ERROR")
+work = tempfile.mkdtemp(prefix="scaling_")
+
+# warmup: spin up executors + codegen on a tiny slice (excluded from timing)
+run_extraction(synth_source_files(spark, 256)).count()
+
+t0 = time.perf_counter()
+files = synth_source_files(spark, n_files, doc_scale=doc_scale)
+tri = run_extraction(files).select("graph", "subj", "pred", "obj").persist()
+n_triples = tri.count()
+t_extract = time.perf_counter() - t0
+
+t1 = time.perf_counter()
+nt = build_node_table(tri)  # hash ids: distinct shuffle only
+n_terms = nt.count()
+enc = encode_triples(tri.select("subj", "pred", "obj"))  # inline ids, no join
+enc.write.format("noop").mode("overwrite").save()
+t_encode = time.perf_counter() - t1
+
+t2 = time.perf_counter()
+materialize(tri, os.path.join(work, "mat"), n_partitions=max(cores, 16))
+t_mat = time.perf_counter() - t2
+
+total = time.perf_counter() - t0
+print(json.dumps(dict(cores=cores, n_files=n_files, n_triples=n_triples,
+                      n_terms=n_terms, t_extract=round(t_extract, 2),
+                      t_encode=round(t_encode, 2), t_materialize=round(t_mat, 2),
+                      t_total=round(total, 2),
+                      triples_per_sec=round(n_triples / total, 1))))
+spark.stop()
+"""
+
+
+def run_level(cores: int, n_files: int, doc_scale: int) -> dict:
+    code = _CHILD.format(repo=REPO, cores=cores, n_files=n_files, doc_scale=doc_scale)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3000
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 40_000
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    doc_scale = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+    r_n = run_level(n, n_files, doc_scale)
+    r_4n = run_level(4 * n, n_files, doc_scale)
+    eff = r_4n["triples_per_sec"] / (4 * r_n["triples_per_sec"])
+    report = {
+        "n_files": n_files,
+        "level_N": r_n,
+        "level_4N": r_4n,
+        "scaling_efficiency": round(eff, 3),
+    }
+    print(json.dumps(report, indent=2))
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling_latest.json"), "w") as f:
+        json.dump(report, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
