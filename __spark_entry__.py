@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from jena_spark.extract import detect, extract_triples, run_extraction, lineage
-from jena_spark.sources import source_files_from_documents
+from jena_spark.sources import source_files_from_documents, trig_files_from_documents
 from jena_spark.nodetable import build_node_table
 from jena_spark.materialize import with_salted_partition
 from jena_spark.ops.algebra import bgp, facet_counts, path_seq, path_transitive
@@ -130,7 +130,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.countDistinct("p_part").cast("long").alias("n_parts_rdf_type"))
         )
 
+    def kg_trig_quads(spark, sf):
+        # named-graph extraction (OpGraph / quads coverage)
+        files = trig_files_from_documents(spark, sf)
+        return run_extraction(files).select("graph", "subj", "pred", "obj")
+
+    def kg_graph_names(spark, sf):  # OpDatasetNames
+        files = trig_files_from_documents(spark, sf)
+        return (
+            run_extraction(files)
+            .filter(F.col("graph").isNotNull())
+            .select("graph")
+            .distinct()
+        )
+
     q.update(
+        kg_trig_quads=kg_trig_quads,
+        kg_graph_names=kg_graph_names,
         kg_extract_triples=kg_extract_triples,
         kg_pred_counts=kg_pred_counts,
         kg_node_table_terms=kg_node_table_terms,
@@ -383,7 +399,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         meta = mm.extract_metadata(media)
         return meta.select("media_id", "n_bytes", "sha256", "media_type")
 
+    def link_blocked_levenshtein(spark, sf):
+        # entity-linking scoring stage with a SQL oracle: block on the
+        # last-3-digit suffix, score with Levenshtein on the numeric id
+        # (the LSH candidate generator is covered by test_linking_pr_gates)
+        c = _read(spark, sf, "customer").select(F.col("c_name").alias("mention"))
+        s = _read(spark, sf, "supplier").select(F.col("s_name").alias("entity_name"))
+        m = c.withColumn("block", F.expr("right(mention, 3)"))
+        e = s.withColumn("block", F.expr("right(entity_name, 3)"))
+        scored = (
+            m.join(e, "block")
+            .withColumn(
+                "edit",
+                F.levenshtein(
+                    F.regexp_replace("mention", "^Customer#", ""),
+                    F.regexp_replace("entity_name", "^Supplier#", ""),
+                ),
+            )
+            .filter(F.col("edit") <= 1)
+        )
+        return scored.select("mention", "entity_name", F.col("edit").cast("int").alias("edit"))
+
     q.update(
+        link_blocked_levenshtein=link_blocked_levenshtein,
         dedup_exact=dedup_exact,
         dedup_minhash_sigs=dedup_minhash_sigs,
         dedup_minhash_pairs=dedup_minhash_pairs,
@@ -474,6 +512,30 @@ def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
 
     o["kg_extract_triples"] = f"WITH {_DOC_TRIPLES_CTE} SELECT subj, pred, obj FROM doc_triples"
+
+    o["kg_trig_quads"] = (
+        "SELECT '<http://example.org/graph' || (doc_id % 8) || '>' AS graph, "
+        "'<http://example.org/doc' || doc_id || '>' AS subj, "
+        "'<http://example.org/lang>' AS pred, '\"' || lang || '\"' AS obj "
+        "FROM documents "
+        "UNION ALL "
+        "SELECT '<http://example.org/graph' || (doc_id % 8) || '>', "
+        "'<http://example.org/doc' || doc_id || '>', "
+        "'<http://example.org/nchars>', "
+        "'\"' || n_chars || '\"^^<http://www.w3.org/2001/XMLSchema#integer>' "
+        "FROM documents "
+        "UNION ALL "
+        "SELECT CAST(NULL AS VARCHAR), "
+        "'<http://example.org/doc' || doc_id || '>', "
+        "'<http://example.org/inGraph>', "
+        "'<http://example.org/graph' || (doc_id % 8) || '>' "
+        "FROM documents"
+    )
+
+    o["kg_graph_names"] = (
+        "SELECT DISTINCT '<http://example.org/graph' || (doc_id % 8) || '>' AS graph "
+        "FROM documents"
+    )
 
     o["kg_pred_counts"] = (
         f"WITH {_DOC_TRIPLES_CTE} "
@@ -619,6 +681,15 @@ def oracle_sql() -> dict[str, str]:
         "r(src, dst) AS (SELECT src, dst FROM e "
         "UNION SELECT r.src, e.dst FROM r JOIN e ON r.dst = e.src) "
         "SELECT '<n' || src || '>' AS src, '<n' || dst || '>' AS dst FROM r"
+    )
+
+    o["link_blocked_levenshtein"] = (
+        "SELECT c_name AS mention, s_name AS entity_name, "
+        "CAST(levenshtein(regexp_replace(c_name, '^Customer#', ''), "
+        "regexp_replace(s_name, '^Supplier#', '')) AS INT) AS edit "
+        "FROM customer JOIN supplier ON right(c_name, 3) = right(s_name, 3) "
+        "WHERE levenshtein(regexp_replace(c_name, '^Customer#', ''), "
+        "regexp_replace(s_name, '^Supplier#', '')) <= 1"
     )
 
     o["dedup_exact"] = (

@@ -90,18 +90,29 @@ def materialize(
     salted = with_salted_partition(dedup, n_partitions, n_salts)
     salted.persist()
     paths = {}
+
+    def write_perm(perm: str) -> tuple[str, str]:
+        keys = list(PERMUTATIONS[perm])
+        path = os.path.join(out_dir, perm)
+        (
+            salted.repartitionByRange(n_partitions, *[F.col(k) for k in keys])
+            .sortWithinPartitions(*keys)
+            .select(*keys, "p_part", *extra_cols)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        return perm, path
+
     try:
-        for perm in permutations:
-            keys = list(PERMUTATIONS[perm])
-            path = os.path.join(out_dir, perm)
-            (
-                salted.repartitionByRange(n_partitions, *[F.col(k) for k in keys])
-                .sortWithinPartitions(*keys)
-                .select(*keys, "p_part", *extra_cols)
-                .write.mode("overwrite")
-                .parquet(path)
-            )
-            paths[perm] = path
+        # the three permutation writes are independent Spark jobs — run
+        # them concurrently so shuffle/sample/write phases overlap and the
+        # cluster stays saturated (same trick as the reference loader's
+        # one-Indexer-thread-per-index, tdb2/loader/main/LoaderMain.java)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(permutations)) as ex:
+            for perm, path in ex.map(write_perm, permutations):
+                paths[perm] = path
     finally:
         salted.unpersist()
     return paths

@@ -62,6 +62,14 @@ ex:doc{d} rdf:type ex:Document ;
     ex:shard ex:shard{shard} .
 """
 
+TRIG_TEMPLATE = """@prefix ex: <http://example.org/> .
+GRAPH ex:graph{shard} {{
+  ex:doc{d} ex:lang "{lang}" .
+  ex:doc{d} ex:nchars {n} .
+}}
+ex:doc{d} ex:inGraph ex:graph{shard} .
+"""
+
 
 def source_files_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One deterministic Turtle file per ``documents`` row.  The emitted
@@ -92,6 +100,30 @@ def source_files_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "lang", "source", "n_chars").mapInPandas(
         gen, SOURCE_SCHEMA
     )
+
+
+def trig_files_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One deterministic TriG file per ``documents`` row (named-graph /
+    quads coverage with a SQL-reconstructible oracle)."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = [
+                TRIG_TEMPLATE.format(d=int(d), lang=l, n=int(n), shard=int(d) % 8)
+                for d, l, n in zip(pdf["doc_id"], pdf["lang"], pdf["n_chars"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "repo": "synthetic/docs",
+                    "path": [f"data/doc{int(d)}.trig" for d in pdf["doc_id"]],
+                    "commit": "0" * 40,
+                    "lang": "trig",
+                    "content": content,
+                }
+            )
+
+    return docs.select("doc_id", "lang", "n_chars").mapInPandas(gen, SOURCE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

@@ -34,7 +34,10 @@ n_files = {n_files}
 doc_scale = {doc_scale}
 spark = get_spark(app="scaling", master=f"local[{{cores}}]", shuffle_partitions=cores)
 spark.sparkContext.setLogLevel("ERROR")
-work = tempfile.mkdtemp(prefix="scaling_")
+# write to tmpfs: the scaling claim is about CPU/shuffle parallelism, and a
+# single local disk is not representative of cluster sink bandwidth
+shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+work = tempfile.mkdtemp(prefix="scaling_", dir=shm)
 
 # warmup: spin up executors + codegen on a tiny slice (excluded from timing)
 run_extraction(synth_source_files(spark, 256)).count()
@@ -63,6 +66,8 @@ print(json.dumps(dict(cores=cores, n_files=n_files, n_triples=n_triples,
                       t_total=round(total, 2),
                       triples_per_sec=round(n_triples / total, 1))))
 spark.stop()
+import shutil
+shutil.rmtree(work, ignore_errors=True)
 """
 
 
