@@ -88,7 +88,11 @@ def materialize(
     """
     dedup = triples.dropDuplicates(["graph", "subj", "pred", "obj"]) if "graph" in triples.columns else triples.dropDuplicates(["subj", "pred", "obj"])
     salted = with_salted_partition(dedup, n_partitions, n_salts)
+    # materialize the cache BEFORE fanning out: the three permutation jobs
+    # start concurrently, and a cold cache would make each of them compute
+    # the dedup shuffle (3x the work, racing to populate the same blocks)
     salted.persist()
+    salted.count()
     paths = {}
 
     def write_perm(perm: str) -> tuple[str, str]:

@@ -31,8 +31,18 @@ def get_spark(
         # Arrow batches for pandas UDFs (the parse stage hot path).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
-        # Keep scans splittable and bounded at 100 TB.
-        .config("spark.sql.files.maxPartitionBytes", "128m")
+        # Keep scans splittable and bounded at 100 TB (128m); local test
+        # corpora are tiny, so allow an env override to keep scan
+        # parallelism up (small parquet dirs otherwise collapse to 1-2
+        # input splits and serialize every downstream stage).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m"),
+        )
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_GRAFT_OPEN_COST", "4194304"),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
