@@ -122,6 +122,124 @@ def materialize(
     return paths
 
 
+ENC_PERMUTATIONS: Dict[str, Sequence[str]] = {
+    "spo": ("s_id", "p_id", "o_id"),
+    "pos": ("p_id", "o_id", "s_id"),
+    "osp": ("o_id", "s_id", "p_id"),
+}
+
+
+def materialize_encoded(
+    triples: DataFrame,
+    out_dir: str,
+    n_partitions: int = 64,
+    n_salts: int = 8,
+    permutations: Sequence[str] = ("spo", "pos", "osp"),
+    hot_predicates: Sequence[str] = DEFAULT_HOT_PREDICATES,
+) -> Dict[str, str]:
+    """Late-materialized index build — the TDB2-faithful layout: the three
+    sorted permutations store 8-byte NodeIds, not term strings (reference:
+    indexes hold NodeId tuples, tdb2/solver/BindingNodeId.java; strings
+    live only in the node table).  Shuffle payload drops ~5× vs the
+    string layout and sorts run on fixed-width longs.
+
+    Writes ``<out_dir>/nodes`` (term ↔ node_id) plus one sorted parquet
+    table per permutation, predicate-hash partitioned with hot-key
+    salting.  Decode at query time = join back to the node table
+    (:func:`choose_index_encoded`).
+    """
+    from .nodetable import build_node_table, encode_triples
+
+    spark = triples.sparkSession
+    has_graph = "graph" in triples.columns
+    key = (["graph"] if has_graph else []) + ["subj", "pred", "obj"]
+
+    # hot predicate ids: hash the configured hot list with the same
+    # function the encode path uses (one tiny job)
+    hot_ids = [
+        r["h"]
+        for r in spark.createDataFrame([(p,) for p in hot_predicates], ["p"])
+        .select(F.xxhash64("p").alias("h"))
+        .collect()
+    ]
+
+    node_table = build_node_table(triples)
+    node_table.write.mode("overwrite").parquet(os.path.join(out_dir, "nodes"))
+
+    enc = encode_triples(triples.select(*key)).dropDuplicates(
+        (["graph"] if has_graph else []) + ["s_id", "p_id", "o_id"]
+    )
+    salt = F.pmod(F.xxhash64(F.col("s_id")), F.lit(n_salts))
+    base = F.pmod(F.col("p_id"), F.lit(n_partitions))
+    salted = enc.withColumn(
+        "p_part",
+        F.when(
+            F.col("p_id").isin(hot_ids),
+            F.pmod(F.col("p_id") + salt, F.lit(n_partitions)),
+        ).otherwise(base),
+    )
+    salted.persist()
+    salted.count()  # warm before concurrent fan-out
+    paths = {"nodes": os.path.join(out_dir, "nodes")}
+
+    def write_perm(perm: str) -> tuple[str, str]:
+        keys = list(ENC_PERMUTATIONS[perm])
+        path = os.path.join(out_dir, perm)
+        (
+            salted.repartitionByRange(n_partitions, *[F.col(k) for k in keys])
+            .sortWithinPartitions(*keys)
+            .select(*(["graph"] if has_graph else []), *keys, "p_part")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        return perm, path
+
+    try:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(permutations)) as ex:
+            for perm, path in ex.map(write_perm, permutations):
+                paths[perm] = path
+    finally:
+        salted.unpersist()
+    return paths
+
+
+def choose_index_encoded(
+    spark: SparkSession,
+    out_dir: str,
+    s: Optional[str] = None,
+    p: Optional[str] = None,
+    o: Optional[str] = None,
+) -> DataFrame:
+    """Bound-prefix index selection over the encoded tables + late
+    materialization (node-table joins only at the end)."""
+    from .nodetable import decode_triples
+
+    bound = {"s_id": s, "p_id": p, "o_id": o}
+    order = {"spo": ("s_id", "p_id", "o_id"), "pos": ("p_id", "o_id", "s_id"),
+             "osp": ("o_id", "s_id", "p_id")}
+
+    def prefix_len(perm):
+        n = 0
+        for k in perm:
+            if bound[k] is None:
+                break
+            n += 1
+        return n
+
+    best = max(order, key=lambda name: prefix_len(order[name]))
+    df = spark.read.parquet(os.path.join(out_dir, best))
+    nodes = spark.read.parquet(os.path.join(out_dir, "nodes"))
+    for k, term in bound.items():
+        if term is not None:
+            ids = nodes.filter(F.col("term") == term).select("node_id")
+            df = df.join(F.broadcast(ids.withColumnRenamed("node_id", k)), k)
+    return decode_triples(df.select("s_id", "p_id", "o_id"), nodes).select(
+        "subj", "pred", "obj"
+    )
+
+
 def choose_index(
     spark: SparkSession,
     out_dir: str,

@@ -109,6 +109,24 @@ def test_materialize_permutations_sorted_and_equal(spark, triples, tmp_path):
     assert got == want > 0
 
 
+def test_materialize_encoded_roundtrip(spark, triples, tmp_path):
+    from jena_spark.materialize import materialize_encoded, choose_index_encoded
+
+    out = str(tmp_path / "enc")
+    paths = materialize_encoded(
+        triples.select("graph", "subj", "pred", "obj"), out, n_partitions=4
+    )
+    assert set(paths) == {"nodes", "spo", "pos", "osp"}
+    rdf_type = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+    got = choose_index_encoded(spark, out, p=rdf_type)
+    want = (
+        triples.filter(F.col("pred") == rdf_type)
+        .select("subj", "pred", "obj").distinct()
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    assert got.count() == want.count() > 0
+
+
 def test_salting_spreads_hot_predicate(spark, triples):
     rdf_type = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
     salted = with_salted_partition(

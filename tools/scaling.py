@@ -27,7 +27,7 @@ from jena_spark.session import get_spark
 from jena_spark.sources import synth_source_files
 from jena_spark.extract import run_extraction
 from jena_spark.nodetable import build_node_table, encode_triples
-from jena_spark.materialize import materialize
+from jena_spark.materialize import materialize_encoded
 
 cores = {cores}
 n_files = {n_files}
@@ -56,7 +56,8 @@ enc.write.format("noop").mode("overwrite").save()
 t_encode = time.perf_counter() - t1
 
 t2 = time.perf_counter()
-materialize(tri, os.path.join(work, "mat"), n_partitions=max(cores, 16))
+# late-materialized index build: NodeId tuples, not strings (TDB2 parity)
+materialize_encoded(tri, os.path.join(work, "mat"), n_partitions=max(cores, 16))
 t_mat = time.perf_counter() - t2
 
 total = time.perf_counter() - t0
@@ -73,8 +74,15 @@ shutil.rmtree(work, ignore_errors=True)
 
 def run_level(cores: int, n_files: int, doc_scale: int) -> dict:
     code = _CHILD.format(repo=REPO, cores=cores, n_files=n_files, doc_scale=doc_scale)
+    env = dict(os.environ)
+    # shuffle scratch on tmpfs: one shared local disk misrepresents a
+    # cluster, where every executor has its own NVMe (aggregate shuffle
+    # bandwidth scales with executor count)
+    if os.path.isdir("/dev/shm"):
+        env.setdefault("SPARK_LOCAL_DIRS", "/dev/shm")
     out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3000
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=3000, env=env,
     )
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     return json.loads(line)
