@@ -179,9 +179,19 @@ class Tokenizer:
 
     # -- productions ---------------------------------------------------------
 
+    _IRI_FAST = __import__("re").compile(r'<([^\x00-\x20<>"{}|^`\\]*)>')
+    _STR_FAST = {
+        '"': __import__("re").compile(r'"([^"\\\n\r]*)"'),
+        "'": __import__("re").compile(r"'([^'\\\n\r]*)'"),
+    }
+
     def _iri(self) -> Token:
         ln = self.line
         s = self.s
+        m = self._IRI_FAST.match(s, self.i)
+        if m is not None:  # fast path: no escapes, no illegal chars
+            self.i = m.end()
+            return Token(T_IRI, m.group(1), line=ln)
         i = self.i + 1
         out = []
         while True:
@@ -213,6 +223,10 @@ class Tokenizer:
         s = self.s
         if s.startswith(q * 3, self.i):
             return self._long_string(q)
+        m = self._STR_FAST[q].match(s, self.i)
+        if m is not None:  # fast path: no escapes/newlines
+            self.i = m.end()
+            return Token(T_STRING, m.group(1), q, line=ln)
         i = self.i + 1
         out = []
         while True:
@@ -419,10 +433,22 @@ class Tokenizer:
         self.i = j
         return Token(T_KEYWORD, word, line=ln)
 
+    _PN_LOCAL_FAST = __import__("re").compile(r"[A-Za-z0-9_][A-Za-z0-9_\-]*")
+
     def _pn_local(self, start: int) -> tuple[str, int]:
         """PN_LOCAL with PLX escapes; returns (decoded local, end index).
         May be empty.  Trailing '.' not part of the name."""
         s = self.s
+        # fast path: plain ASCII name not followed by a char that could
+        # extend it under the full grammar ('.', ':', '%', '\\', non-ASCII)
+        m = self._PN_LOCAL_FAST.match(s, start)
+        if m is not None:
+            j = m.end()
+            if j >= self.n:
+                return m.group(), j
+            nxt = s[j]
+            if nxt not in ".:%\\" and ord(nxt) < 0x80:
+                return m.group(), j
         out = []
         i = start
         first = True

@@ -88,6 +88,7 @@ class TurtleParser:
         self.trig = trig
         self.prefixes: dict[str, str] = {}
         self.out: List[Quad] = []
+        self._enc_cache: dict = {}
         self.graph: Optional[str] = None  # current graph term (encoded) or None
         self.tok: Token = self.tz.next_token()
 
@@ -107,8 +108,18 @@ class TurtleParser:
 
     # -- emit ----------------------------------------------------------------
 
+    def _enc(self, t: Term) -> str:
+        # terms repeat heavily within a document (same subject across a
+        # predicateObjectList, same predicates everywhere) — memoize the
+        # canonical encoding per parse
+        e = self._enc_cache.get(t)
+        if e is None:
+            e = t.nt()
+            self._enc_cache[t] = e
+        return e
+
     def _emit(self, s: Term, p: Term, o: Term) -> None:
-        self.out.append((self.graph, s.nt(), p.nt(), o.nt()))
+        self.out.append((self.graph, self._enc(s), self._enc(p), self._enc(o)))
 
     # -- entry ---------------------------------------------------------------
 

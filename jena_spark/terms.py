@@ -26,6 +26,7 @@ then a plain string join.
 
 from __future__ import annotations
 
+import re as _re
 from typing import NamedTuple, Optional
 
 XSD = "http://www.w3.org/2001/XMLSchema#"
@@ -176,7 +177,13 @@ _ESCAPE_MAP = {
 }
 
 
+_LIT_UNSAFE_RE = _re.compile(r'[\x00-\x1f"\\\x7f]')
+_IRI_UNSAFE_RE = _re.compile(r'[\x00-\x20<>"{}|^`\\\x7f]')
+
+
 def escape_literal(s: str) -> str:
+    if _LIT_UNSAFE_RE.search(s) is None:  # fast path: nothing to escape
+        return s
     out = []
     for ch in s:
         esc = _ESCAPE_MAP.get(ch)
@@ -192,6 +199,8 @@ def escape_literal(s: str) -> str:
 
 
 def escape_iri_for_output(s: str) -> str:
+    if _IRI_UNSAFE_RE.search(s) is None:  # fast path
+        return s
     out = []
     for ch in s:
         cp = ord(ch)
@@ -205,8 +214,6 @@ def escape_iri_for_output(s: str) -> str:
 # ---------------------------------------------------------------------------
 # Language tags (reference: LangTags.basicFormat, LangTags.java:81-111)
 # ---------------------------------------------------------------------------
-
-import re as _re
 
 # RFC 5646 well-formedness, as enforced by the Turtle LANGTAG production
 # [a-zA-Z]+('-'[a-zA-Z0-9]+)*  — the tokenizer-level check; full RFC 5646
