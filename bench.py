@@ -28,6 +28,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # local test parquet is tiny — keep scans splittable so every stage
+    # parallelizes (cluster default stays 128m; see session.py)
+    os.environ.setdefault("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m")
+    os.environ.setdefault("SPARK_GRAFT_OPEN_COST", "262144")
+    if os.path.isdir("/dev/shm"):
+        os.environ.setdefault("SPARK_LOCAL_DIRS", "/dev/shm")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
 
     from pyspark.sql import functions as F
@@ -36,7 +42,7 @@ def main() -> None:
     from jena_spark.sources import synth_source_files
     from jena_spark.extract import run_extraction
     from jena_spark.nodetable import build_node_table, encode_triples
-    from jena_spark.materialize import materialize
+    from jena_spark.materialize import materialize_encoded
     import __spark_entry__ as em
 
     spark = get_spark(app="jena_spark_bench", master=f"local[{cpus}]",
@@ -53,7 +59,8 @@ def main() -> None:
 
     # --- KG pipeline at corpus scale proportional to sf ---
     n_files = max(2000, int(200_000 * sf))
-    work = tempfile.mkdtemp(prefix="jena_spark_bench_")
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="jena_spark_bench_", dir=shm)
     state: dict = {}
 
     def kg_extract():
@@ -72,8 +79,9 @@ def main() -> None:
         enc.write.format("noop").mode("overwrite").save()
 
     def kg_materialize():
-        materialize(state["tri"], os.path.join(work, "mat"),
-                    n_partitions=max(cpus, 16))
+        # scale path: late-materialized NodeId tables + nodes dictionary
+        materialize_encoded(state["tri"], os.path.join(work, "mat"),
+                            n_partitions=max(cpus, 16))
 
     timed("kg_extract", kg_extract)
     timed("kg_nodetable", kg_nodetable)

@@ -136,6 +136,7 @@ def materialize_encoded(
     n_salts: int = 8,
     permutations: Sequence[str] = ("spo", "pos", "osp"),
     hot_predicates: Sequence[str] = DEFAULT_HOT_PREDICATES,
+    node_table: Optional[DataFrame] = None,
 ) -> Dict[str, str]:
     """Late-materialized index build — the TDB2-faithful layout: the three
     sorted permutations store 8-byte NodeIds, not term strings (reference:
@@ -163,7 +164,8 @@ def materialize_encoded(
         .collect()
     ]
 
-    node_table = build_node_table(triples)
+    if node_table is None:
+        node_table = build_node_table(triples)
     node_table.write.mode("overwrite").parquet(os.path.join(out_dir, "nodes"))
 
     enc = encode_triples(triples.select(*key)).dropDuplicates(

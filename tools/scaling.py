@@ -39,35 +39,47 @@ spark.sparkContext.setLogLevel("ERROR")
 shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
 work = tempfile.mkdtemp(prefix="scaling_", dir=shm)
 
-# warmup: spin up executors + codegen on a tiny slice (excluded from timing)
-run_extraction(synth_source_files(spark, 256)).count()
-
-t0 = time.perf_counter()
-files = synth_source_files(spark, n_files, doc_scale=doc_scale)
-tri = run_extraction(files).select("graph", "subj", "pred", "obj").persist()
-n_triples = tri.count()
-t_extract = time.perf_counter() - t0
-
-t1 = time.perf_counter()
-nt = build_node_table(tri)  # hash ids: distinct shuffle only
-n_terms = nt.count()
-enc = encode_triples(tri.select("subj", "pred", "obj"))  # inline ids, no join
-enc.write.format("noop").mode("overwrite").save()
-t_encode = time.perf_counter() - t1
-
-t2 = time.perf_counter()
-# late-materialized index build: NodeId tuples, not strings (TDB2 parity)
-materialize_encoded(tri, os.path.join(work, "mat"), n_partitions=max(cores, 16))
-t_mat = time.perf_counter() - t2
-
-total = time.perf_counter() - t0
-print(json.dumps(dict(cores=cores, n_files=n_files, n_triples=n_triples,
-                      n_terms=n_terms, t_extract=round(t_extract, 2),
-                      t_encode=round(t_encode, 2), t_materialize=round(t_mat, 2),
-                      t_total=round(total, 2),
-                      triples_per_sec=round(n_triples / total, 1))))
-spark.stop()
 import shutil
+
+def run_pipeline(nf, ds, tag):
+    t0 = time.perf_counter()
+    files = synth_source_files(spark, nf, doc_scale=ds)
+    tri = run_extraction(files).select("graph", "subj", "pred", "obj").persist()
+    n_triples = tri.count()
+    t_extract = time.perf_counter() - t0
+
+    t1 = time.perf_counter()
+    nt = build_node_table(tri)  # hash ids: distinct shuffle only
+    n_terms = nt.count()
+    enc = encode_triples(tri.select("subj", "pred", "obj"))  # inline ids, no join
+    enc.write.format("noop").mode("overwrite").save()
+    t_encode = time.perf_counter() - t1
+
+    t2 = time.perf_counter()
+    # late-materialized index build (NodeId tuples, TDB2 parity); reuse
+    # the node table from the encode stage
+    mat_dir = os.path.join(work, "mat_" + tag)
+    materialize_encoded(tri, mat_dir, n_partitions=max(cores, 16), node_table=nt)
+    t_mat = time.perf_counter() - t2
+    total = time.perf_counter() - t0
+    tri.unpersist()
+    shutil.rmtree(mat_dir, ignore_errors=True)
+    return dict(n_triples=n_triples, n_terms=n_terms,
+                t_extract=round(t_extract, 2), t_encode=round(t_encode, 2),
+                t_materialize=round(t_mat, 2), t_total=round(total, 2))
+
+# warmup: run every code path end-to-end on a small slice so JIT/codegen/
+# python-worker startup is excluded from the timed runs
+run_pipeline(max(1024, n_files // 50), doc_scale, "warm")
+
+# best-of-2 timed runs (shared cloud host → per-run noise)
+runs = [run_pipeline(n_files, doc_scale, "r" + str(i)) for i in range(2)]
+best = min(runs, key=lambda r: r["t_total"])
+best.update(cores=cores, n_files=n_files,
+            triples_per_sec=round(best["n_triples"] / best["t_total"], 1),
+            all_runs=[r["t_total"] for r in runs])
+print(json.dumps(best))
+spark.stop()
 shutil.rmtree(work, ignore_errors=True)
 """
 
