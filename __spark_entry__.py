@@ -394,6 +394,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qv = [float((i * 37 % 19) - 9) / 10.0 for i in range(64)]
         return sim.cosine_topk(emb, qv, k=20)
 
+    def ann_ivf_topk(spark, sf):
+        emb = _read(spark, sf, "embeddings")
+        qv = [float((i * 37 % 19) - 9) / 10.0 for i in range(64)]
+        return sim.ivf_topk(emb, qv, k=20, n_centroids=16, n_probe=4)
+
     def mm_metadata(spark, sf):
         media = mm.media_from_documents(_read(spark, sf, "documents"))
         meta = mm.extract_metadata(media)
@@ -432,6 +437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         text_token_counts=text_token_counts,
         text_fingerprint=text_fingerprint,
         ann_cosine_topk=ann_cosine_topk,
+        ann_ivf_topk=ann_ivf_topk,
         mm_metadata=mm_metadata,
     )
     return q
@@ -797,6 +803,33 @@ def oracle_sql() -> dict[str, str]:
         f"(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) * "
         f"sqrt(list_dot_product({qlist}, {qlist}))), 4) AS cosine "
         "FROM embeddings ORDER BY cosine DESC, vec_id ASC LIMIT 20"
+    )
+
+    cos = (
+        "list_dot_product(CAST({a} AS DOUBLE[]), {b}) / "
+        "(sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[]))) * "
+        "sqrt(list_dot_product({b}, {b})))"
+    )
+    cos_ee = (
+        "list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvec) / "
+        "(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * "
+        "sqrt(list_dot_product(c.cvec, c.cvec)))"
+    )
+    o["ann_ivf_topk"] = (
+        "WITH cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec "
+        "FROM embeddings WHERE vec_id < 16), "
+        "assign AS (SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id "
+        f"ORDER BY {cos_ee} DESC, c.cid ASC) AS rk FROM embeddings e CROSS JOIN cents c), "
+        "best AS (SELECT vec_id, cid FROM assign WHERE rk = 1), "
+        "qprobe AS (SELECT cid FROM (SELECT cid, row_number() OVER (ORDER BY "
+        + cos.format(a="cvec", b=qlist).replace("CAST(cvec AS DOUBLE[])", "cvec")
+        + " DESC, cid ASC) AS rk FROM cents) WHERE rk <= 4) "
+        "SELECT e.vec_id, round("
+        + cos.format(a="e.embedding", b=qlist)
+        + ", 4) AS cosine "
+        "FROM embeddings e JOIN best b ON b.vec_id = e.vec_id "
+        "JOIN qprobe p ON p.cid = b.cid "
+        "ORDER BY cosine DESC, e.vec_id ASC LIMIT 20"
     )
 
     o["mm_metadata"] = (
