@@ -168,9 +168,16 @@ def materialize_encoded(
         node_table = build_node_table(triples)
     node_table.write.mode("overwrite").parquet(os.path.join(out_dir, "nodes"))
 
-    enc = encode_triples(triples.select(*key)).dropDuplicates(
-        (["graph"] if has_graph else []) + ["s_id", "p_id", "o_id"]
-    )
+    enc = encode_triples(triples.select(*key))
+    if has_graph:
+        # graph name → id as well: the permutation tables are pure
+        # fixed-width rows (graph terms are already in the node table)
+        enc = enc.withColumn(
+            "g_id",
+            F.when(F.col("graph").isNotNull(), F.xxhash64("graph")),
+        ).drop("graph")
+    gcols = ["g_id"] if has_graph else []
+    enc = enc.dropDuplicates(gcols + ["s_id", "p_id", "o_id"])
     salt = F.pmod(F.xxhash64(F.col("s_id")), F.lit(n_salts))
     base = F.pmod(F.col("p_id"), F.lit(n_partitions))
     salted = enc.withColumn(
@@ -190,7 +197,7 @@ def materialize_encoded(
         (
             salted.repartitionByRange(n_partitions, *[F.col(k) for k in keys])
             .sortWithinPartitions(*keys)
-            .select(*(["graph"] if has_graph else []), *keys, "p_part")
+            .select(*gcols, *keys, "p_part")
             .write.mode("overwrite")
             .parquet(path)
         )

@@ -49,7 +49,7 @@ def run_pipeline(nf, ds, tag):
     t_extract = time.perf_counter() - t0
 
     t1 = time.perf_counter()
-    nt = build_node_table(tri)  # hash ids: distinct shuffle only
+    nt = build_node_table(tri).persist()  # hash ids: distinct shuffle only
     n_terms = nt.count()
     enc = encode_triples(tri.select("subj", "pred", "obj"))  # inline ids, no join
     enc.write.format("noop").mode("overwrite").save()
@@ -63,6 +63,7 @@ def run_pipeline(nf, ds, tag):
     t_mat = time.perf_counter() - t2
     total = time.perf_counter() - t0
     tri.unpersist()
+    nt.unpersist()
     shutil.rmtree(mat_dir, ignore_errors=True)
     return dict(n_triples=n_triples, n_terms=n_terms,
                 t_extract=round(t_extract, 2), t_encode=round(t_encode, 2),
