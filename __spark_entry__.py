@@ -144,7 +144,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .distinct()
         )
 
+    def kg_sparql_select(spark, sf):
+        from jena_spark.ops.sparql import sparql_select
+
+        tri = _doc_triples(spark, sf)
+        return sparql_select(
+            tri,
+            """PREFIX ex: <http://example.org/>
+               SELECT ?doc ?lang WHERE {
+                 ?doc a ex:Document ;
+                      ex:lang ?lang ;
+                      ex:shard ex:shard3 .
+                 FILTER(STRSTARTS(STR(?doc), "http://example.org/doc1"))
+               }""",
+        )
+
     q.update(
+        kg_sparql_select=kg_sparql_select,
         kg_trig_quads=kg_trig_quads,
         kg_graph_names=kg_graph_names,
         kg_extract_triples=kg_extract_triples,
@@ -518,6 +534,12 @@ def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
 
     o["kg_extract_triples"] = f"WITH {_DOC_TRIPLES_CTE} SELECT subj, pred, obj FROM doc_triples"
+
+    o["kg_sparql_select"] = (
+        "SELECT '<http://example.org/doc' || doc_id || '>' AS doc, "
+        "'\"' || lang || '\"' AS lang FROM documents "
+        "WHERE doc_id % 8 = 3 AND ('doc' || doc_id) LIKE 'doc1%'"
+    )
 
     o["kg_trig_quads"] = (
         "SELECT '<http://example.org/graph' || (doc_id % 8) || '>' AS graph, "

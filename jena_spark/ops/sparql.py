@@ -1,0 +1,529 @@
+"""SPARQL-lite: a SELECT-query subset compiled to DataFrame plans.
+
+The reference's user API is SPARQL (Algebra.compile → OpExecutor,
+SURVEY.md §3.2).  This module gives users of this engine the same entry
+point for the common query shapes, reusing the Turtle tokenizer in
+SPARQL mode and compiling straight to the DataFrame layer (the Op tree
+≅ Catalyst logical plan; Catalyst is the optimizer).
+
+Supported subset (documented; anything else raises):
+
+- ``PREFIX`` declarations, ``BASE``
+- ``SELECT [DISTINCT] ?v … | *``
+- ``WHERE { … }`` with: triple patterns (incl. ``a``, prefixed names,
+  literals, numeric literals, ``;``/``,`` lists), ``FILTER`` expressions,
+  ``OPTIONAL { … }``, nested ``{ … } UNION { … }``, ``VALUES ?v { … }``
+- FILTER expressions: comparisons (``= != < > <= >=`` — numeric when the
+  operand parses as a number, lexical otherwise), ``&& || !``,
+  ``BOUND REGEX CONTAINS STRSTARTS STRLEN STR LANG DATATYPE
+  isIRI isLiteral isBlank sameTerm``
+- ``ORDER BY [ASC|DESC](expr)…`` (SPARQL total term order),
+  ``LIMIT`` / ``OFFSET``
+
+Not supported (use the DataFrame layer): GROUP BY/aggregates, property
+paths (ops.algebra.path_*), subqueries, SERVICE, CONSTRUCT/ASK/DESCRIBE.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple, Union
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..iri import IRIResolver
+from ..terms import RDFSyntaxError, Term, mk_iri, mk_literal, RDF_TYPE
+from ..terms import XSD_BOOLEAN, XSD_DECIMAL, XSD_DOUBLE, XSD_INTEGER
+from ..parsers.tokenizer import (
+    Token,
+    Tokenizer,
+    T_BNODE,
+    T_COMMA,
+    T_DECIMAL,
+    T_DOT,
+    T_DOUBLE,
+    T_EOF,
+    T_HATHAT,
+    T_INTEGER,
+    T_IRI,
+    T_KEYWORD,
+    T_LANGTAG,
+    T_LBRACE,
+    T_LPAREN,
+    T_OP,
+    T_PNAME,
+    T_RBRACE,
+    T_RPAREN,
+    T_SEMI,
+    T_STRING,
+    T_VAR,
+)
+from . import functions as tf
+from .algebra import bgp
+
+
+# ---------------------------------------------------------------------------
+# AST
+# ---------------------------------------------------------------------------
+
+@dataclass
+class TriplePat:
+    s: str
+    p: str
+    o: str  # "?var" or encoded term
+
+
+@dataclass
+class Filter:
+    expr: "Expr"
+
+
+@dataclass
+class OptionalPat:
+    pattern: "Group"
+
+
+@dataclass
+class UnionPat:
+    left: "Group"
+    right: "Group"
+
+
+@dataclass
+class ValuesPat:
+    var: str
+    values: List[str]
+
+
+@dataclass
+class Group:
+    elements: List[object] = field(default_factory=list)
+
+
+@dataclass
+class Expr:
+    kind: str              # var | const | cmp | and | or | not | call
+    value: object = None   # var name / encoded term / operator / fn name
+    args: List["Expr"] = field(default_factory=list)
+
+
+@dataclass
+class SelectQuery:
+    variables: List[str]   # [] = *
+    distinct: bool
+    where: Group
+    order: List[Tuple[Expr, bool]]  # (expr, ascending)
+    limit: Optional[int]
+    offset: Optional[int]
+
+
+# ---------------------------------------------------------------------------
+# Parser
+# ---------------------------------------------------------------------------
+
+_KEYWORDS = {
+    "select", "where", "prefix", "base", "filter", "optional", "union",
+    "order", "by", "asc", "desc", "limit", "offset", "distinct", "values",
+}
+
+
+class SparqlParser:
+    def __init__(self, text: str, base: Optional[str] = None):
+        self.tz = Tokenizer(text, sparql=True)
+        self.tok = self.tz.next_token()
+        self.prefixes: dict[str, str] = {}
+        self.resolver = IRIResolver(base or "http://sparql.local/")
+
+    def _advance(self) -> Token:
+        t = self.tok
+        self.tok = self.tz.next_token()
+        return t
+
+    def _expect(self, ttype: str, value: Optional[str] = None) -> Token:
+        t = self.tok
+        if t.type != ttype or (value is not None and t.value.lower() != value):
+            raise RDFSyntaxError(
+                f"line {t.line}: expected {value or ttype}, got {t.type} {t.value!r}"
+            )
+        return self._advance()
+
+    def _kw(self) -> Optional[str]:
+        if self.tok.type == T_KEYWORD:
+            return self.tok.value.lower()
+        return None
+
+    # -- entry ---------------------------------------------------------------
+
+    def parse(self) -> SelectQuery:
+        while self._kw() in ("prefix", "base"):
+            if self._kw() == "prefix":
+                self._advance()
+                ns = self._expect(T_PNAME)
+                iri = self._expect(T_IRI)
+                self.prefixes[ns.value] = self.resolver.resolve(iri.value)
+            else:
+                self._advance()
+                iri = self._expect(T_IRI)
+                self.resolver.set_base(iri.value)
+        self._expect(T_KEYWORD, "select")
+        distinct = False
+        if self._kw() == "distinct":
+            distinct = True
+            self._advance()
+        variables: List[str] = []
+        if self.tok.type == T_OP and self.tok.value == "*":
+            self._advance()
+        else:
+            while self.tok.type == T_VAR:
+                variables.append(self._advance().value)
+            if not variables:
+                raise RDFSyntaxError("SELECT needs variables or *")
+        if self._kw() == "where":
+            self._advance()
+        where = self._group()
+        order: List[Tuple[Expr, bool]] = []
+        limit = offset = None
+        while self.tok.type == T_KEYWORD:
+            kw = self._kw()
+            if kw == "order":
+                self._advance()
+                self._expect(T_KEYWORD, "by")
+                while True:
+                    asc = True
+                    if self._kw() == "asc":
+                        self._advance()
+                        self._expect(T_LPAREN)
+                        e = self._expr()
+                        self._expect(T_RPAREN)
+                    elif self._kw() == "desc":
+                        asc = False
+                        self._advance()
+                        self._expect(T_LPAREN)
+                        e = self._expr()
+                        self._expect(T_RPAREN)
+                    elif self.tok.type == T_VAR:
+                        e = Expr("var", self._advance().value)
+                    else:
+                        break
+                    order.append((e, asc))
+            elif kw == "limit":
+                self._advance()
+                limit = int(self._expect(T_INTEGER).value)
+            elif kw == "offset":
+                self._advance()
+                offset = int(self._expect(T_INTEGER).value)
+            else:
+                raise RDFSyntaxError(f"unexpected keyword {kw!r}")
+        if self.tok.type != T_EOF:
+            raise RDFSyntaxError(f"trailing tokens at line {self.tok.line}")
+        return SelectQuery(variables, distinct, where, order, limit, offset)
+
+    # -- group graph pattern ---------------------------------------------------
+
+    def _group(self) -> Group:
+        self._expect(T_LBRACE)
+        g = Group()
+        while self.tok.type != T_RBRACE:
+            kw = self._kw()
+            if kw == "filter":
+                self._advance()
+                self._expect(T_LPAREN)
+                g.elements.append(Filter(self._expr()))
+                self._expect(T_RPAREN)
+            elif kw == "optional":
+                self._advance()
+                g.elements.append(OptionalPat(self._group()))
+            elif kw == "values":
+                self._advance()
+                var = self._expect(T_VAR).value
+                self._expect(T_LBRACE)
+                vals = []
+                while self.tok.type != T_RBRACE:
+                    vals.append(self._term_encoded())
+                self._advance()
+                g.elements.append(ValuesPat(var, vals))
+            elif self.tok.type == T_LBRACE:
+                node = self._group()
+                while self._kw() == "union":
+                    self._advance()
+                    node = Group([UnionPat(node, self._group())])
+                if len(node.elements) == 1 and isinstance(node.elements[0], UnionPat):
+                    g.elements.append(node.elements[0])
+                else:
+                    # plain nested group: inline its elements
+                    g.elements.extend(node.elements)
+            else:
+                self._triples_block(g)
+            # optional '.' separators
+            while self.tok.type == T_DOT:
+                self._advance()
+        self._advance()  # '}'
+        return g
+
+    def _triples_block(self, g: Group) -> None:
+        s = self._term_or_var(subject=True)
+        while True:
+            p = self._verb()
+            while True:
+                o = self._term_or_var()
+                g.elements.append(TriplePat(s, p, o))
+                if self.tok.type == T_COMMA:
+                    self._advance()
+                    continue
+                break
+            if self.tok.type == T_SEMI:
+                self._advance()
+                if self.tok.type in (T_DOT, T_RBRACE):
+                    return
+                continue
+            return
+
+    def _verb(self) -> str:
+        if self.tok.type == T_KEYWORD and self.tok.value == "a":
+            self._advance()
+            return f"<{RDF_TYPE}>"
+        return self._term_or_var()
+
+    def _term_or_var(self, subject: bool = False) -> str:
+        t = self.tok
+        if t.type == T_VAR:
+            self._advance()
+            return "?" + t.value
+        return self._term_encoded()
+
+    def _term_encoded(self) -> str:
+        t = self._advance()
+        if t.type == T_IRI:
+            return mk_iri(self.resolver.resolve(t.value)).nt()
+        if t.type == T_PNAME:
+            ns = self.prefixes.get(t.value)
+            if ns is None:
+                raise RDFSyntaxError(f"undefined prefix {t.value!r}:")
+            return mk_iri(ns + t.value2).nt()
+        if t.type == T_STRING:
+            if self.tok.type == T_LANGTAG:
+                lt = self._advance()
+                return mk_literal(t.value, lang=lt.value).nt()
+            if self.tok.type == T_HATHAT:
+                self._advance()
+                dt = self._term_encoded()
+                return mk_literal(t.value, datatype=dt[1:-1]).nt()
+            return mk_literal(t.value).nt()
+        if t.type == T_INTEGER:
+            return mk_literal(t.value, datatype=XSD_INTEGER).nt()
+        if t.type == T_DECIMAL:
+            return mk_literal(t.value, datatype=XSD_DECIMAL).nt()
+        if t.type == T_DOUBLE:
+            return mk_literal(t.value, datatype=XSD_DOUBLE).nt()
+        if t.type == T_KEYWORD and t.value in ("true", "false"):
+            return mk_literal(t.value, datatype=XSD_BOOLEAN).nt()
+        raise RDFSyntaxError(f"line {t.line}: bad term {t.type} {t.value!r}")
+
+    # -- expressions (precedence: || < && < cmp < unary) ------------------------
+
+    def _expr(self) -> Expr:
+        e = self._and_expr()
+        while self.tok.type == T_OP and self.tok.value == "||":
+            self._advance()
+            e = Expr("or", args=[e, self._and_expr()])
+        return e
+
+    def _and_expr(self) -> Expr:
+        e = self._cmp_expr()
+        while self.tok.type == T_OP and self.tok.value == "&&":
+            self._advance()
+            e = Expr("and", args=[e, self._cmp_expr()])
+        return e
+
+    def _cmp_expr(self) -> Expr:
+        e = self._unary()
+        if self.tok.type == T_OP and self.tok.value in ("=", "!=", "<", ">", "<=", ">="):
+            op = self._advance().value
+            return Expr("cmp", op, [e, self._unary()])
+        return e
+
+    def _unary(self) -> Expr:
+        if self.tok.type == T_OP and self.tok.value == "!":
+            self._advance()
+            return Expr("not", args=[self._unary()])
+        if self.tok.type == T_LPAREN:
+            self._advance()
+            e = self._expr()
+            self._expect(T_RPAREN)
+            return e
+        if self.tok.type == T_VAR:
+            return Expr("var", self._advance().value)
+        if self.tok.type == T_KEYWORD and self.tok.value.upper() in (
+            "BOUND", "REGEX", "CONTAINS", "STRSTARTS", "STRLEN", "STR",
+            "LANG", "DATATYPE", "ISIRI", "ISLITERAL", "ISBLANK", "SAMETERM",
+        ):
+            name = self._advance().value.upper()
+            self._expect(T_LPAREN)
+            args = []
+            if self.tok.type != T_RPAREN:
+                args.append(self._expr())
+                while self.tok.type == T_COMMA:
+                    self._advance()
+                    args.append(self._expr())
+            self._expect(T_RPAREN)
+            return Expr("call", name, args)
+        return Expr("const", self._term_encoded())
+
+
+# ---------------------------------------------------------------------------
+# Compiler: AST → DataFrame
+# ---------------------------------------------------------------------------
+
+def _typed(e: Expr) -> Tuple[F.Column, str]:
+    """Compile to (column, value-kind): 'term' = encoded-term string,
+    'plain' = raw string, 'num' = number, 'bool' = boolean."""
+    if e.kind == "var":
+        return F.col(e.value), "term"
+    if e.kind == "const":
+        return F.lit(e.value), "term"
+    if e.kind in ("and", "or", "not"):
+        a = _as_bool(e.args[0])
+        if e.kind == "not":
+            return ~a, "bool"
+        b = _as_bool(e.args[1])
+        return (a & b) if e.kind == "and" else (a | b), "bool"
+    if e.kind == "cmp":
+        return _compile_cmp(e), "bool"
+    if e.kind == "call":
+        name = e.value
+        targs = [_typed(a) for a in e.args]
+
+        def plain(i: int) -> F.Column:
+            c, t = targs[i]
+            return tf.lex(c) if t == "term" else c
+
+        if name == "BOUND":
+            return targs[0][0].isNotNull(), "bool"
+        if name == "REGEX":
+            if e.args[1].kind != "const":
+                raise RDFSyntaxError("REGEX pattern must be a literal")
+            from ..terms import decode_term
+
+            return plain(0).rlike(decode_term(e.args[1].value).lex), "bool"
+        if name == "CONTAINS":
+            return plain(0).contains(plain(1)), "bool"
+        if name == "STRSTARTS":
+            return plain(0).startswith(plain(1)), "bool"
+        if name == "STRLEN":
+            return F.length(plain(0)), "num"
+        if name == "STR":
+            return plain(0), "plain"
+        if name == "LANG":
+            return tf.lang(targs[0][0]), "plain"
+        if name == "DATATYPE":
+            return tf.datatype(targs[0][0]), "plain"
+        if name == "ISIRI":
+            return tf.is_iri(targs[0][0]), "bool"
+        if name == "ISLITERAL":
+            return tf.is_literal(targs[0][0]), "bool"
+        if name == "ISBLANK":
+            return tf.is_bnode(targs[0][0]), "bool"
+        if name == "SAMETERM":
+            return targs[0][0] == targs[1][0], "bool"
+    raise RDFSyntaxError(f"cannot compile expression {e.kind}")
+
+
+def _as_bool(e: Expr) -> F.Column:
+    c, t = _typed(e)
+    if t == "bool":
+        return c
+    raise RDFSyntaxError("expected boolean expression")
+
+
+def _compile_cmp(e: Expr) -> F.Column:
+    (ca, ta), (cb, tb) = _typed(e.args[0]), _typed(e.args[1])
+    op = e.value
+    if ta == tb == "term":
+        # SPARQL value comparison: numeric when both operands parse as
+        # numbers, term/lexical otherwise
+        na, nb = tf.numeric_value(ca), tf.numeric_value(cb)
+        num_ok = na.isNotNull() & nb.isNotNull()
+        la, lb = tf.lex(ca), tf.lex(cb)
+        ops = {
+            "=": (na == nb, ca == cb),
+            "!=": (na != nb, ca != cb),
+            "<": (na < nb, la < lb),
+            ">": (na > nb, la > lb),
+            "<=": (na <= nb, la <= lb),
+            ">=": (na >= nb, la >= lb),
+        }
+        numc, strc = ops[op]
+        return F.when(num_ok, numc).otherwise(strc)
+    # mixed / plain / numeric: compare on the plain view
+    pa = tf.lex(ca) if ta == "term" else ca
+    pb = tf.lex(cb) if tb == "term" else cb
+    if ta == "num" or tb == "num":
+        pa, pb = pa.cast("double"), pb.cast("double")
+    ops = {
+        "=": pa == pb, "!=": pa != pb, "<": pa < pb,
+        ">": pa > pb, "<=": pa <= pb, ">=": pa >= pb,
+    }
+    return ops[op]
+
+
+def _compile_expr(e: Expr) -> F.Column:
+    c, _t = _typed(e)
+    return c
+
+
+def _compile_group(triples: DataFrame, g: Group) -> DataFrame:
+    pats = [el for el in g.elements if isinstance(el, TriplePat)]
+    df: Optional[DataFrame] = None
+    if pats:
+        df = bgp(triples, [(p.s, p.p, p.o) for p in pats])
+    for el in g.elements:
+        if isinstance(el, TriplePat):
+            continue
+        if isinstance(el, ValuesPat):
+            vals = triples.sparkSession.createDataFrame(
+                [(v,) for v in el.values], [el.var[1:] if el.var.startswith("?") else el.var]
+            )
+            df = vals if df is None else df.join(
+                vals, list(set(df.columns) & set(vals.columns)) or None, "inner"
+            ) if set(df.columns) & set(vals.columns) else df.crossJoin(vals)
+        elif isinstance(el, UnionPat):
+            left = _compile_group(triples, el.left)
+            right = _compile_group(triples, el.right)
+            u = left.unionByName(right, allowMissingColumns=True)
+            df = u if df is None else df.join(
+                u, list(set(df.columns) & set(u.columns)), "inner"
+            )
+        elif isinstance(el, OptionalPat):
+            sub = _compile_group(triples, el.pattern)
+            shared = list(set(df.columns) & set(sub.columns)) if df is not None else []
+            df = sub if df is None else df.join(sub, shared, "left_outer")
+        elif isinstance(el, Filter):
+            if df is None:
+                raise RDFSyntaxError("FILTER without preceding pattern")
+            df = df.filter(_compile_expr(el.expr))
+    if df is None:
+        raise RDFSyntaxError("empty group pattern")
+    return df
+
+
+def sparql_select(triples: DataFrame, query: str, base: Optional[str] = None) -> DataFrame:
+    """Run a SPARQL-lite SELECT over a triples DataFrame
+    (columns subj/pred/obj in canonical encoding)."""
+    q = SparqlParser(query, base).parse()
+    df = _compile_group(triples, q.where)
+    if q.order:
+        keys = []
+        for e, asc in q.order:
+            c = tf.order_key(_compile_expr(e)) if e.kind == "var" else _compile_expr(e)
+            keys.append(c.asc() if asc else c.desc())
+        df = df.orderBy(*keys)
+    if q.variables:
+        df = df.select(*q.variables)
+    if q.distinct:
+        df = df.dropDuplicates()
+    if q.offset:
+        df = df.offset(q.offset)
+    if q.limit is not None:
+        df = df.limit(q.limit)
+    return df

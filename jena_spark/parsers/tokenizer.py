@@ -40,6 +40,8 @@ T_HATHAT = "^^"
 T_AT_PREFIX = "@prefix"
 T_AT_BASE = "@base"
 T_EOF = "EOF"
+T_VAR = "VAR"                # SPARQL ?name / $name (sparql mode only)
+T_OP = "OP"                  # SPARQL operator: = != < > <= >= && || ! * / + -
 
 
 class Token(NamedTuple):
@@ -98,12 +100,13 @@ class Tokenizer:
     themselves live in the parsers (cf. riot/lang/LangNTuple.java:94-177).
     """
 
-    def __init__(self, text: str, strict_nt: bool = False):
+    def __init__(self, text: str, strict_nt: bool = False, sparql: bool = False):
         self.s = text
         self.n = len(text)
         self.i = 0
         self.line = 1
         self.strict = strict_nt
+        self.sparql = sparql
 
     # -- low-level helpers --------------------------------------------------
 
@@ -148,6 +151,10 @@ class Tokenizer:
         ln = self.line
 
         if c == "<":
+            # SPARQL mode: "<" is a comparison operator when it cannot
+            # start an IRIREF (followed by space, '=', digit, or var)
+            if self.sparql and self._peek(1) in " \t\r\n=?$0123456789":
+                return self._sparql_op()
             return self._iri()
         if c == '"' or c == "'":
             if self.strict and c == "'":
@@ -168,6 +175,13 @@ class Tokenizer:
                 return self._number()
             self.i += 1
             return Token(c, line=ln)
+        if self.sparql:
+            if c in "?$":
+                return self._sparql_var()
+            if c in "=!<>&|*/+-" and not (
+                c in "+-" and self._peek(1) in _DIGITS
+            ):
+                return self._sparql_op()
         if c in "+-" or c in _DIGITS:
             if self.strict:
                 raise self._err("bare numbers not allowed in N-Triples")
@@ -184,6 +198,29 @@ class Tokenizer:
         '"': __import__("re").compile(r'"([^"\\\n\r]*)"'),
         "'": __import__("re").compile(r"'([^'\\\n\r]*)'"),
     }
+
+    def _sparql_var(self) -> Token:
+        ln = self.line
+        s = self.s
+        i = self.i + 1
+        j = i
+        while j < self.n and (_is_pn_chars_u(ord(s[j])) or s[j].isdigit()):
+            j += 1
+        if j == i:
+            raise self._err("empty variable name")
+        self.i = j
+        return Token(T_VAR, s[i:j], line=ln)
+
+    def _sparql_op(self) -> Token:
+        ln = self.line
+        s = self.s
+        two = s[self.i : self.i + 2]
+        if two in ("!=", "<=", ">=", "&&", "||"):
+            self.i += 2
+            return Token(T_OP, two, line=ln)
+        op = s[self.i]
+        self.i += 1
+        return Token(T_OP, op, line=ln)
 
     def _iri(self) -> Token:
         ln = self.line
