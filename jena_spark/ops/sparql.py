@@ -109,13 +109,34 @@ class Expr:
 
 
 @dataclass
+class AggItem:
+    fn: str                # COUNT SUM AVG MIN MAX SAMPLE GROUP_CONCAT
+    var: Optional[str]     # None = COUNT(*)
+    distinct: bool
+    alias: str
+
+
+@dataclass
 class SelectQuery:
-    variables: List[str]   # [] = *
+    variables: List[str]   # [] = * (when no aggregates)
+    aggregates: List[AggItem]
+    group_by: List[str]
     distinct: bool
     where: Group
     order: List[Tuple[Expr, bool]]  # (expr, ascending)
     limit: Optional[int]
     offset: Optional[int]
+
+
+@dataclass
+class ConstructQuery:
+    template: List[TriplePat]
+    where: Group
+
+
+@dataclass
+class AskQuery:
+    where: Group
 
 
 # ---------------------------------------------------------------------------
@@ -155,7 +176,7 @@ class SparqlParser:
 
     # -- entry ---------------------------------------------------------------
 
-    def parse(self) -> SelectQuery:
+    def parse(self) -> Union[SelectQuery, ConstructQuery, AskQuery]:
         while self._kw() in ("prefix", "base"):
             if self._kw() == "prefix":
                 self._advance()
@@ -166,27 +187,62 @@ class SparqlParser:
                 self._advance()
                 iri = self._expect(T_IRI)
                 self.resolver.set_base(iri.value)
+        kw0 = self._kw()
+        if kw0 == "ask":
+            self._advance()
+            if self._kw() == "where":
+                self._advance()
+            return AskQuery(self._group())
+        if kw0 == "construct":
+            self._advance()
+            tmpl_group = Group()
+            self._expect(T_LBRACE)
+            while self.tok.type != T_RBRACE:
+                self._triples_block(tmpl_group)
+                while self.tok.type == T_DOT:
+                    self._advance()
+            self._advance()
+            self._expect(T_KEYWORD, "where")
+            where = self._group()
+            template = [el for el in tmpl_group.elements if isinstance(el, TriplePat)]
+            return ConstructQuery(template, where)
         self._expect(T_KEYWORD, "select")
         distinct = False
         if self._kw() == "distinct":
             distinct = True
             self._advance()
         variables: List[str] = []
-        if self.tok.type == T_OP and self.tok.value == "*":
-            self._advance()
-        else:
-            while self.tok.type == T_VAR:
+        aggregates: List[AggItem] = []
+        while True:
+            if self.tok.type == T_VAR:
                 variables.append(self._advance().value)
-            if not variables:
-                raise RDFSyntaxError("SELECT needs variables or *")
+            elif self.tok.type == T_OP and self.tok.value == "*" and not aggregates:
+                self._advance()
+                break
+            elif self.tok.type == T_LPAREN:
+                self._advance()
+                aggregates.append(self._agg_item())
+                self._expect(T_RPAREN)
+            else:
+                break
+        if not variables and not aggregates and self.tok.type != T_LBRACE and self._kw() != "where":
+            raise RDFSyntaxError("SELECT needs variables, aggregates or *")
         if self._kw() == "where":
             self._advance()
         where = self._group()
+        group_by: List[str] = []
         order: List[Tuple[Expr, bool]] = []
         limit = offset = None
         while self.tok.type == T_KEYWORD:
             kw = self._kw()
-            if kw == "order":
+            if kw == "group":
+                self._advance()
+                self._expect(T_KEYWORD, "by")
+                while self.tok.type == T_VAR:
+                    group_by.append(self._advance().value)
+                if not group_by:
+                    raise RDFSyntaxError("GROUP BY needs variables")
+            elif kw == "order":
                 self._advance()
                 self._expect(T_KEYWORD, "by")
                 while True:
@@ -217,7 +273,39 @@ class SparqlParser:
                 raise RDFSyntaxError(f"unexpected keyword {kw!r}")
         if self.tok.type != T_EOF:
             raise RDFSyntaxError(f"trailing tokens at line {self.tok.line}")
-        return SelectQuery(variables, distinct, where, order, limit, offset)
+        if aggregates or group_by:
+            missing = [v for v in variables if v not in group_by]
+            if missing:
+                raise RDFSyntaxError(
+                    f"non-aggregated SELECT vars must be in GROUP BY: {missing}"
+                )
+        return SelectQuery(
+            variables, aggregates, group_by, distinct, where, order, limit, offset
+        )
+
+    _AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT"}
+
+    def _agg_item(self) -> AggItem:
+        t = self._expect(T_KEYWORD)
+        fn = t.value.upper()
+        if fn not in self._AGG_FNS:
+            raise RDFSyntaxError(f"unsupported aggregate {t.value!r}")
+        self._expect(T_LPAREN)
+        distinct = False
+        if self._kw() == "distinct":
+            distinct = True
+            self._advance()
+        var: Optional[str] = None
+        if self.tok.type == T_OP and self.tok.value == "*":
+            self._advance()
+            if fn != "COUNT":
+                raise RDFSyntaxError(f"{fn}(*) not allowed")
+        else:
+            var = self._expect(T_VAR).value
+        self._expect(T_RPAREN)
+        self._expect(T_KEYWORD, "as")
+        alias = self._expect(T_VAR).value
+        return AggItem(fn, var, distinct, alias)
 
     # -- group graph pattern ---------------------------------------------------
 
@@ -507,18 +595,68 @@ def _compile_group(triples: DataFrame, g: Group) -> DataFrame:
     return df
 
 
+def _agg_column(item: AggItem):
+    """Returns (agg_expr, post_extract) — post_extract is the field to pull
+    out of a struct-valued aggregate, or None."""
+    fn, var, distinct = item.fn, item.var, item.distinct
+    col = F.col(var) if var else None
+    if fn == "COUNT":
+        if var is None:
+            return F.count(F.lit(1)), None
+        return (F.countDistinct(col) if distinct else F.count(col)), None
+    if fn in ("SUM", "AVG"):
+        nv = tf.numeric_value(col)
+        if distinct:
+            if fn == "SUM":
+                return F.sum_distinct(nv), None
+            raise RDFSyntaxError("AVG(DISTINCT) not supported")
+        return (F.sum(nv) if fn == "SUM" else F.avg(nv)), None
+    if fn in ("MIN", "MAX"):
+        # numeric values order numerically and before non-numerics;
+        # everything else by term order (kind rank, then encoding)
+        nv = tf.numeric_value(col)
+        key = F.struct(
+            nv.isNull().alias("nn"),
+            F.coalesce(nv, F.lit(0.0)).alias("v"),
+            col.alias("t"),
+        )
+        return (F.min(key) if fn == "MIN" else F.max(key)), "t"
+    if fn == "SAMPLE":
+        return F.min(col), None
+    if fn == "GROUP_CONCAT":
+        vals = F.collect_set(tf.lex(col)) if distinct else F.collect_list(tf.lex(col))
+        return F.concat_ws(",", F.array_sort(vals)), None
+    raise RDFSyntaxError(f"unsupported aggregate {fn}")
+
+
 def sparql_select(triples: DataFrame, query: str, base: Optional[str] = None) -> DataFrame:
     """Run a SPARQL-lite SELECT over a triples DataFrame
-    (columns subj/pred/obj in canonical encoding)."""
+    (columns subj/pred/obj in canonical encoding).  Aggregate outputs are
+    native values (long/double/string), not encoded terms."""
     q = SparqlParser(query, base).parse()
+    if not isinstance(q, SelectQuery):
+        raise RDFSyntaxError("not a SELECT query — use sparql_query()")
     df = _compile_group(triples, q.where)
+    if q.aggregates or q.group_by:
+        aggs = []
+        posts = []
+        for item in q.aggregates:
+            expr, post = _agg_column(item)
+            tmp = f"__agg_{item.alias}"
+            aggs.append(expr.alias(tmp))
+            posts.append((tmp, item.alias, post))
+        gdf = df.groupBy(*q.group_by).agg(*aggs) if q.group_by else df.agg(*aggs)
+        for tmp, alias, post in posts:
+            gdf = gdf.withColumn(alias, F.col(f"{tmp}.{post}") if post else F.col(tmp))
+            gdf = gdf.drop(tmp)
+        df = gdf.select(*(q.variables + [i.alias for i in q.aggregates]))
     if q.order:
         keys = []
         for e, asc in q.order:
             c = tf.order_key(_compile_expr(e)) if e.kind == "var" else _compile_expr(e)
             keys.append(c.asc() if asc else c.desc())
         df = df.orderBy(*keys)
-    if q.variables:
+    if q.variables and not q.aggregates:
         df = df.select(*q.variables)
     if q.distinct:
         df = df.dropDuplicates()
@@ -527,3 +665,48 @@ def sparql_select(triples: DataFrame, query: str, base: Optional[str] = None) ->
     if q.limit is not None:
         df = df.limit(q.limit)
     return df
+
+
+def sparql_ask(triples: DataFrame, query: str, base: Optional[str] = None) -> bool:
+    q = SparqlParser(query, base).parse()
+    if not isinstance(q, AskQuery):
+        raise RDFSyntaxError("not an ASK query")
+    return not _compile_group(triples, q.where).isEmpty()
+
+
+def sparql_construct(
+    triples: DataFrame, query: str, base: Optional[str] = None
+) -> DataFrame:
+    """CONSTRUCT: instantiate the template per solution → distinct triples
+    DataFrame (subj, pred, obj)."""
+    q = SparqlParser(query, base).parse()
+    if not isinstance(q, ConstructQuery):
+        raise RDFSyntaxError("not a CONSTRUCT query")
+    sol = _compile_group(triples, q.where)
+    out = None
+    for pat in q.template:
+        def term_col(t: str):
+            return F.col(t[1:]) if t.startswith("?") else F.lit(t)
+
+        row = sol.select(
+            term_col(pat.s).alias("subj"),
+            term_col(pat.p).alias("pred"),
+            term_col(pat.o).alias("obj"),
+        )
+        out = row if out is None else out.unionAll(row)
+    if out is None:
+        raise RDFSyntaxError("empty CONSTRUCT template")
+    return out.filter(
+        F.col("subj").isNotNull() & F.col("pred").isNotNull() & F.col("obj").isNotNull()
+    ).dropDuplicates()
+
+
+def sparql_query(triples: DataFrame, query: str, base: Optional[str] = None):
+    """Dispatch on query form: SELECT → DataFrame, ASK → bool,
+    CONSTRUCT → triples DataFrame."""
+    q = SparqlParser(query, base).parse()
+    if isinstance(q, AskQuery):
+        return not _compile_group(triples, q.where).isEmpty()
+    if isinstance(q, ConstructQuery):
+        return sparql_construct(triples, query, base)
+    return sparql_select(triples, query, base)

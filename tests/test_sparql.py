@@ -118,6 +118,69 @@ def test_filter_lang_datatype(tri, spark):
     assert rows(out) == [("<http://e/x>",)]
 
 
-def test_unsupported_raises(tri):
+def test_group_by_aggregates(tri):
+    out = sparql_select(
+        tri,
+        """PREFIX e: <http://e/>
+           SELECT ?t (COUNT(*) AS ?n) WHERE { ?p a ?t } GROUP BY ?t""",
+    )
+    got = dict(rows(out))
+    assert got == {"<http://e/Person>": 2, "<http://e/Robot>": 1}
+
+
+def test_agg_sum_avg_min_max(tri):
+    out = sparql_select(
+        tri,
+        """PREFIX e: <http://e/>
+           SELECT (SUM(?a) AS ?s) (AVG(?a) AS ?m) (MIN(?a) AS ?lo) (MAX(?a) AS ?hi)
+           WHERE { ?p e:age ?a }""",
+    )
+    r = out.collect()[0]
+    assert r["s"] == 39.0 and r["m"] == 19.5
+    assert r["lo"] == '"9"^^<http://www.w3.org/2001/XMLSchema#integer>'
+    assert r["hi"] == '"30"^^<http://www.w3.org/2001/XMLSchema#integer>'
+
+
+def test_group_concat_distinct_count(tri):
+    out = sparql_select(
+        tri,
+        """PREFIX e: <http://e/>
+           SELECT (COUNT(DISTINCT ?t) AS ?nt) (GROUP_CONCAT(?n) AS ?names)
+           WHERE { ?p a ?t . ?p e:name ?n }""",
+    )
+    r = out.collect()[0]
+    assert r["nt"] == 1 and r["names"] == "alice,bob"
+
+
+def test_ask(tri):
+    from jena_spark.ops.sparql import sparql_ask
+
+    assert sparql_ask(
+        tri, "PREFIX e: <http://e/> ASK { ?p a e:Robot }"
+    ) is True
+    assert sparql_ask(
+        tri, "PREFIX e: <http://e/> ASK { ?p a e:Dragon }"
+    ) is False
+
+
+def test_construct(tri):
+    from jena_spark.ops.sparql import sparql_construct
+
+    out = sparql_construct(
+        tri,
+        """PREFIX e: <http://e/>
+           CONSTRUCT { ?p e:isA ?t . ?p e:seen e:yes }
+           WHERE { ?p a ?t }""",
+    )
+    got = rows(out)
+    assert ("<http://e/a>", "<http://e/isA>", "<http://e/Person>") in got
+    assert ("<http://e/c>", "<http://e/seen>", "<http://e/yes>") in got
+    assert len(got) == 6
+
+
+def test_ungrouped_var_rejected(tri):
     with pytest.raises(RDFSyntaxError):
-        sparql_select(tri, "SELECT ?x WHERE { ?x ?p ?o } GROUP BY ?x")
+        sparql_select(
+            tri,
+            "SELECT ?x (COUNT(*) AS ?n) WHERE { ?x ?p ?o }",
+        )
