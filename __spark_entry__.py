@@ -130,6 +130,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.countDistinct("p_part").cast("long").alias("n_parts_rdf_type"))
         )
 
+    def kg_sparql_graph(spark, sf):
+        # GRAPH clause over the TriG-derived quads (OpGraph coverage)
+        from jena_spark.ops.sparql import sparql_select
+
+        files = trig_files_from_documents(spark, sf)
+        quads = run_extraction(files).select("graph", "subj", "pred", "obj")
+        return sparql_select(
+            quads,
+            """PREFIX ex: <http://example.org/>
+               SELECT ?g ?d WHERE { GRAPH ?g { ?d ex:lang ?l } }""",
+        )
+
     def kg_trig_quads(spark, sf):
         # named-graph extraction (OpGraph / quads coverage)
         files = trig_files_from_documents(spark, sf)
@@ -161,6 +173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q.update(
         kg_sparql_select=kg_sparql_select,
+        kg_sparql_graph=kg_sparql_graph,
         kg_trig_quads=kg_trig_quads,
         kg_graph_names=kg_graph_names,
         kg_extract_triples=kg_extract_triples,
@@ -405,6 +418,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def text_fingerprint(spark, sf):
         return ts.fingerprint(_read(spark, sf, "documents"))
 
+    def text_search_rank(spark, sf):
+        # jena-text text:query analog: keyword search + tf ranking
+        return ts.text_query(
+            _read(spark, sf, "documents"), ["table", "index"], limit=20
+        )
+
     def ann_cosine_topk(spark, sf):
         emb = _read(spark, sf, "embeddings")
         qv = [float((i * 37 % 19) - 9) / 10.0 for i in range(64)]
@@ -452,6 +471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         text_quality=text_quality,
         text_token_counts=text_token_counts,
         text_fingerprint=text_fingerprint,
+        text_search_rank=text_search_rank,
         ann_cosine_topk=ann_cosine_topk,
         ann_ivf_topk=ann_ivf_topk,
         mm_metadata=mm_metadata,
@@ -539,6 +559,11 @@ def oracle_sql() -> dict[str, str]:
         "SELECT '<http://example.org/doc' || doc_id || '>' AS doc, "
         "'\"' || lang || '\"' AS lang FROM documents "
         "WHERE doc_id % 8 = 3 AND ('doc' || doc_id) LIKE 'doc1%'"
+    )
+
+    o["kg_sparql_graph"] = (
+        "SELECT '<http://example.org/graph' || (doc_id % 8) || '>' AS g, "
+        "'<http://example.org/doc' || doc_id || '>' AS d FROM documents"
     )
 
     o["kg_trig_quads"] = (
@@ -816,6 +841,19 @@ def oracle_sql() -> dict[str, str]:
     o["text_fingerprint"] = (
         "SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) "
         "AS fingerprint FROM documents"
+    )
+
+    def _occ_sql(w: str) -> str:
+        pad = "' ' || lower(text) || ' '"
+        return (
+            f"(length({pad}) - length(replace({pad}, ' {w} ', ''))) / {len(w) + 2}.0"
+        )
+
+    o["text_search_rank"] = (
+        f"SELECT doc_id, CAST({_occ_sql('table')} + {_occ_sql('index')} AS BIGINT) AS score "
+        "FROM documents "
+        f"WHERE CAST({_occ_sql('table')} + {_occ_sql('index')} AS BIGINT) > 0 "
+        "ORDER BY score DESC, doc_id ASC LIMIT 20"
     )
 
     qv = [float((i * 37 % 19) - 9) / 10.0 for i in range(64)]

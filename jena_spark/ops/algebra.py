@@ -47,7 +47,11 @@ def _pattern_weight(pat: Pattern) -> Tuple[int, int]:
 
 
 def bgp(
-    triples: DataFrame, patterns: Sequence[Pattern], reorder: bool = True
+    triples: DataFrame,
+    patterns: Sequence[Pattern],
+    reorder: bool = True,
+    graph_term: Optional[str] = None,
+    graph_var: Optional[str] = None,
 ) -> DataFrame:
     """Basic graph pattern → DataFrame of variable bindings.
 
@@ -55,7 +59,19 @@ def bgp(
     become equi-join keys (hash/broadcast/SMJ per Catalyst+AQE).  The
     binding relation has one column per variable (canonical term strings),
     i.e. rows = SPARQL solution mappings (unbound never occurs in BGP).
+
+    Quad patterns (OpQuadPattern): when the input has a ``graph`` column,
+    ``graph_term`` pins the named graph, ``graph_var`` binds it per row;
+    with neither, the pattern matches the default graph (graph IS NULL).
     """
+    has_graph = "graph" in triples.columns
+    if has_graph:
+        if graph_term is not None:
+            triples = triples.filter(F.col("graph") == graph_term)
+        elif graph_var is None:
+            triples = triples.filter(F.col("graph").isNull())
+        else:
+            triples = triples.filter(F.col("graph").isNotNull())
     pats = sorted(patterns, key=_pattern_weight) if reorder else list(patterns)
     result: Optional[DataFrame] = None
     for i, (s, p, o) in enumerate(pats):
@@ -82,6 +98,8 @@ def bgp(
                 proj.append(F.col(pos).alias(v))
         for a, b in dup_pairs:
             scan = scan.filter(F.col(a) == F.col(b))
+        if has_graph and graph_var is not None:
+            proj.append(F.col("graph").alias(graph_var))
         step = scan.select(*proj)
         if result is None:
             result = step

@@ -97,6 +97,12 @@ class ValuesPat:
 
 
 @dataclass
+class GraphPat:
+    graph: str          # "?var" or encoded IRI term
+    pattern: "Group"
+
+
+@dataclass
 class Group:
     elements: List[object] = field(default_factory=list)
 
@@ -322,6 +328,10 @@ class SparqlParser:
             elif kw == "optional":
                 self._advance()
                 g.elements.append(OptionalPat(self._group()))
+            elif kw == "graph":
+                self._advance()
+                gterm = self._term_or_var()
+                g.elements.append(GraphPat(gterm, self._group()))
             elif kw == "values":
                 self._advance()
                 var = self._expect(T_VAR).value
@@ -560,13 +570,36 @@ def _compile_expr(e: Expr) -> F.Column:
     return c
 
 
-def _compile_group(triples: DataFrame, g: Group) -> DataFrame:
+def _compile_group(
+    triples: DataFrame,
+    g: Group,
+    graph_term: Optional[str] = None,
+    graph_var: Optional[str] = None,
+) -> DataFrame:
     pats = [el for el in g.elements if isinstance(el, TriplePat)]
     df: Optional[DataFrame] = None
     if pats:
-        df = bgp(triples, [(p.s, p.p, p.o) for p in pats])
+        df = bgp(
+            triples,
+            [(p.s, p.p, p.o) for p in pats],
+            graph_term=graph_term,
+            graph_var=graph_var,
+        )
     for el in g.elements:
         if isinstance(el, TriplePat):
+            continue
+        if isinstance(el, GraphPat):
+            if el.graph.startswith("?"):
+                sub = _compile_group(triples, el.pattern, graph_var=el.graph[1:])
+            else:
+                sub = _compile_group(triples, el.pattern, graph_term=el.graph)
+            shared = list(set(df.columns) & set(sub.columns)) if df is not None else []
+            if df is None:
+                df = sub
+            elif shared:
+                df = df.join(sub, shared, "inner")
+            else:
+                df = df.crossJoin(sub)
             continue
         if isinstance(el, ValuesPat):
             vals = triples.sparkSession.createDataFrame(

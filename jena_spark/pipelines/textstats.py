@@ -115,6 +115,32 @@ def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
+def text_query(
+    docs: DataFrame,
+    keywords: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    limit: int = 20,
+) -> DataFrame:
+    """jena-text ``text:query`` analog (TextQueryPF parity in spirit):
+    keyword search over the document text with a term-frequency score,
+    deterministic ranking (score desc, id asc).  All JVM-side column
+    expressions — at scale this is a scan + TakeOrderedAndProject; a
+    pre-built inverted index (explode tokens → (term, doc) table sorted
+    by term) is the materialized variant of the same plan."""
+    padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    score = None
+    for w in keywords:
+        c = _count_occurrences(padded, f" {w.lower()} ")
+        score = c if score is None else score + c
+    return (
+        docs.select(F.col(id_col), score.cast("long").alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(limit)
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document fingerprint: md5 of the whitespace-normalized, lowercased
     text (the cheap, exact-dup-robust canonical form)."""

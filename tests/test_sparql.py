@@ -178,6 +178,42 @@ def test_construct(tri):
     assert len(got) == 6
 
 
+def test_graph_clause(spark):
+    from jena_spark.ops.sparql import sparql_select
+
+    quads = spark.createDataFrame(
+        [
+            ("<http://e/g1>", "<http://e/s>", "<http://e/p>", '"in-g1"'),
+            ("<http://e/g2>", "<http://e/s>", "<http://e/p>", '"in-g2"'),
+            (None, "<http://e/s>", "<http://e/p>", '"default"'),
+        ],
+        ["graph", "subj", "pred", "obj"],
+    )
+    # pinned graph
+    out = sparql_select(
+        quads,
+        """PREFIX e: <http://e/>
+           SELECT ?o WHERE { GRAPH e:g1 { ?s e:p ?o } }""",
+    )
+    assert rows(out) == [('"in-g1"',)]
+    # graph variable binding
+    out2 = sparql_select(
+        quads,
+        """PREFIX e: <http://e/>
+           SELECT ?g ?o WHERE { GRAPH ?g { ?s e:p ?o } }""",
+    )
+    assert rows(out2) == [
+        ("<http://e/g1>", '"in-g1"'),
+        ("<http://e/g2>", '"in-g2"'),
+    ]
+    # default-graph pattern over quads input matches graph IS NULL only
+    out3 = sparql_select(
+        quads,
+        "PREFIX e: <http://e/> SELECT ?o WHERE { ?s e:p ?o }",
+    )
+    assert rows(out3) == [('"default"',)]
+
+
 def test_ungrouped_var_rejected(tri):
     with pytest.raises(RDFSyntaxError):
         sparql_select(
