@@ -195,10 +195,16 @@ def materialize_encoded(
         keys = list(ENC_PERMUTATIONS[perm])
         path = os.path.join(out_dir, perm)
         (
-            salted.repartitionByRange(n_partitions, *[F.col(k) for k in keys])
+            # north-star layout: directory-partitioned by predicate hash
+            # (salted), rows sorted by the permutation key inside each
+            # partition — a predicate-bound scan prunes whole directories
+            # (Catalyst PartitionFilters), and the within-partition sort
+            # gives parquet min/max row-group skipping on the lead key
+            salted.repartition(n_partitions, F.col("p_part"))
             .sortWithinPartitions(*keys)
             .select(*gcols, *keys, "p_part")
             .write.mode("overwrite")
+            .partitionBy("p_part")
             .parquet(path)
         )
         return perm, path
@@ -211,6 +217,17 @@ def materialize_encoded(
                 paths[perm] = path
     finally:
         salted.unpersist()
+    # layout metadata for partition pruning at query time
+    import json
+
+    meta = {
+        "n_partitions": n_partitions,
+        "n_salts": n_salts,
+        "hot_predicate_ids": [int(h) for h in hot_ids],
+    }
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
     return paths
 
 
@@ -240,6 +257,34 @@ def choose_index_encoded(
     best = max(order, key=lambda name: prefix_len(order[name]))
     df = spark.read.parquet(os.path.join(out_dir, best))
     nodes = spark.read.parquet(os.path.join(out_dir, "nodes"))
+    if p is not None:
+        # predicate-bound scans prune the p_part directories using the
+        # layout metadata (hot predicates span n_salts directories, cold
+        # exactly one) — shows up as PartitionFilters in the plan
+        import json
+
+        try:
+            with open(os.path.join(out_dir, "meta.json")) as f:
+                meta = json.load(f)
+        except OSError:
+            meta = None
+        if meta:
+            h = (
+                spark.createDataFrame([(p,)], ["t"])
+                .select(F.xxhash64("t").alias("h"))
+                .collect()[0]["h"]
+            )
+            n = meta["n_partitions"]
+            if h in set(meta["hot_predicate_ids"]):
+                # simulate 64-bit long wraparound of (p_id + salt) the way
+                # the JVM computes it before pmod
+                def wrap64(x: int) -> int:
+                    return (x + 2**63) % 2**64 - 2**63
+
+                parts = sorted({wrap64(h + s) % n for s in range(meta["n_salts"])})
+            else:
+                parts = [h % n]
+            df = df.filter(F.col("p_part").isin([int(x) for x in parts]))
     for k, term in bound.items():
         if term is not None:
             ids = nodes.filter(F.col("term") == term).select("node_id")

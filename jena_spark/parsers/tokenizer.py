@@ -117,22 +117,13 @@ class Tokenizer:
         j = self.i + k
         return self.s[j] if j < self.n else ""
 
+    _WS_RE = __import__("re").compile(r"(?:[ \t\r\n]|#[^\n]*)+")
+
     def _skip_ws_comments(self) -> None:
-        while self.i < self.n:
-            c = self.s[self.i]
-            if c == "\n":
-                self.line += 1
-                self.i += 1
-            elif c in " \t\r":
-                self.i += 1
-            elif c == "#":
-                j = self.s.find("\n", self.i)
-                if j < 0:
-                    self.i = self.n
-                else:
-                    self.i = j  # newline handled above
-            else:
-                return
+        m = self._WS_RE.match(self.s, self.i)
+        if m is not None:
+            self.line += m.group().count("\n")
+            self.i = m.end()
 
     # -- main ---------------------------------------------------------------
 
