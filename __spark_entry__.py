@@ -394,13 +394,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def dedup_minhash_pairs(spark, sf):
+        # 2 bands x 4 rows: LSH collision threshold ~0.84 — near-dup
+        # candidates, not merely-similar pairs (4x2 banding produced 1.1M
+        # candidates over 5k docs of shared-vocabulary text)
         sigs = dd.minhash_signatures(_read(spark, sf, "documents"), k=5, num_perm=8)
-        return dd.minhash_candidates(sigs, bands=4, rows_per_band=2)
+        return dd.minhash_candidates(sigs, bands=2, rows_per_band=4)
 
     def dedup_jaccard(spark, sf):
         docs = _read(spark, sf, "documents")
         sigs = dd.minhash_signatures(docs, k=5, num_perm=8)
-        cands = dd.minhash_candidates(sigs, bands=4, rows_per_band=2)
+        cands = dd.minhash_candidates(sigs, bands=2, rows_per_band=4)
         return dd.jaccard_pairs(docs, cands, k=5)
 
     def dedup_simhash(spark, sf):
@@ -538,16 +541,18 @@ sigs AS (
 )"""
 
 
-def _band_pairs_sql() -> str:
-    bands = []
-    for b in range(4):
-        c1, c2 = f"mh_{2*b}", f"mh_{2*b+1}"
-        bands.append(
+def _band_pairs_sql(bands: int = 2, rows: int = 4) -> str:
+    parts = []
+    for b in range(bands):
+        cols = [f"mh_{b * rows + i}" for i in range(rows)]
+        a_key = " || '|' || ".join(f"a.{c}" for c in cols)
+        b_key = " || '|' || ".join(f"b.{c}" for c in cols)
+        parts.append(
             f"SELECT a.doc_id AS id_a, b.doc_id AS id_b "
-            f"FROM sigs a JOIN sigs b ON md5(a.{c1} || '|' || a.{c2}) = md5(b.{c1} || '|' || b.{c2}) "
+            f"FROM sigs a JOIN sigs b ON md5({a_key}) = md5({b_key}) "
             f"WHERE a.doc_id < b.doc_id"
         )
-    return "pairs AS (" + " UNION ".join(bands) + ")"
+    return "pairs AS (" + " UNION ".join(parts) + ")"
 
 
 def oracle_sql() -> dict[str, str]:
