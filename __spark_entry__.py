@@ -38,6 +38,14 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """The local test parquet files are single row groups → one input
+    split; round-robin the rows across cores before compute-heavy column
+    work.  (At cluster scale inputs arrive already split — this is a
+    small-file-local-test affordance, not part of the operator.)"""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def _doc_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The documents-derived Turtle corpus, parsed by the real pipeline."""
     files = source_files_from_documents(spark, sf_dir)
@@ -390,24 +398,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def dedup_minhash_sigs(spark, sf):
         return dd.minhash_signatures(
-            _read(spark, sf, "documents"), k=5, num_perm=8
+            _spread(_read(spark, sf, "documents")), k=5, num_perm=8
         )
 
     def dedup_minhash_pairs(spark, sf):
         # 2 bands x 4 rows: LSH collision threshold ~0.84 — near-dup
         # candidates, not merely-similar pairs (4x2 banding produced 1.1M
         # candidates over 5k docs of shared-vocabulary text)
-        sigs = dd.minhash_signatures(_read(spark, sf, "documents"), k=5, num_perm=8)
+        sigs = dd.minhash_signatures(_spread(_read(spark, sf, "documents")), k=5, num_perm=8)
         return dd.minhash_candidates(sigs, bands=2, rows_per_band=4)
 
     def dedup_jaccard(spark, sf):
-        docs = _read(spark, sf, "documents")
+        docs = _spread(_read(spark, sf, "documents"))
         sigs = dd.minhash_signatures(docs, k=5, num_perm=8)
         cands = dd.minhash_candidates(sigs, bands=2, rows_per_band=4)
         return dd.jaccard_pairs(docs, cands, k=5)
 
     def dedup_simhash(spark, sf):
-        return dd.simhash(_read(spark, sf, "documents"), nbits=16)
+        return dd.simhash(_spread(_read(spark, sf, "documents")), nbits=16)
 
     def text_langid(spark, sf):
         return ts.langid(_read(spark, sf, "documents"))
