@@ -82,16 +82,28 @@ def minhash_candidates(
     rows_per_band: int = 2,
 ) -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidate pairs
-    (id_a < id_b).  Band key = md5 of the band's concatenated minima."""
+    (id_a < id_b).  Band key = md5 of the band's concatenated minima.
+
+    The band keys are computed once and persisted — each band self-join
+    has two legs, and without materialization every leg would recompute
+    the full signature plan (the md5-over-shingles scan)."""
     sig_cols = [c for c in signatures.columns if c.startswith("mh_")]
     assert len(sig_cols) >= bands * rows_per_band
+    keyed = signatures.select(
+        F.col(id_col),
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[F.col(c) for c in sig_cols[b * rows_per_band : (b + 1) * rows_per_band]],
+                )
+            ).alias(f"band_{b}")
+            for b in range(bands)
+        ],
+    ).persist()
     pairs: Optional[DataFrame] = None
     for b in range(bands):
-        cols = sig_cols[b * rows_per_band : (b + 1) * rows_per_band]
-        banded = signatures.select(
-            F.col(id_col),
-            F.md5(F.concat_ws("|", *[F.col(c) for c in cols])).alias("band_key"),
-        )
+        banded = keyed.select(F.col(id_col), F.col(f"band_{b}").alias("band_key"))
         left = banded.withColumnRenamed(id_col, "id_a")
         right = banded.withColumnRenamed(id_col, "id_b")
         p = left.join(right, "band_key").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
