@@ -47,7 +47,7 @@ def lang_column(path: Column, lang_hint: Column) -> Column:
     mapping = F.create_map(
         *[x for k, v in EXT_TO_LANG.items() for x in (F.lit(k), F.lit(v))]
     )
-    by_ext = mapping.getItem(ext)
+    by_ext = mapping[ext]
     known = F.lit(sorted(set(EXT_TO_LANG.values())))
     return F.when(F.array_contains(known, lang_hint), lang_hint).otherwise(by_ext)
 
