@@ -429,6 +429,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def text_fingerprint(spark, sf):
         return ts.fingerprint(_read(spark, sf, "documents"))
 
+    def code_mention_counts(spark, sf):
+        # code-identifier mention extraction (vectorized, JVM-side)
+        from jena_spark.mentions import extract_mentions
+
+        files = _read(spark, sf, "documents").select(
+            F.lit("docs").alias("repo"),
+            F.concat(F.lit("d"), F.col("doc_id")).alias("path"),
+            F.col("text").alias("content"),
+        )
+        return (
+            extract_mentions(files)
+            .groupBy("mention")
+            .agg(F.sum("n_occurrences").alias("n"))
+            .orderBy(F.desc("n"), F.asc("mention"))
+            .limit(50)
+        )
+
     def text_search_rank(spark, sf):
         # jena-text text:query analog: keyword search + tf ranking
         return ts.text_query(
@@ -483,6 +500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         text_token_counts=text_token_counts,
         text_fingerprint=text_fingerprint,
         text_search_rank=text_search_rank,
+        code_mention_counts=code_mention_counts,
         ann_cosine_topk=ann_cosine_topk,
         ann_ivf_topk=ann_ivf_topk,
         mm_metadata=mm_metadata,
@@ -854,6 +872,18 @@ def oracle_sql() -> dict[str, str]:
     o["text_fingerprint"] = (
         "SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) "
         "AS fingerprint FROM documents"
+    )
+
+    from jena_spark.mentions import STOPWORDS as _SW
+
+    stop_list = ", ".join(f"'{w}'" for w in _SW)
+    o["code_mention_counts"] = (
+        "WITH toks AS (SELECT unnest(regexp_split_to_array(text, '[^A-Za-z0-9_]+')) AS mention "
+        "FROM documents) "
+        "SELECT mention, CAST(COUNT(*) AS BIGINT) AS n FROM toks "
+        "WHERE regexp_matches(mention, '^[A-Za-z_][A-Za-z0-9_]{2,63}$') "
+        f"AND lower(mention) NOT IN ({stop_list}) "
+        "GROUP BY mention ORDER BY n DESC, mention ASC LIMIT 50"
     )
 
     def _occ_sql(w: str) -> str:
