@@ -103,6 +103,19 @@ class GraphPat:
 
 
 @dataclass
+class PathPat:
+    """Property-path pattern: src (path-expr) dst.
+    ops: list of (pred, inverse) steps for a sequence path; modifier is
+    one of '', '+', '*', '?' applied to a single-step path; alts is a
+    list of predicates for an alternation path."""
+    s: str
+    o: str
+    seq: List[Tuple[str, bool]] = field(default_factory=list)
+    modifier: str = ""
+    alts: List[str] = field(default_factory=list)
+
+
+@dataclass
 class Group:
     elements: List[object] = field(default_factory=list)
 
@@ -362,10 +375,16 @@ class SparqlParser:
     def _triples_block(self, g: Group) -> None:
         s = self._term_or_var(subject=True)
         while True:
-            p = self._verb()
+            p = self._verb_or_path()
             while True:
                 o = self._term_or_var()
-                g.elements.append(TriplePat(s, p, o))
+                if isinstance(p, str):
+                    g.elements.append(TriplePat(s, p, o))
+                else:
+                    seq, modifier, alts = p
+                    g.elements.append(
+                        PathPat(s, o, seq=seq, modifier=modifier, alts=alts)
+                    )
                 if self.tok.type == T_COMMA:
                     self._advance()
                     continue
@@ -377,11 +396,49 @@ class SparqlParser:
                 continue
             return
 
-    def _verb(self) -> str:
+    def _verb_or_path(self):
+        """Returns a plain predicate string, or (seq, modifier, alts) for a
+        property path (SURVEY.md §2.7 subset: ^p, p+, p*, p?, p1/p2…, p1|p2…)."""
         if self.tok.type == T_KEYWORD and self.tok.value == "a":
             self._advance()
             return f"<{RDF_TYPE}>"
-        return self._term_or_var()
+        if self.tok.type == T_VAR:
+            return "?" + self._advance().value
+
+        def elt() -> Tuple[str, bool]:
+            inv = False
+            if self.tok.type == T_OP and self.tok.value == "^":
+                self._advance()
+                inv = True
+            return self._term_encoded(), inv
+
+        first = elt()
+        t = self.tok
+        if t.type == T_OP and t.value in ("+", "*", "?"):
+            self._advance()
+            if first[1]:
+                raise RDFSyntaxError("^p with modifier not supported (subset)")
+            return ([first], t.value, [])
+        if t.type == T_OP and t.value == "/":
+            seq = [first]
+            while self.tok.type == T_OP and self.tok.value == "/":
+                self._advance()
+                seq.append(elt())
+            return (seq, "", [])
+        if t.type == T_OP and t.value == "|":
+            if first[1]:
+                raise RDFSyntaxError("^p in alternation not supported (subset)")
+            alts = [first[0]]
+            while self.tok.type == T_OP and self.tok.value == "|":
+                self._advance()
+                nxt = elt()
+                if nxt[1]:
+                    raise RDFSyntaxError("^p in alternation not supported (subset)")
+                alts.append(nxt[0])
+            return ([], "", alts)
+        if first[1]:
+            return ([first], "", [])  # bare inverse step
+        return first[0]
 
     def _term_or_var(self, subject: bool = False) -> str:
         t = self.tok
@@ -588,6 +645,25 @@ def _compile_group(
     for el in g.elements:
         if isinstance(el, TriplePat):
             continue
+        if isinstance(el, PathPat):
+            rel = _compile_path(triples, el, graph_term, graph_var)
+            # bind endpoints: consts filter, vars project/join
+            sel = []
+            if el.s.startswith("?"):
+                sel.append(F.col("src").alias(el.s[1:]))
+            else:
+                rel = rel.filter(F.col("src") == el.s)
+            if el.o.startswith("?"):
+                sel.append(F.col("dst").alias(el.o[1:]))
+            else:
+                rel = rel.filter(F.col("dst") == el.o)
+            step = rel.select(*sel) if sel else rel.select(F.lit(1).alias("__one")).limit(1)
+            if df is None:
+                df = step
+            else:
+                shared = list(set(df.columns) & set(step.columns))
+                df = df.join(step, shared, "inner") if shared else df.crossJoin(step)
+            continue
         if isinstance(el, GraphPat):
             if el.graph.startswith("?"):
                 sub = _compile_group(triples, el.pattern, graph_var=el.graph[1:])
@@ -660,6 +736,57 @@ def _agg_column(item: AggItem):
         vals = F.collect_set(tf.lex(col)) if distinct else F.collect_list(tf.lex(col))
         return F.concat_ws(",", F.array_sort(vals)), None
     raise RDFSyntaxError(f"unsupported aggregate {fn}")
+
+
+def _compile_path(
+    triples: DataFrame,
+    pat: PathPat,
+    graph_term: Optional[str],
+    graph_var: Optional[str],
+) -> DataFrame:
+    """PathPat → (src, dst) relation via ops.algebra path evaluators."""
+    from .algebra import (
+        path_alt,
+        path_inverse,
+        path_transitive,
+        path_zero_or_one,
+    )
+
+    t = triples
+    if "graph" in t.columns:
+        if graph_term is not None:
+            t = t.filter(F.col("graph") == graph_term)
+        elif graph_var is None:
+            t = t.filter(F.col("graph").isNull())
+        else:
+            t = t.filter(F.col("graph").isNotNull())
+    if pat.alts:
+        return path_alt(t, pat.alts)
+    if pat.modifier == "+":
+        return path_transitive(t, pat.seq[0][0])
+    if pat.modifier == "*":
+        return path_transitive(t, pat.seq[0][0], zero=True)
+    if pat.modifier == "?":
+        return path_zero_or_one(t, pat.seq[0][0])
+    # sequence (with per-step inverse)
+    rel: Optional[DataFrame] = None
+    for pred, inv in pat.seq:
+        step = (
+            path_inverse(t, pred)
+            if inv
+            else t.filter(F.col("pred") == pred).select(
+                F.col("subj").alias("src"), F.col("obj").alias("dst")
+            )
+        )
+        if rel is None:
+            rel = step
+        else:
+            rel = (
+                rel.withColumnRenamed("dst", "__mid")
+                .join(step.withColumnRenamed("src", "__mid"), "__mid")
+                .select("src", "dst")
+            )
+    return rel
 
 
 def sparql_select(triples: DataFrame, query: str, base: Optional[str] = None) -> DataFrame:

@@ -159,6 +159,9 @@ class Tokenizer:
             if self._peek(1) == "^":
                 self.i += 2
                 return Token(T_HATHAT, line=ln)
+            if self.sparql:  # inverse-path operator
+                self.i += 1
+                return Token(T_OP, "^", line=ln)
             raise self._err("lone '^'")
         if c in ".;,()[]{}":
             # '.' may start a decimal like .5 (Turtle DOUBLE/DECIMAL)
@@ -198,7 +201,9 @@ class Tokenizer:
         while j < self.n and (_is_pn_chars_u(ord(s[j])) or s[j].isdigit()):
             j += 1
         if j == i:
-            raise self._err("empty variable name")
+            # bare '?' with no name: the zero-or-one path modifier
+            self.i = i
+            return Token(T_OP, "?", line=ln)
         self.i = j
         return Token(T_VAR, s[i:j], line=ln)
 

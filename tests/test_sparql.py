@@ -214,6 +214,68 @@ def test_graph_clause(spark):
     assert rows(out3) == [('"default"',)]
 
 
+@pytest.fixture(scope="module")
+def chain(spark):
+    rows_ = [
+        ("<http://e/a>", "<http://e/knows>", "<http://e/b>"),
+        ("<http://e/b>", "<http://e/knows>", "<http://e/c>"),
+        ("<http://e/c>", "<http://e/knows>", "<http://e/d>"),
+        ("<http://e/a>", "<http://e/name>", '"alice"'),
+        ("<http://e/b>", "<http://e/name>", '"bob"'),
+        ("<http://e/a>", "<http://e/age>", '"30"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+    ]
+    return spark.createDataFrame(rows_, ["subj", "pred", "obj"]).cache()
+
+
+def test_property_paths(chain):
+    # transitive +
+    out = sparql_select(
+        chain,
+        "PREFIX e: <http://e/> SELECT ?x ?y WHERE { ?x e:knows+ ?y }",
+    )
+    got = set(rows(out))
+    assert ("<http://e/a>", "<http://e/d>") in got and len(got) == 6
+    # sequence
+    out2 = sparql_select(
+        chain,
+        "PREFIX e: <http://e/> SELECT ?x ?y WHERE { ?x e:knows/e:knows ?y }",
+    )
+    assert set(rows(out2)) == {("<http://e/a>", "<http://e/c>"), ("<http://e/b>", "<http://e/d>")}
+    # inverse
+    out3 = sparql_select(
+        chain,
+        "PREFIX e: <http://e/> SELECT ?x WHERE { ?x ^e:knows <http://e/a> }",
+    )
+    assert rows(out3) == [("<http://e/b>",)]
+    # alternation
+    out4 = sparql_select(
+        chain,
+        "PREFIX e: <http://e/> SELECT ?o WHERE { <http://e/a> e:name|e:age ?o }",
+    )
+    assert len(rows(out4)) == 2
+    # zero-or-one with bound endpoint
+    out5 = sparql_select(
+        chain,
+        "PREFIX e: <http://e/> SELECT ?y WHERE { <http://e/c> e:knows? ?y }",
+    )
+    assert set(rows(out5)) == {("<http://e/c>",), ("<http://e/d>",)}
+
+
+def test_path_joins_with_bgp(chain):
+    out = sparql_select(
+        chain,
+        """PREFIX e: <http://e/>
+           SELECT ?n WHERE { <http://e/a> e:knows/e:knows ?y . ?y e:name ?n }""",
+    )
+    assert rows(out) == []  # c has no name
+    out2 = sparql_select(
+        chain,
+        """PREFIX e: <http://e/>
+           SELECT ?n WHERE { <http://e/a> e:knows ?y . ?y e:name ?n }""",
+    )
+    assert rows(out2) == [('"bob"',)]
+
+
 def test_ungrouped_var_rejected(tri):
     with pytest.raises(RDFSyntaxError):
         sparql_select(
