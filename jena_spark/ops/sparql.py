@@ -113,6 +113,13 @@ class PathPat:
     seq: List[Tuple[str, bool]] = field(default_factory=list)
     modifier: str = ""
     alts: List[str] = field(default_factory=list)
+    negated: bool = False  # !(p1|p2…) — alts holds the excluded set
+
+
+@dataclass
+class BindPat:
+    expr: "Expr"
+    var: str
 
 
 @dataclass
@@ -341,6 +348,14 @@ class SparqlParser:
             elif kw == "optional":
                 self._advance()
                 g.elements.append(OptionalPat(self._group()))
+            elif kw == "bind":
+                self._advance()
+                self._expect(T_LPAREN)
+                e = self._expr()
+                self._expect(T_KEYWORD, "as")
+                v = self._expect(T_VAR).value
+                self._expect(T_RPAREN)
+                g.elements.append(BindPat(e, v))
             elif kw == "graph":
                 self._advance()
                 gterm = self._term_or_var()
@@ -381,9 +396,11 @@ class SparqlParser:
                 if isinstance(p, str):
                     g.elements.append(TriplePat(s, p, o))
                 else:
-                    seq, modifier, alts = p
+                    seq, modifier, alts = p[0], p[1], p[2]
+                    negated = p[3] if len(p) > 3 else False
                     g.elements.append(
-                        PathPat(s, o, seq=seq, modifier=modifier, alts=alts)
+                        PathPat(s, o, seq=seq, modifier=modifier, alts=alts,
+                                negated=negated)
                     )
                 if self.tok.type == T_COMMA:
                     self._advance()
@@ -404,6 +421,21 @@ class SparqlParser:
             return f"<{RDF_TYPE}>"
         if self.tok.type == T_VAR:
             return "?" + self._advance().value
+
+        if self.tok.type == T_OP and self.tok.value == "!":
+            # negated property set !(p1|p2|…) or !p
+            self._advance()
+            excl = []
+            if self.tok.type == T_LPAREN:
+                self._advance()
+                excl.append(self._term_encoded())
+                while self.tok.type == T_OP and self.tok.value == "|":
+                    self._advance()
+                    excl.append(self._term_encoded())
+                self._expect(T_RPAREN)
+            else:
+                excl.append(self._term_encoded())
+            return ([], "", excl, True)
 
         def elt() -> Tuple[str, bool]:
             inv = False
@@ -695,6 +727,10 @@ def _compile_group(
             sub = _compile_group(triples, el.pattern)
             shared = list(set(df.columns) & set(sub.columns)) if df is not None else []
             df = sub if df is None else df.join(sub, shared, "left_outer")
+        elif isinstance(el, BindPat):
+            if df is None:
+                raise RDFSyntaxError("BIND without preceding pattern")
+            df = df.withColumn(el.var, _compile_expr(el.expr))
         elif isinstance(el, Filter):
             if df is None:
                 raise RDFSyntaxError("FILTER without preceding pattern")
@@ -748,6 +784,7 @@ def _compile_path(
     from .algebra import (
         path_alt,
         path_inverse,
+        path_negated,
         path_transitive,
         path_zero_or_one,
     )
@@ -760,6 +797,8 @@ def _compile_path(
             t = t.filter(F.col("graph").isNull())
         else:
             t = t.filter(F.col("graph").isNotNull())
+    if pat.negated:
+        return path_negated(t, pat.alts)
     if pat.alts:
         return path_alt(t, pat.alts)
     if pat.modifier == "+":

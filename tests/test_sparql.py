@@ -276,6 +276,29 @@ def test_path_joins_with_bgp(chain):
     assert rows(out2) == [('"bob"',)]
 
 
+def test_negated_property_set(chain):
+    out = sparql_select(
+        chain,
+        "PREFIX e: <http://e/> SELECT ?x ?y WHERE { ?x !(e:name|e:age) ?y }",
+    )
+    got = set(rows(out))
+    assert got == {
+        ("<http://e/a>", "<http://e/b>"),
+        ("<http://e/b>", "<http://e/c>"),
+        ("<http://e/c>", "<http://e/d>"),
+    }
+
+
+def test_bind(chain):
+    out = sparql_select(
+        chain,
+        """PREFIX e: <http://e/>
+           SELECT ?n ?len WHERE { ?p e:name ?n . BIND(STRLEN(?n) AS ?len) }""",
+    )
+    got = dict(rows(out))
+    assert got == {'"alice"': 5, '"bob"': 3}
+
+
 def test_ungrouped_var_rejected(tri):
     with pytest.raises(RDFSyntaxError):
         sparql_select(
