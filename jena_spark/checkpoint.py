@@ -11,7 +11,14 @@ per-partition lineage + metrics.  Design (SURVEY.md §7.7):
   per-document rows (triples_out, error, content_sha256);
 - resume = **anti-join** the input files against the done-markers —
   a single shuffle-free broadcast anti-join when the done set is small,
-  shuffle anti-join otherwise (Catalyst/AQE picks).
+  shuffle anti-join otherwise (Catalyst/AQE picks);
+- each ``run()`` invocation writes its triples AND lineage under a
+  ``run=<id>`` subdirectory and then creates a commit marker file as the
+  single atomic commit point.  Readers only see committed runs, so a
+  crash anywhere mid-batch leaves orphan files that are ignored (and
+  re-extracted by the next run) instead of duplicate triples or lineage
+  rows without data.  On HDFS/S3 the marker create is a single-object
+  PUT — the same O(1)-commit idea as the TDB2 loader's journal.
 
 The reference analog is the TDB2 loader's phased, replayable dataflow
 (tdb2/loader/main/LoaderMain.java:49-100) — our phases are idempotent
@@ -21,6 +28,7 @@ Spark jobs over immutable inputs instead of threads over queues.
 from __future__ import annotations
 
 import os
+import uuid
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -37,12 +45,25 @@ class CheckpointedExtraction:
         self.work_dir = work_dir
         self.triples_dir = os.path.join(work_dir, "triples")
         self.lineage_dir = os.path.join(work_dir, "lineage")
+        self.commits_dir = os.path.join(work_dir, "commits")
+
+    def _committed(self) -> list[str]:
+        try:
+            return sorted(os.listdir(self.commits_dir))
+        except OSError:
+            return []
+
+    def _read_runs(self, base: str) -> Optional[DataFrame]:
+        runs = self._committed()
+        paths = [os.path.join(base, f"run={r}") for r in runs]
+        paths = [p for p in paths if os.path.isdir(p)]
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths)
 
     def done_markers(self) -> Optional[DataFrame]:
-        try:
-            return self.spark.read.parquet(self.lineage_dir).select(*DOC_KEY)
-        except Exception:
-            return None
+        lin = self._read_runs(self.lineage_dir)
+        return lin.select(*DOC_KEY) if lin is not None else None
 
     def remaining(self, files: DataFrame) -> DataFrame:
         done = self.done_markers()
@@ -51,13 +72,15 @@ class CheckpointedExtraction:
         return files.join(done, DOC_KEY, "left_anti")
 
     def run(self, files: DataFrame) -> int:
-        """Extract triples for not-yet-done documents, appending to the
-        triples and lineage tables.  Returns number of documents processed
-        this invocation (0 = nothing left: fully resumed)."""
+        """Extract triples for not-yet-done documents, writing this batch's
+        triples and lineage under a fresh run directory and committing both
+        with one marker file.  Returns number of documents processed this
+        invocation (0 = nothing left: fully resumed)."""
         todo = self.remaining(files)
         n_docs = todo.count()
         if n_docs == 0:
             return 0
+        run_id = f"{len(self._committed()):06d}-{uuid.uuid4().hex[:8]}"
         detected = detect(todo)
         triples_err = extract_triples(detected)
         triples_err.persist()
@@ -65,19 +88,31 @@ class CheckpointedExtraction:
             (
                 triples_err.filter(F.col("error").isNull())
                 .drop("error")
-                .write.mode("append")
-                .parquet(self.triples_dir)
+                .write.mode("overwrite")
+                .parquet(os.path.join(self.triples_dir, f"run={run_id}"))
             )
             lin = lineage(todo, triples_err).withColumn(
                 "stage", F.lit("parse")
             ).withColumn("partition_id", F.spark_partition_id())
-            lin.write.mode("append").parquet(self.lineage_dir)
+            lin.write.mode("overwrite").parquet(
+                os.path.join(self.lineage_dir, f"run={run_id}")
+            )
         finally:
             triples_err.unpersist()
+        # atomic commit point: both tables for this run become visible
+        os.makedirs(self.commits_dir, exist_ok=True)
+        with open(os.path.join(self.commits_dir, run_id), "w") as f:
+            f.write(str(n_docs))
         return n_docs
 
     def triples(self) -> DataFrame:
-        return self.spark.read.parquet(self.triples_dir)
+        df = self._read_runs(self.triples_dir)
+        if df is None:
+            raise FileNotFoundError(f"no committed runs under {self.triples_dir}")
+        return df
 
     def lineage_table(self) -> DataFrame:
-        return self.spark.read.parquet(self.lineage_dir)
+        df = self._read_runs(self.lineage_dir)
+        if df is None:
+            raise FileNotFoundError(f"no committed runs under {self.lineage_dir}")
+        return df

@@ -118,12 +118,23 @@ def same_term(a: Column, b: Column) -> Column:
 # ---------------------------------------------------------------------------
 
 def order_key(t: Column) -> Column:
+    """Sortable key: unbound < bnode < IRI < literal; within literals,
+    numerics order by *value* before non-numerics order lexically —
+    mirrors QueryIterSort / NodeValue.compareAlways (numeric "9" < "10",
+    not the encoded-string order) and the MIN/MAX aggregate key."""
     kind_rank = (
-        F.when(is_bnode(t), F.lit(0))
-        .when(is_iri(t), F.lit(1))
-        .otherwise(F.lit(2))
+        F.when(t.isNull(), F.lit(0))
+        .when(is_bnode(t), F.lit(1))
+        .when(is_iri(t), F.lit(2))
+        .otherwise(F.lit(3))
     )
-    return F.struct(kind_rank.alias("k"), t.alias("v"))
+    nv = numeric_value(t)
+    return F.struct(
+        kind_rank.alias("k"),
+        nv.isNull().cast("int").alias("nn"),
+        F.coalesce(nv, F.lit(0.0)).alias("n"),
+        t.alias("v"),
+    )
 
 
 def order_by_terms(df: DataFrame, *cols: str) -> DataFrame:

@@ -9,19 +9,30 @@ SPARQL mode and compiling straight to the DataFrame layer (the Op tree
 Supported subset (documented; anything else raises):
 
 - ``PREFIX`` declarations, ``BASE``
-- ``SELECT [DISTINCT] ?v … | *``
+- Query forms: ``SELECT [DISTINCT] ?v … | *``, ``ASK``, ``CONSTRUCT``
 - ``WHERE { … }`` with: triple patterns (incl. ``a``, prefixed names,
-  literals, numeric literals, ``;``/``,`` lists), ``FILTER`` expressions,
-  ``OPTIONAL { … }``, nested ``{ … } UNION { … }``, ``VALUES ?v { … }``
+  literals, numeric literals, ``;``/``,`` lists), property paths
+  (``^p  p+  p*  p?  p1/p2  p1|p2  !(p1|p2)``), ``FILTER`` expressions,
+  ``FILTER [NOT] EXISTS { … }``, ``OPTIONAL { … }``, ``MINUS { … }``,
+  nested ``{ … } UNION { … }``, ``GRAPH ?g/{iri} { … }``,
+  ``VALUES ?v { … }``, ``BIND(expr AS ?v)``, subqueries ``{ SELECT … }``
 - FILTER expressions: comparisons (``= != < > <= >=`` — numeric when the
   operand parses as a number, lexical otherwise), ``&& || !``,
   ``BOUND REGEX CONTAINS STRSTARTS STRLEN STR LANG DATATYPE
   isIRI isLiteral isBlank sameTerm``
-- ``ORDER BY [ASC|DESC](expr)…`` (SPARQL total term order),
-  ``LIMIT`` / ``OFFSET``
+- ``GROUP BY ?v …`` with aggregates ``COUNT SUM AVG MIN MAX SAMPLE
+  GROUP_CONCAT`` (+``DISTINCT``) and ``HAVING(expr)`` over aggregate calls
+- ``ORDER BY [ASC|DESC](expr)…`` (SPARQL total term order, numerics by
+  value), ``LIMIT`` / ``OFFSET``
 
-Not supported (use the DataFrame layer): GROUP BY/aggregates, property
-paths (ops.algebra.path_*), subqueries, SERVICE, CONSTRUCT/ASK/DESCRIBE.
+Joins between group-pattern elements use SPARQL compatible-mapping
+semantics: a variable left unbound (null) by OPTIONAL / UNION / BIND is
+compatible with any binding, and the merged row carries the bound value.
+The compiler tracks which variables can be null and only pays for the
+null-tolerant join when one of the join variables actually can be.
+
+Not supported (use the DataFrame layer): SERVICE, DESCRIBE, named
+solution sequences, EXISTS nested inside boolean expressions.
 """
 
 from __future__ import annotations
@@ -123,6 +134,29 @@ class BindPat:
 
 
 @dataclass
+class ExistsPat:
+    """FILTER EXISTS { … } / FILTER NOT EXISTS { … } —
+    OpExecutor.java:247-259 (compiled to left_semi / left_anti)."""
+    pattern: "Group"
+    positive: bool
+
+
+@dataclass
+class MinusPat:
+    """MINUS { … } — OpMinus.java + QueryIterMinus semantics: remove a
+    solution when a right solution is compatible AND shares at least one
+    bound variable (disjoint-domain rows survive)."""
+    pattern: "Group"
+
+
+@dataclass
+class SubSelectPat:
+    """{ SELECT … } subquery, joined to the enclosing group on its
+    projected variables."""
+    query: "SelectQuery"
+
+
+@dataclass
 class Group:
     elements: List[object] = field(default_factory=list)
 
@@ -152,6 +186,8 @@ class SelectQuery:
     order: List[Tuple[Expr, bool]]  # (expr, ascending)
     limit: Optional[int]
     offset: Optional[int]
+    having: Optional[Expr] = None
+    having_aggs: List[AggItem] = field(default_factory=list)
 
 
 @dataclass
@@ -181,6 +217,8 @@ class SparqlParser:
         self.tok = self.tz.next_token()
         self.prefixes: dict[str, str] = {}
         self.resolver = IRIResolver(base or "http://sparql.local/")
+        self._in_having = False
+        self._having_aggs: List[AggItem] = []
 
     def _advance(self) -> Token:
         t = self.tok
@@ -232,6 +270,14 @@ class SparqlParser:
             where = self._group()
             template = [el for el in tmpl_group.elements if isinstance(el, TriplePat)]
             return ConstructQuery(template, where)
+        q = self._select_query()
+        if self.tok.type != T_EOF:
+            raise RDFSyntaxError(f"trailing tokens at line {self.tok.line}")
+        return q
+
+    def _select_query(self) -> SelectQuery:
+        """SELECT clause through solution modifiers (stops at '}' / EOF) —
+        reused for subqueries (Grammar/main.jj SubSelect)."""
         self._expect(T_KEYWORD, "select")
         distinct = False
         if self._kw() == "distinct":
@@ -259,6 +305,8 @@ class SparqlParser:
         group_by: List[str] = []
         order: List[Tuple[Expr, bool]] = []
         limit = offset = None
+        having: Optional[Expr] = None
+        self._having_aggs: List[AggItem] = []
         while self.tok.type == T_KEYWORD:
             kw = self._kw()
             if kw == "group":
@@ -268,6 +316,15 @@ class SparqlParser:
                     group_by.append(self._advance().value)
                 if not group_by:
                     raise RDFSyntaxError("GROUP BY needs variables")
+            elif kw == "having":
+                self._advance()
+                self._expect(T_LPAREN)
+                self._in_having = True
+                try:
+                    having = self._expr()
+                finally:
+                    self._in_having = False
+                self._expect(T_RPAREN)
             elif kw == "order":
                 self._advance()
                 self._expect(T_KEYWORD, "by")
@@ -296,9 +353,7 @@ class SparqlParser:
                 self._advance()
                 offset = int(self._expect(T_INTEGER).value)
             else:
-                raise RDFSyntaxError(f"unexpected keyword {kw!r}")
-        if self.tok.type != T_EOF:
-            raise RDFSyntaxError(f"trailing tokens at line {self.tok.line}")
+                break
         if aggregates or group_by:
             missing = [v for v in variables if v not in group_by]
             if missing:
@@ -306,12 +361,15 @@ class SparqlParser:
                     f"non-aggregated SELECT vars must be in GROUP BY: {missing}"
                 )
         return SelectQuery(
-            variables, aggregates, group_by, distinct, where, order, limit, offset
+            variables, aggregates, group_by, distinct, where, order, limit, offset,
+            having=having, having_aggs=self._having_aggs,
         )
 
     _AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT"}
 
-    def _agg_item(self) -> AggItem:
+    def _agg_call(self) -> Tuple[str, Optional[str], bool]:
+        """FN([DISTINCT] ?v | *) — the call part, shared by the SELECT
+        clause and HAVING expressions."""
         t = self._expect(T_KEYWORD)
         fn = t.value.upper()
         if fn not in self._AGG_FNS:
@@ -329,6 +387,10 @@ class SparqlParser:
         else:
             var = self._expect(T_VAR).value
         self._expect(T_RPAREN)
+        return fn, var, distinct
+
+    def _agg_item(self) -> AggItem:
+        fn, var, distinct = self._agg_call()
         self._expect(T_KEYWORD, "as")
         alias = self._expect(T_VAR).value
         return AggItem(fn, var, distinct, alias)
@@ -337,14 +399,29 @@ class SparqlParser:
 
     def _group(self) -> Group:
         self._expect(T_LBRACE)
+        return self._group_body()
+
+    def _group_body(self) -> Group:
+        """Group-graph-pattern body, '{' already consumed; eats the '}'."""
         g = Group()
         while self.tok.type != T_RBRACE:
             kw = self._kw()
             if kw == "filter":
                 self._advance()
-                self._expect(T_LPAREN)
-                g.elements.append(Filter(self._expr()))
-                self._expect(T_RPAREN)
+                if self._kw() == "exists":
+                    self._advance()
+                    g.elements.append(ExistsPat(self._group(), True))
+                elif self._kw() == "not":
+                    self._advance()
+                    self._expect(T_KEYWORD, "exists")
+                    g.elements.append(ExistsPat(self._group(), False))
+                else:
+                    self._expect(T_LPAREN)
+                    g.elements.append(Filter(self._expr()))
+                    self._expect(T_RPAREN)
+            elif kw == "minus":
+                self._advance()
+                g.elements.append(MinusPat(self._group()))
             elif kw == "optional":
                 self._advance()
                 g.elements.append(OptionalPat(self._group()))
@@ -370,7 +447,17 @@ class SparqlParser:
                 self._advance()
                 g.elements.append(ValuesPat(var, vals))
             elif self.tok.type == T_LBRACE:
-                node = self._group()
+                self._advance()
+                if self._kw() == "select":
+                    sub = self._select_query()
+                    self._expect(T_RBRACE)
+                    if self._kw() == "union":
+                        raise RDFSyntaxError("UNION over a subquery not supported")
+                    g.elements.append(SubSelectPat(sub))
+                    while self.tok.type == T_DOT:
+                        self._advance()
+                    continue
+                node = self._group_body()
                 while self._kw() == "union":
                     self._advance()
                     node = Group([UnionPat(node, self._group())])
@@ -541,6 +628,17 @@ class SparqlParser:
             return e
         if self.tok.type == T_VAR:
             return Expr("var", self._advance().value)
+        if (
+            self._in_having
+            and self.tok.type == T_KEYWORD
+            and self.tok.value.upper() in self._AGG_FNS
+        ):
+            # HAVING(SUM(?x) > 10): hoist the call into a hidden aggregate
+            # column and reference it as a native-valued variable
+            fn, var, distinct = self._agg_call()
+            alias = f"__hagg{len(self._having_aggs)}"
+            self._having_aggs.append(AggItem(fn, var, distinct, alias))
+            return Expr("plainvar", alias)
         if self.tok.type == T_KEYWORD and self.tok.value.upper() in (
             "BOUND", "REGEX", "CONTAINS", "STRSTARTS", "STRLEN", "STR",
             "LANG", "DATATYPE", "ISIRI", "ISLITERAL", "ISBLANK", "SAMETERM",
@@ -567,6 +665,9 @@ def _typed(e: Expr) -> Tuple[F.Column, str]:
     'plain' = raw string, 'num' = number, 'bool' = boolean."""
     if e.kind == "var":
         return F.col(e.value), "term"
+    if e.kind == "plainvar":
+        # hidden HAVING-aggregate column: native numeric value
+        return F.col(e.value), "num"
     if e.kind == "const":
         return F.lit(e.value), "term"
     if e.kind in ("and", "or", "not"):
@@ -659,14 +760,78 @@ def _compile_expr(e: Expr) -> F.Column:
     return c
 
 
+def _join_compat(
+    left: DataFrame,
+    lnull: set,
+    right: DataFrame,
+    rnull: set,
+    how: str = "inner",
+) -> Tuple[DataFrame, set]:
+    """Join two solution relations on their shared variables with SPARQL
+    compatible-mapping semantics (SPARQL 1.1 §18.3 Join/LeftJoin): an
+    unbound variable (null column) is compatible with any binding, and the
+    merged row carries the bound value.  When no shared variable can be
+    null on either side this is a plain (hash/broadcast) equi-join; the
+    null-tolerant form only triggers when needed, since it compiles to a
+    non-equi condition."""
+    shared = [c for c in left.columns if c in right.columns]
+    if not shared:
+        if how == "left_outer":
+            out = left.join(right, F.lit(True), "left_outer")
+            return out, lnull | rnull | set(right.columns)
+        return left.crossJoin(right), lnull | rnull
+    nn = set(lnull) | set(rnull)
+    if how == "left_outer":
+        nn |= set(right.columns) - set(shared)
+    if not any(c in lnull or c in rnull for c in shared):
+        return left.join(right, shared, how), nn
+    r = right
+    for c in shared:
+        r = r.withColumnRenamed(c, "__r_" + c)
+    j = left.join(r, _compat_cond(shared), how)
+    cols = [F.coalesce(F.col(c), F.col("__r_" + c)).alias(c) for c in shared]
+    cols += [F.col(c) for c in left.columns if c not in shared]
+    cols += [
+        F.col(c) for c in r.columns
+        if not (c.startswith("__r_") and c[4:] in shared) and c not in left.columns
+    ]
+    return j.select(*cols), nn
+
+
+def _compat_cond(shared: List[str]) -> F.Column:
+    """Per-pair compatibility over renamed right columns __r_<c>."""
+    cond = F.lit(True)
+    for c in shared:
+        cond = cond & (
+            F.col(c).isNull()
+            | F.col("__r_" + c).isNull()
+            | (F.col(c) == F.col("__r_" + c))
+        )
+    return cond
+
+
 def _compile_group(
     triples: DataFrame,
     g: Group,
     graph_term: Optional[str] = None,
     graph_var: Optional[str] = None,
 ) -> DataFrame:
+    df, _nullable = _compile_group_n(triples, g, graph_term, graph_var)
+    return df
+
+
+def _compile_group_n(
+    triples: DataFrame,
+    g: Group,
+    graph_term: Optional[str] = None,
+    graph_var: Optional[str] = None,
+) -> Tuple[DataFrame, set]:
+    """Compile a group pattern → (DataFrame, set of variables that can be
+    null).  The nullable set is what lets later joins pick the cheap
+    equi-join whenever compatible-mapping null handling cannot matter."""
     pats = [el for el in g.elements if isinstance(el, TriplePat)]
     df: Optional[DataFrame] = None
+    nullable: set = set()
     if pats:
         df = bgp(
             triples,
@@ -693,51 +858,101 @@ def _compile_group(
             if df is None:
                 df = step
             else:
-                shared = list(set(df.columns) & set(step.columns))
-                df = df.join(step, shared, "inner") if shared else df.crossJoin(step)
+                df, nullable = _join_compat(df, nullable, step, set(), "inner")
             continue
         if isinstance(el, GraphPat):
             if el.graph.startswith("?"):
-                sub = _compile_group(triples, el.pattern, graph_var=el.graph[1:])
+                sub, snull = _compile_group_n(triples, el.pattern, graph_var=el.graph[1:])
             else:
-                sub = _compile_group(triples, el.pattern, graph_term=el.graph)
-            shared = list(set(df.columns) & set(sub.columns)) if df is not None else []
+                sub, snull = _compile_group_n(triples, el.pattern, graph_term=el.graph)
             if df is None:
-                df = sub
-            elif shared:
-                df = df.join(sub, shared, "inner")
+                df, nullable = sub, snull
             else:
-                df = df.crossJoin(sub)
+                df, nullable = _join_compat(df, nullable, sub, snull, "inner")
             continue
-        if isinstance(el, ValuesPat):
+        if isinstance(el, SubSelectPat):
+            sub = _compile_select(triples, el.query)
+            if df is None:
+                df, nullable = sub, set()
+            else:
+                df, nullable = _join_compat(df, nullable, sub, set(), "inner")
+        elif isinstance(el, ValuesPat):
             vals = triples.sparkSession.createDataFrame(
                 [(v,) for v in el.values], [el.var[1:] if el.var.startswith("?") else el.var]
             )
-            df = vals if df is None else df.join(
-                vals, list(set(df.columns) & set(vals.columns)) or None, "inner"
-            ) if set(df.columns) & set(vals.columns) else df.crossJoin(vals)
+            if df is None:
+                df = vals
+            else:
+                df, nullable = _join_compat(df, nullable, vals, set(), "inner")
         elif isinstance(el, UnionPat):
-            left = _compile_group(triples, el.left)
-            right = _compile_group(triples, el.right)
+            left, lnull = _compile_group_n(triples, el.left, graph_term, graph_var)
+            right, rnull = _compile_group_n(triples, el.right, graph_term, graph_var)
             u = left.unionByName(right, allowMissingColumns=True)
-            df = u if df is None else df.join(
-                u, list(set(df.columns) & set(u.columns)), "inner"
+            # vars not bound in both branches become nullable
+            unull = (
+                lnull | rnull
+                | (set(left.columns) ^ set(right.columns))
             )
+            if df is None:
+                df, nullable = u, unull
+            else:
+                df, nullable = _join_compat(df, nullable, u, unull, "inner")
         elif isinstance(el, OptionalPat):
-            sub = _compile_group(triples, el.pattern)
-            shared = list(set(df.columns) & set(sub.columns)) if df is not None else []
-            df = sub if df is None else df.join(sub, shared, "left_outer")
+            sub, snull = _compile_group_n(triples, el.pattern, graph_term, graph_var)
+            if df is None:
+                df, nullable = sub, snull
+            else:
+                df, nullable = _join_compat(df, nullable, sub, snull, "left_outer")
+        elif isinstance(el, MinusPat):
+            if df is None:
+                raise RDFSyntaxError("MINUS without preceding pattern")
+            sub, snull = _compile_group_n(triples, el.pattern, graph_term, graph_var)
+            shared = [c for c in df.columns if c in sub.columns]
+            if not shared:
+                continue  # disjoint domains: MINUS removes nothing
+            r = sub.select(*shared).dropDuplicates()
+            if not any(c in nullable or c in snull for c in shared):
+                df = df.join(r, shared, "left_anti")
+            else:
+                for c in shared:
+                    r = r.withColumnRenamed(c, "__r_" + c)
+                overlap = F.lit(False)
+                for c in shared:
+                    overlap = overlap | (
+                        F.col(c).isNotNull() & F.col("__r_" + c).isNotNull()
+                    )
+                df = df.join(r, _compat_cond(shared) & overlap, "left_anti")
+        elif isinstance(el, ExistsPat):
+            if df is None:
+                raise RDFSyntaxError("FILTER EXISTS without preceding pattern")
+            sub, snull = _compile_group_n(triples, el.pattern, graph_term, graph_var)
+            shared = [c for c in df.columns if c in sub.columns]
+            how = "left_semi" if el.positive else "left_anti"
+            if not shared:
+                # no shared vars: EXISTS is a global emptiness test
+                nonempty = not sub.isEmpty()
+                if nonempty != el.positive:
+                    df = df.limit(0)
+            else:
+                r = sub.select(*shared).dropDuplicates()
+                if not any(c in nullable or c in snull for c in shared):
+                    df = df.join(r, shared, how)
+                else:
+                    for c in shared:
+                        r = r.withColumnRenamed(c, "__r_" + c)
+                    df = df.join(r, _compat_cond(shared), how)
         elif isinstance(el, BindPat):
             if df is None:
                 raise RDFSyntaxError("BIND without preceding pattern")
             df = df.withColumn(el.var, _compile_expr(el.expr))
+            nullable.add(el.var)  # expression errors bind to unbound (null)
         elif isinstance(el, Filter):
             if df is None:
                 raise RDFSyntaxError("FILTER without preceding pattern")
             df = df.filter(_compile_expr(el.expr))
     if df is None:
         raise RDFSyntaxError("empty group pattern")
-    return df
+    return df, nullable
 
 
 def _agg_column(item: AggItem):
@@ -828,18 +1043,12 @@ def _compile_path(
     return rel
 
 
-def sparql_select(triples: DataFrame, query: str, base: Optional[str] = None) -> DataFrame:
-    """Run a SPARQL-lite SELECT over a triples DataFrame
-    (columns subj/pred/obj in canonical encoding).  Aggregate outputs are
-    native values (long/double/string), not encoded terms."""
-    q = SparqlParser(query, base).parse()
-    if not isinstance(q, SelectQuery):
-        raise RDFSyntaxError("not a SELECT query — use sparql_query()")
+def _compile_select(triples: DataFrame, q: SelectQuery) -> DataFrame:
     df = _compile_group(triples, q.where)
-    if q.aggregates or q.group_by:
+    if q.aggregates or q.group_by or q.having_aggs:
         aggs = []
         posts = []
-        for item in q.aggregates:
+        for item in q.aggregates + q.having_aggs:
             expr, post = _agg_column(item)
             tmp = f"__agg_{item.alias}"
             aggs.append(expr.alias(tmp))
@@ -848,22 +1057,54 @@ def sparql_select(triples: DataFrame, query: str, base: Optional[str] = None) ->
         for tmp, alias, post in posts:
             gdf = gdf.withColumn(alias, F.col(f"{tmp}.{post}") if post else F.col(tmp))
             gdf = gdf.drop(tmp)
+        if q.having is not None:
+            gdf = gdf.filter(_compile_expr(q.having))
         df = gdf.select(*(q.variables + [i.alias for i in q.aggregates]))
-    if q.order:
+
+    agg_aliases = {i.alias for i in q.aggregates}
+
+    def order_keys():
         keys = []
         for e, asc in q.order:
-            c = tf.order_key(_compile_expr(e)) if e.kind == "var" else _compile_expr(e)
+            if e.kind == "var" and e.value in agg_aliases:
+                c = F.col(e.value)  # native-valued aggregate output
+            elif e.kind == "var":
+                c = tf.order_key(_compile_expr(e))
+            else:
+                c = _compile_expr(e)
             keys.append(c.asc() if asc else c.desc())
-        df = df.orderBy(*keys)
-    if q.variables and not q.aggregates:
-        df = df.select(*q.variables)
+        return keys
+
+    # Algebra order is Project → Distinct → OrderBy → Slice: dedup must
+    # happen on the projection and BEFORE the sort, else the dedup
+    # exchange destroys row order (SPARQL restricts ORDER BY under
+    # DISTINCT to projected variables, so sorting after is always legal).
     if q.distinct:
+        if q.variables and not q.aggregates:
+            df = df.select(*q.variables)
         df = df.dropDuplicates()
+        if q.order:
+            df = df.orderBy(*order_keys())
+    else:
+        if q.order:
+            df = df.orderBy(*order_keys())
+        if q.variables and not q.aggregates:
+            df = df.select(*q.variables)
     if q.offset:
         df = df.offset(q.offset)
     if q.limit is not None:
         df = df.limit(q.limit)
     return df
+
+
+def sparql_select(triples: DataFrame, query: str, base: Optional[str] = None) -> DataFrame:
+    """Run a SPARQL SELECT (documented subset) over a triples DataFrame
+    (columns subj/pred/obj in canonical encoding).  Aggregate outputs are
+    native values (long/double/string), not encoded terms."""
+    q = SparqlParser(query, base).parse()
+    if not isinstance(q, SelectQuery):
+        raise RDFSyntaxError("not a SELECT query — use sparql_query()")
+    return _compile_select(triples, q)
 
 
 def sparql_ask(triples: DataFrame, query: str, base: Optional[str] = None) -> bool:

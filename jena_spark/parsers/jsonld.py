@@ -91,18 +91,21 @@ class _JsonLdParser:
                 val = v["@value"]
                 lang = v.get("@language")
                 dt = v.get("@type")
+                # a @type on a native value is a term/compact IRI too —
+                # expand it exactly like the string-value branch does
+                xdt = self._expand_iri(dt) if dt is not None else None
                 if isinstance(val, bool):
-                    return mk_literal("true" if val else "false", datatype=XSD_BOOLEAN)
+                    return mk_literal("true" if val else "false", datatype=xdt or XSD_BOOLEAN)
                 if isinstance(val, int):
-                    return mk_literal(str(val), datatype=dt or XSD_INTEGER)
+                    return mk_literal(str(val), datatype=xdt or XSD_INTEGER)
                 if isinstance(val, float):
-                    return mk_literal(_canonical_double(val), datatype=dt or XSD_DOUBLE)
+                    return mk_literal(_canonical_double(val), datatype=xdt or XSD_DOUBLE)
                 if not isinstance(val, str):
                     raise RDFSyntaxError("unsupported @value type")
                 if lang is not None:
                     return mk_literal(val, lang=lang)
                 if dt is not None:
-                    return mk_literal(val, datatype=self._expand_iri(dt))
+                    return mk_literal(val, datatype=xdt)
                 return mk_literal(val)
             if "@list" in v:
                 raise RDFSyntaxError("@list not supported (subset parser)")

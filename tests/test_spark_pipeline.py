@@ -161,6 +161,29 @@ def test_checkpoint_resume(spark, files, tmp_path):
     assert full.exceptAll(ckt).count() == 0 and ckt.exceptAll(full).count() == 0
 
 
+def test_checkpoint_crash_between_writes(spark, files, tmp_path):
+    """A batch that wrote triples but died before its commit marker must be
+    invisible (no duplicate triples) and re-extracted on the next run."""
+    import os
+
+    work = str(tmp_path / "ck2")
+    ck = CheckpointedExtraction(spark, work)
+    half = files.limit(N_FILES // 2)
+    # simulate the crash: triples land under an uncommitted run dir
+    from jena_spark.extract import detect, extract_triples
+
+    orphan = os.path.join(ck.triples_dir, "run=deadbeef")
+    extract_triples(detect(half)).filter(F.col("error").isNull()).drop(
+        "error"
+    ).write.parquet(orphan)
+    assert ck.done_markers() is None  # nothing committed yet
+    # full run after the crash: everything is (re-)processed exactly once
+    assert ck.run(files) == N_FILES
+    full = run_extraction(files).select("subj", "pred", "obj")
+    ckt = ck.triples().select("subj", "pred", "obj")
+    assert full.exceptAll(ckt).count() == 0 and ckt.exceptAll(full).count() == 0
+
+
 def test_streaming_extraction(spark, tmp_path):
     from jena_spark.streaming import stream_extract, run_stream_to_parquet
 

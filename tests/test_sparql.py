@@ -305,3 +305,104 @@ def test_ungrouped_var_rejected(tri):
             tri,
             "SELECT ?x (COUNT(*) AS ?n) WHERE { ?x ?p ?o }",
         )
+
+
+# --- round 2: negation, subqueries, HAVING, ordering semantics -------------
+
+
+def test_filter_not_exists(tri):
+    out = sparql_select(
+        tri,
+        """PREFIX e: <http://e/>
+           SELECT ?p WHERE { ?p a e:Person . FILTER NOT EXISTS { ?p e:knows ?x } }""",
+    )
+    assert rows(out) == [("<http://e/b>",)]
+
+
+def test_filter_exists(tri):
+    out = sparql_select(
+        tri,
+        """PREFIX e: <http://e/>
+           SELECT ?p WHERE { ?p a e:Person . FILTER EXISTS { ?p e:knows ?x } }""",
+    )
+    assert rows(out) == [("<http://e/a>",)]
+
+
+def test_minus(tri):
+    out = sparql_select(
+        tri,
+        """PREFIX e: <http://e/>
+           SELECT ?p WHERE { ?p a e:Person . MINUS { ?p e:knows ?x } }""",
+    )
+    assert rows(out) == [("<http://e/b>",)]
+
+
+def test_minus_disjoint_domain_removes_nothing(tri):
+    # MINUS with no shared variables keeps every left solution
+    out = sparql_select(
+        tri,
+        """PREFIX e: <http://e/>
+           SELECT ?p WHERE { ?p a e:Person . MINUS { ?q e:knows ?x } }""",
+    )
+    assert rows(out) == [("<http://e/a>",), ("<http://e/b>",)]
+
+
+def test_subquery(tri):
+    out = sparql_select(
+        tri,
+        """PREFIX e: <http://e/>
+           SELECT ?p ?c WHERE {
+             ?p a e:Person .
+             { SELECT ?p (COUNT(?o) AS ?c) WHERE { ?p e:name ?o } GROUP BY ?p }
+           }""",
+    )
+    assert rows(out) == [("<http://e/a>", 1), ("<http://e/b>", 1)]
+
+
+def test_having(tri):
+    out = sparql_select(
+        tri,
+        """PREFIX e: <http://e/>
+           SELECT ?p (COUNT(?o) AS ?c) WHERE { ?p ?q ?o }
+           GROUP BY ?p HAVING(COUNT(?o) > 3)""",
+    )
+    assert rows(out) == [("<http://e/a>", 4)]
+
+
+def test_order_by_numeric_value(tri):
+    # "9" orders before "30" by value, not lexically
+    out = sparql_select(
+        tri,
+        """PREFIX e: <http://e/>
+           SELECT ?a WHERE { ?p e:age ?a } ORDER BY ?a""",
+    )
+    vals = [r.a for r in out.collect()]
+    assert vals[0].startswith('"9"') and vals[1].startswith('"30"')
+
+
+def test_distinct_order_limit(tri):
+    # DISTINCT + ORDER BY + LIMIT: dedup must not destroy the sort
+    out = sparql_select(
+        tri,
+        """PREFIX e: <http://e/>
+           SELECT DISTINCT ?p WHERE { ?p ?q ?o } ORDER BY DESC(?p) LIMIT 2""",
+    )
+    assert [r.p for r in out.collect()] == ["<http://e/c>", "<http://e/b>"]
+
+
+def test_union_null_then_join_compatible(tri):
+    # a var unbound in one UNION branch must stay compatible in later joins
+    out = sparql_select(
+        tri,
+        """PREFIX e: <http://e/>
+           SELECT ?p ?n WHERE {
+             { ?p e:age ?v } UNION { ?p e:knows ?k . ?p e:name ?n }
+             ?p e:name ?n .
+           }""",
+    )
+    # age-branch rows have ?n unbound -> compatible with the name join
+    assert rows(out) == [
+        ("<http://e/a>", '"alice"'),
+        ("<http://e/a>", '"alice"'),
+        ("<http://e/b>", '"bob"'),
+    ]
