@@ -99,7 +99,12 @@ def bgp(
         for a, b in dup_pairs:
             scan = scan.filter(F.col(a) == F.col(b))
         if has_graph and graph_var is not None:
-            proj.append(F.col("graph").alias(graph_var))
+            if graph_var in seen:
+                # GRAPH ?g { … ?g … }: the graph variable also occurs in
+                # the pattern — equality constraint, not a second column
+                scan = scan.filter(F.col("graph") == F.col(seen[graph_var]))
+            else:
+                proj.append(F.col("graph").alias(graph_var))
         step = scan.select(*proj)
         if result is None:
             result = step

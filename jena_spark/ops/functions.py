@@ -84,7 +84,9 @@ def datatype(t: Column) -> Column:
 
 
 def numeric_value(t: Column) -> Column:
-    return F.when(is_numeric(t), lex(t).cast("double"))
+    # try_cast: a malformed lexical form (e.g. "abc"^^xsd:integer) is an
+    # *error* in SPARQL → unbound/null, never a job-killing ANSI cast crash
+    return F.when(is_numeric(t), lex(t).try_cast("double"))
 
 
 # ---------------------------------------------------------------------------

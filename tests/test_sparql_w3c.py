@@ -1,0 +1,66 @@
+"""W3C SPARQL 1.1 + DAWG evaluation suites over the SPARQL layer.
+
+Mirrors the reference's manifest-driven SPARQL testing
+(jena-arq/src/test/.../junit/sparql/tests/QueryEvalTest.java over the
+vendored rdf-tests-cg/sparql/sparql11 + DAWG-Final suites).
+
+Gate: zero FAILURES on every wired suite (skips = documented subset
+boundaries, reported), plus a pass-count floor per suite so silently
+skipping more tests can never masquerade as green.
+"""
+
+import os
+
+import pytest
+
+from jena_spark.w3c_sparql import run_sparql_dir, SPARQL11_DIR, DAWG_DIR
+
+# (base, subdir, min_pass) — min_pass is the pass count at wiring time;
+# regressions that turn passes into skips trip the floor.
+SUITES = [
+    (SPARQL11_DIR, "negation", 11),
+    (SPARQL11_DIR, "exists", 5),
+    (SPARQL11_DIR, "subquery", 10),
+    (SPARQL11_DIR, "bind", 10),
+    (SPARQL11_DIR, "grouping", 3),
+    (SPARQL11_DIR, "aggregates", 24),
+    (SPARQL11_DIR, "project-expression", 7),
+    (DAWG_DIR, "basic", 23),
+    (DAWG_DIR, "triple-match", 4),
+    (DAWG_DIR, "bound", 1),
+    (DAWG_DIR, "distinct", 11),
+    (DAWG_DIR, "sort", 10),
+    (DAWG_DIR, "ask", 4),
+    (DAWG_DIR, "construct", 3),
+    (DAWG_DIR, "optional", 4),
+    (DAWG_DIR, "optional-filter", 5),
+    (DAWG_DIR, "boolean-effective-value", 7),
+    (DAWG_DIR, "bnode-coreference", 1),
+    (DAWG_DIR, "graph", 12),
+    (DAWG_DIR, "expr-equals", 12),
+    (DAWG_DIR, "expr-ops", 6),
+    (DAWG_DIR, "algebra", 12),
+]
+
+# Documented exclusions (test name → why).
+EXCLUDE = {
+    # The DAWG WG approved BOTH answer sets for the -simplified/-not-
+    # simplified pair; an engine gives one or the other depending on
+    # whether it runs the LeftJoin simplification rewrite.  We match the
+    # not-simplified semantics (that twin passes), same choice as Jena
+    # without TransformSimplify.
+    "dawg-optional-filter-005-simplified":
+        "ambiguous by design; -not-simplified twin passes",
+}
+
+
+@pytest.mark.parametrize(
+    "base,sub,min_pass", SUITES, ids=[s[1] for s in SUITES]
+)
+def test_w3c_sparql_suite(spark, base, sub, min_pass):
+    p, f, s, details = run_sparql_dir(
+        spark, os.path.join(base, sub), exclude=set(EXCLUDE)
+    )
+    fails = [(n, d) for n, o, d in details if o == "fail"]
+    assert not fails, f"{sub}: {len(fails)} failures: {fails[:3]}"
+    assert p >= min_pass, f"{sub}: pass count dropped to {p} (< {min_pass})"
