@@ -131,11 +131,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def kg_salted_partitions(spark, sf):
         # hot-predicate salting: rdf:type rows spread over >1 partition id
+        # but over at most n_salts of them — asserted as constants so the
+        # layout property itself is oracle-checkable (the exact partition
+        # ids are Spark-side and not portable)
         tri = _doc_triples(spark, sf)
         salted = with_salted_partition(tri, n_partitions=16, n_salts=8)
         return (
             salted.filter(F.col("pred") == RDF_TYPE)
-            .agg(F.countDistinct("p_part").cast("long").alias("n_parts_rdf_type"))
+            .agg(
+                (F.countDistinct("p_part") > 1).cast("long").alias("spread_ok"),
+                (F.countDistinct("p_part") <= 8).cast("long").alias("cap_ok"),
+            )
         )
 
     def kg_sparql_graph(spark, sf):
@@ -209,14 +215,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
-    def alg_join(spark, sf):  # OpJoin (broadcast dim)
+    def alg_join(spark, sf):  # OpJoin — AQE picks broadcast from runtime stats
         o = _read(spark, sf, "orders")
         c = _read(spark, sf, "customer")
         n = _read(spark, sf, "nation")
         cents = F.round(F.col("o_totalprice") * 100).cast("long")
         return (
-            o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            o.join(c, o.o_custkey == c.c_custkey)
+            .join(n, c.c_nationkey == n.n_nationkey)
             .groupBy("n_name")
             .agg(F.sum(cents).alias("revenue_cents"), F.count("*").alias("n_orders"))
         )
@@ -659,7 +665,11 @@ def oracle_sql() -> dict[str, str]:
         f"CAST(5 AS BIGINT) AS triples_out FROM documents"
     )
 
-    # kg_salted_partitions: rows-only check (partition layout is Spark-side)
+    # the salting layout property (spread over >1 partition, ≤ n_salts)
+    # as constants — the concrete partition ids remain Spark-side
+    o["kg_salted_partitions"] = (
+        "SELECT CAST(1 AS BIGINT) AS spread_ok, CAST(1 AS BIGINT) AS cap_ok"
+    )
 
     o["alg_group_agg"] = (
         "SELECT l_returnflag, l_linestatus, "
@@ -908,31 +918,38 @@ def oracle_sql() -> dict[str, str]:
         "FROM embeddings ORDER BY cosine DESC, vec_id ASC LIMIT 20"
     )
 
-    cos = (
-        "list_dot_product(CAST({a} AS DOUBLE[]), {b}) / "
-        "(sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[]))) * "
-        "sqrt(list_dot_product({b}, {b})))"
-    )
-    cos_ee = (
-        "list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvec) / "
-        "(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * "
-        "sqrt(list_dot_product(c.cvec, c.cvec)))"
+    # mirrors pipelines/similarity.kmeans_centroids + ivf_topk: centroids
+    # initialized from the 16 rows first in md5(vec_id) order, refined by
+    # ONE Lloyd round with per-dimension means rounded to 6 decimals (the
+    # rounding is what makes Spark's and DuckDB's float summation orders
+    # agree), then probe the 4 centroids nearest the query
+    cos_vc = (
+        "list_dot_product(v, cvec) / "
+        "(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cvec, cvec)))"
     )
     o["ann_ivf_topk"] = (
-        "WITH cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec "
-        "FROM embeddings WHERE vec_id < 16), "
-        "assign AS (SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id "
-        f"ORDER BY {cos_ee} DESC, c.cid ASC) AS rk FROM embeddings e CROSS JOIN cents c), "
-        "best AS (SELECT vec_id, cid FROM assign WHERE rk = 1), "
-        "qprobe AS (SELECT cid FROM (SELECT cid, row_number() OVER (ORDER BY "
-        + cos.format(a="cvec", b=qlist).replace("CAST(cvec AS DOUBLE[])", "cvec")
-        + " DESC, cid ASC) AS rk FROM cents) WHERE rk <= 4) "
-        "SELECT e.vec_id, round("
-        + cos.format(a="e.embedding", b=qlist)
-        + ", 4) AS cosine "
-        "FROM embeddings e JOIN best b ON b.vec_id = e.vec_id "
-        "JOIN qprobe p ON p.cid = b.cid "
-        "ORDER BY cosine DESC, e.vec_id ASC LIMIT 20"
+        "WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        "ord AS (SELECT vec_id, v, row_number() OVER "
+        "(ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM emb), "
+        "cents0 AS (SELECT CAST(rn - 1 AS BIGINT) AS centroid_id, v AS cvec FROM ord WHERE rn <= 16), "
+        "a0 AS (SELECT emb.vec_id, centroid_id, row_number() OVER (PARTITION BY emb.vec_id "
+        f"ORDER BY {cos_vc} DESC, centroid_id ASC) AS rk FROM emb CROSS JOIN cents0), "
+        "b0 AS (SELECT vec_id, centroid_id FROM a0 WHERE rk = 1), "
+        "dims AS (SELECT CAST(i AS INT) AS i FROM range(1, 65) t(i)), "
+        "means AS (SELECT b0.centroid_id, dims.i, round(avg(emb.v[dims.i]), 6) AS m "
+        "FROM b0 JOIN emb USING (vec_id) CROSS JOIN dims GROUP BY b0.centroid_id, dims.i), "
+        "cents1 AS (SELECT centroid_id, list(m ORDER BY i) AS cvec FROM means GROUP BY centroid_id), "
+        "a1 AS (SELECT emb.vec_id, centroid_id, row_number() OVER (PARTITION BY emb.vec_id "
+        f"ORDER BY {cos_vc} DESC, centroid_id ASC) AS rk FROM emb CROSS JOIN cents1), "
+        "b1 AS (SELECT vec_id, centroid_id FROM a1 WHERE rk = 1), "
+        "qprobe AS (SELECT centroid_id FROM (SELECT centroid_id, row_number() OVER (ORDER BY "
+        f"list_dot_product(cvec, {qlist}) / (sqrt(list_dot_product(cvec, cvec)) * "
+        f"sqrt(list_dot_product({qlist}, {qlist}))) DESC, centroid_id ASC) AS rk "
+        "FROM cents1) WHERE rk <= 4) "
+        f"SELECT emb.vec_id, round(list_dot_product(v, {qlist}) / "
+        f"(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product({qlist}, {qlist}))), 4) AS cosine "
+        "FROM emb JOIN b1 USING (vec_id) JOIN qprobe USING (centroid_id) "
+        "ORDER BY cosine DESC, emb.vec_id ASC LIMIT 20"
     )
 
     o["mm_metadata"] = (

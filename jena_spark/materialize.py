@@ -137,6 +137,7 @@ def materialize_encoded(
     permutations: Sequence[str] = ("spo", "pos", "osp"),
     hot_predicates: Sequence[str] = DEFAULT_HOT_PREDICATES,
     node_table: Optional[DataFrame] = None,
+    audit_ids: bool = True,
 ) -> Dict[str, str]:
     """Late-materialized index build — the TDB2-faithful layout: the three
     sorted permutations store 8-byte NodeIds, not term strings (reference:
@@ -167,6 +168,16 @@ def materialize_encoded(
     if node_table is None:
         node_table = build_node_table(triples)
     node_table.write.mode("overwrite").parquet(os.path.join(out_dir, "nodes"))
+    if audit_ids:
+        # a 64-bit hash collision SILENTLY merges two graph nodes — at a
+        # 10^11-term vocabulary the birthday bound makes that an expected
+        # event, not a tail risk.  The audit is one agg over the freshly
+        # written dictionary (reads the parquet back, so it costs no
+        # extra lineage) and fails the build loudly; above ~10^10 terms
+        # prefer build_node_table(id_bits=128) and skip the audit.
+        from .nodetable import assert_ids_unique
+
+        assert_ids_unique(spark.read.parquet(os.path.join(out_dir, "nodes")))
 
     enc = encode_triples(triples.select(*key))
     if has_graph:

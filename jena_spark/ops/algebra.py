@@ -154,7 +154,7 @@ def path_transitive(
     triples: DataFrame,
     pred: str,
     zero: bool = False,
-    max_iters: int = 30,
+    max_iters: int = 50,
 ) -> DataFrame:
     """P_OneOrMore / P_ZeroOrMore: iterative join-until-fixpoint
     (semi-naive: only the frontier joins each round; each round's result
@@ -174,6 +174,7 @@ def path_transitive(
     )
     reach = edges.localCheckpoint(eager=True)
     frontier = reach
+    converged = False
     for _ in range(max_iters):
         grown = (
             frontier.withColumnRenamed("dst", "mid")
@@ -183,10 +184,18 @@ def path_transitive(
         )
         new = grown.exceptAll(reach).localCheckpoint(eager=True)
         if new.isEmpty():
+            converged = True
             break
         reach = reach.unionAll(new).localCheckpoint(eager=True)
         frontier = new
     edges.unpersist()
+    if not converged:
+        # a silently truncated closure is a WRONG answer, not a slow one
+        raise RuntimeError(
+            f"path_transitive({pred!r}) did not converge within "
+            f"{max_iters} iterations — raise max_iters (rounds needed = "
+            f"graph diameter along this predicate)"
+        )
     if zero:
         nodes = (
             triples.select(F.col("subj").alias("n"))

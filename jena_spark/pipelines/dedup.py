@@ -80,34 +80,78 @@ def minhash_candidates(
     id_col: str = "doc_id",
     bands: int = 4,
     rows_per_band: int = 2,
+    max_bucket_size: int = 1000,
+    log_fn=None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidate pairs
     (id_a < id_b).  Band key = md5 of the band's concatenated minima.
 
-    The band keys are computed once and persisted — each band self-join
-    has two legs, and without materialization every leg would recompute
-    the full signature plan (the md5-over-shingles scan)."""
+    Scale guards (the 100 TB design point):
+    - ONE self-join on (band_idx, band_key) covers every band — no
+      per-band join loop, no N-legged union;
+    - buckets are pre-counted; singleton buckets (count 1) are pruned
+      before the join, and buckets larger than ``max_bucket_size`` are
+      DROPPED — one license-header bucket with 10^6 members would emit
+      ~10^12 pairs and kill the job; standard MinHashLSH practice is to
+      cap and report.  AQE skew-join spreads a merely-large bucket's
+      shuffle, but only the cap shrinks the quadratic *output*.
+    - ``log_fn`` (e.g. ``print``/logger) receives one line with the
+      number of dropped buckets and their member mass, so truncation is
+      never silent.
+    """
     sig_cols = [c for c in signatures.columns if c.startswith("mh_")]
     assert len(sig_cols) >= bands * rows_per_band
-    keyed = signatures.select(
-        F.col(id_col),
+    band_structs = F.array(
         *[
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[F.col(c) for c in sig_cols[b * rows_per_band : (b + 1) * rows_per_band]],
-                )
-            ).alias(f"band_{b}")
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(c)
+                            for c in sig_cols[
+                                b * rows_per_band : (b + 1) * rows_per_band
+                            ]
+                        ],
+                    )
+                ).alias("band_key"),
+            )
             for b in range(bands)
-        ],
-    ).persist()
-    pairs: Optional[DataFrame] = None
-    for b in range(bands):
-        banded = keyed.select(F.col(id_col), F.col(f"band_{b}").alias("band_key"))
-        left = banded.withColumnRenamed(id_col, "id_a")
-        right = banded.withColumnRenamed(id_col, "id_b")
-        p = left.join(right, "band_key").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
-        pairs = p if pairs is None else pairs.unionAll(p)
+        ]
+    )
+    long = (
+        signatures.select(F.col(id_col), F.explode(band_structs).alias("bk"))
+        .select(F.col(id_col), F.col("bk.band_idx"), F.col("bk.band_key"))
+        .persist()
+    )
+    counts = long.groupBy("band_idx", "band_key").count()
+    if log_fn is not None:
+        dropped = (
+            counts.filter(F.col("count") > max_bucket_size)
+            .agg(
+                F.count("*").alias("n_buckets"),
+                F.coalesce(F.sum("count"), F.lit(0)).alias("n_members"),
+            )
+            .collect()[0]
+        )
+        if dropped["n_buckets"]:
+            log_fn(
+                f"minhash_candidates: dropped {dropped['n_buckets']} "
+                f"over-cap buckets (> {max_bucket_size}) covering "
+                f"{dropped['n_members']} doc slots"
+            )
+    eligible = counts.filter(
+        (F.col("count") >= 2) & (F.col("count") <= max_bucket_size)
+    ).select("band_idx", "band_key")
+    filtered = long.join(eligible, ["band_idx", "band_key"], "left_semi")
+    left = filtered.withColumnRenamed(id_col, "id_a")
+    right = filtered.withColumnRenamed(id_col, "id_b")
+    pairs = (
+        left.join(right, ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
     return pairs.distinct()
 
 

@@ -4,19 +4,25 @@
   baseline.  Dot products via ``F.zip_with`` + ``F.aggregate`` (JVM-side,
   no Python).  At scale this is one narrow map + TakeOrderedAndProject —
   no shuffle of the vectors themselves.
-- :func:`ivf_topk` — the scale path: IVF-style bucketing.  Centroids are
-  a deterministic sample (vec_id < n_centroids); every vector is assigned
-  to its nearest centroid once (narrow, cacheable), queries probe only the
-  ``n_probe`` nearest buckets → scan cost drops by
-  n_centroids/n_probe.  On a cluster the assignment table is bucketed by
-  centroid id so a probe is partition-pruned.
+- :func:`ivf_topk` — the scale path: IVF-style bucketing.  Centroids
+  start from a hash-ordered sample (md5 of the id — independent of id
+  assignment order, so a skewed or sorted corpus cannot bias the picks)
+  and are refined by :func:`kmeans_centroids` Lloyd iterations, all in
+  DataFrame ops (assignment = broadcast crossJoin + argmax; new means =
+  posexplode + per-dimension avg).  Every vector is assigned to its
+  nearest centroid once (narrow, cacheable); queries probe only the
+  ``n_probe`` nearest buckets → scan cost drops by n_centroids/n_probe.
+  On a cluster the assignment table is bucketed by centroid id so a
+  probe is partition-pruned.  Means are rounded to 6 decimals so an
+  external oracle (DuckDB) reproduces assignments bit-for-bit despite
+  float summation-order differences.
 """
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -57,32 +63,93 @@ def cosine_topk(
     )
 
 
+def _nearest(
+    embeddings: DataFrame, cents: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, centroid_id) of the nearest centroid per vector — broadcast
+    crossJoin + argmax struct (ties → lowest centroid_id)."""
+    v = F.col(vec_col).cast("array<double>")
+    scored = (
+        embeddings.select(F.col(id_col), v.alias("__v"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("__cos", cosine_col(F.col("__v"), F.col("cvec")))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(F.col("__cos"), (-F.col("centroid_id")).alias("negc"))
+            ).alias("m")
+        )
+        .select(F.col(id_col), (-F.col("m.negc")).cast("long").alias("centroid_id"))
+    )
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """Deterministic k-means: init = the n_centroids rows first in
+    md5(id) order (an order-free pseudo-random sample), then ``iters``
+    Lloyd rounds (k-means‖-lite; one round already fixes the
+    arbitrary-sample quality problem for probing).  Returns
+    (centroid_id, cvec).  Clusters that lose every member drop out."""
+    v = F.col(vec_col).cast("array<double>")
+    hkey = F.md5(F.col(id_col).cast("string"))
+    sample = (
+        embeddings.select(F.col(id_col), v.alias("cvec"), hkey.alias("__h"))
+        .orderBy("__h", id_col)
+        .limit(n_centroids)
+    )
+    w = Window.orderBy("__h", id_col)
+    cents = sample.select(
+        (F.row_number().over(w) - 1).cast("long").alias("centroid_id"), "cvec"
+    )
+    for _ in range(iters):
+        assigned = _nearest(embeddings, cents, id_col, vec_col)
+        joined = assigned.join(
+            embeddings.select(F.col(id_col), v.alias("__v")), id_col
+        )
+        dims = joined.select(
+            "centroid_id", F.posexplode("__v").alias("pos", "val")
+        )
+        cents = (
+            dims.groupBy("centroid_id", "pos")
+            .agg(F.round(F.avg("val"), decimals).alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cvec")
+            )
+        )
+    # materialize: the centroid table is tiny and consumed by ≥2 plans
+    return cents.localCheckpoint(eager=True)
+
+
 def assign_ivf(
     embeddings: DataFrame,
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: Optional[DataFrame] = None,
+    kmeans_iters: int = 1,
 ) -> DataFrame:
-    """Assign each vector to its nearest deterministic centroid
-    (centroid set = rows with id < n_centroids — seeded, reproducible).
-    Returns embeddings + ``centroid_id``.  One broadcast join; no shuffle
-    of the embedding column."""
+    """Assign each vector to its nearest centroid (k-means centroids by
+    default; pass ``centroids`` to reuse a prebuilt (centroid_id, cvec)
+    table).  Returns embeddings + ``centroid_id``.  One broadcast join;
+    no shuffle of the embedding column."""
     cents = (
-        embeddings.filter(F.col(id_col) < n_centroids)
-        .select(
-            F.col(id_col).alias("centroid_id"),
-            F.col(vec_col).cast("array<double>").alias("cvec"),
-        )
+        centroids
+        if centroids is not None
+        else kmeans_centroids(embeddings, n_centroids, kmeans_iters, id_col, vec_col)
     )
-    joined = embeddings.crossJoin(F.broadcast(cents))
-    v = F.col(vec_col).cast("array<double>")
-    scored = joined.withColumn("__cos", cosine_col(v, F.col("cvec")))
-    w = F.struct(F.col("__cos"), (-F.col("centroid_id")).alias("neg"))
-    best = (
-        scored.groupBy(id_col)
-        .agg(F.max(F.struct(F.col("__cos"), (-F.col("centroid_id")).alias("negc"))).alias("m"))
-        .select(F.col(id_col), (-F.col("m.negc")).cast("long").alias("centroid_id"))
-    )
+    best = _nearest(embeddings, cents, id_col, vec_col)
     return embeddings.join(best, id_col)
 
 
@@ -95,22 +162,26 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     decimals: int = 4,
+    kmeans_iters: int = 1,
 ) -> DataFrame:
     """Approximate top-k: probe the n_probe centroids nearest the query,
     then brute-force within those buckets only."""
-    assigned = assign_ivf(embeddings, n_centroids, id_col, vec_col)
+    cents = kmeans_centroids(
+        embeddings, n_centroids, kmeans_iters, id_col, vec_col
+    )
+    assigned = assign_ivf(
+        embeddings, n_centroids, id_col, vec_col, centroids=cents
+    )
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    cents = (
-        embeddings.filter(F.col(id_col) < n_centroids)
-        .select(
-            F.col(id_col).alias("centroid_id"),
-            cosine_col(F.col(vec_col).cast("array<double>"), q).alias("qcos"),
+    probe = (
+        cents.select(
+            "centroid_id", cosine_col(F.col("cvec"), q).alias("qcos")
         )
         .orderBy(F.desc("qcos"), F.asc("centroid_id"))
         .limit(n_probe)
         .select("centroid_id")
     )
-    probed = assigned.join(F.broadcast(cents), "centroid_id")
+    probed = assigned.join(F.broadcast(probe), "centroid_id")
     v = F.col(vec_col).cast("array<double>")
     return (
         probed.select(

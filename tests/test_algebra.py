@@ -102,3 +102,16 @@ def test_path_transitive_cycle_terminates(spark):
 def test_facet_counts(tri):
     out = facet_counts(tri, RDF_TYPE).collect()
     assert [(r["facet_value"], r["facet_count"]) for r in out] == [("<T>", 2)]
+
+
+def test_path_transitive_nonconvergence_raises(spark):
+    # a 40-deep chain with max_iters=5 must raise, not silently truncate
+    rows = [(f"<n{i}>", "<p>", f"<n{i+1}>") for i in range(40)]
+    tri = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        path_transitive(tri, "<p>", max_iters=5)
+    # and with enough headroom it completes: n0 reaches all 40 successors
+    full = path_transitive(tri, "<p>")
+    assert full.filter(F.col("src") == "<n0>").count() == 40

@@ -136,3 +136,57 @@ def test_linking_pr_gates(spark):
     recall = correct / gold.count()
     assert precision >= 0.9, f"precision {precision:.3f}"
     assert recall >= 0.9, f"recall {recall:.3f}"
+
+
+# --- round 2: scale guards ---------------------------------------------------
+
+
+def test_ivf_recall_skewed_corpus(spark):
+    """k-means centroids must give usable buckets on a skewed corpus
+    (90% of vectors clustered in one direction) where 'first n ids'
+    sampling would waste most centroids on one cluster."""
+    import math
+
+    rows = []
+    for i in range(200):
+        if i < 180:  # dense cluster near e0 with small deterministic jitter
+            v = [1.0 + 0.001 * ((i * 7) % 11)] + [
+                0.01 * ((i * 13 + j) % 5) for j in range(1, 8)
+            ]
+        else:  # spread tail in other directions
+            v = [0.1] * 8
+            v[(i % 7) + 1] = 2.0 + 0.1 * (i % 3)
+        n = math.sqrt(sum(x * x for x in v))
+        rows.append((i, [x / n for x in v]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qv = rows[190][1]  # query inside the spread tail
+    exact = [r["vec_id"] for r in sim.cosine_topk(emb, qv, k=10).collect()]
+    approx = [
+        r["vec_id"]
+        for r in sim.ivf_topk(emb, qv, k=10, n_centroids=8, n_probe=4).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.9
+
+
+def test_lsh_bucket_cap_prevents_quadratic_blowup(spark):
+    """A degenerate bucket (every doc identical ⇒ one band bucket of 1000)
+    must be dropped by the cap instead of emitting ~500k pairs."""
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate license header text") for i in range(1000)],
+        ["doc_id", "text"],
+    )
+    sigs = dd.minhash_signatures(docs, num_perm=8)
+    msgs = []
+    capped = dd.minhash_candidates(
+        sigs, bands=4, rows_per_band=2, max_bucket_size=100, log_fn=msgs.append
+    )
+    assert capped.count() == 0  # dropped, not exploded
+    assert msgs and "dropped" in msgs[0]
+    # sanity: cap high enough → pairs do appear (and would be quadratic)
+    few = spark.createDataFrame(
+        [(i, "the same boilerplate license header text") for i in range(10)],
+        ["doc_id", "text"],
+    )
+    sigs2 = dd.minhash_signatures(few, num_perm=8)
+    assert dd.minhash_candidates(sigs2, max_bucket_size=100).count() == 45

@@ -198,3 +198,26 @@ def test_streaming_extraction(spark, tmp_path):
     got = spark.read.parquet(out).select("subj", "pred", "obj")
     want = run_extraction(batch).select("subj", "pred", "obj")
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_node_id_collision_audit(spark, tmp_path):
+    """materialize_encoded must run the id-uniqueness audit by default:
+    a synthetic collision (forced via a poisoned node table) fails the
+    build loudly instead of silently merging two graph nodes."""
+    from jena_spark.materialize import materialize_encoded
+
+    tri = spark.createDataFrame(
+        [("<a>", "<p>", "<b>"), ("<c>", "<p>", "<d>")],
+        ["subj", "pred", "obj"],
+    )
+    poisoned = spark.createDataFrame(
+        [("<a>", 1), ("<b>", 1), ("<c>", 2), ("<d>", 3), ("<p>", 4)],
+        ["term", "node_id"],
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="collision"):
+        materialize_encoded(tri, str(tmp_path / "enc"), node_table=poisoned)
+    # clean table passes (audit on by default)
+    out = materialize_encoded(tri, str(tmp_path / "enc2"))
+    assert "spo" in out
