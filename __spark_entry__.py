@@ -185,8 +185,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                }""",
         )
 
+    def kg_sparql_negation(spark, sf):
+        # FILTER NOT EXISTS + MINUS (OpExecutor negation; round-2 feature)
+        from jena_spark.ops.sparql import sparql_select
+
+        tri = _doc_triples(spark, sf)
+        return sparql_select(
+            tri,
+            """PREFIX ex: <http://example.org/>
+               SELECT ?doc WHERE {
+                 ?doc a ex:Document .
+                 FILTER NOT EXISTS { ?doc ex:shard ex:shard3 }
+                 MINUS { ?doc ex:shard ex:shard5 }
+               }""",
+        )
+
+    def kg_sparql_having(spark, sf):
+        # GROUP BY + HAVING over an aggregate call (round-2 feature)
+        from jena_spark.ops.sparql import sparql_select
+
+        tri = _doc_triples(spark, sf)
+        return sparql_select(
+            tri,
+            """PREFIX ex: <http://example.org/>
+               SELECT ?lang (COUNT(?doc) AS ?n) WHERE { ?doc ex:lang ?lang }
+               GROUP BY ?lang HAVING(COUNT(?doc) >= 10)""",
+        )
+
+    def kg_sparql_subquery(spark, sf):
+        # subquery joined with the outer pattern (round-2 feature)
+        from jena_spark.ops.sparql import sparql_select
+
+        tri = _doc_triples(spark, sf)
+        return sparql_select(
+            tri,
+            """PREFIX ex: <http://example.org/>
+               SELECT ?doc ?n WHERE {
+                 ?doc ex:shard ex:shard1 .
+                 { SELECT ?doc (COUNT(?p) AS ?n) WHERE { ?doc ?p ?o }
+                   GROUP BY ?doc }
+               }""",
+        )
+
     q.update(
         kg_sparql_select=kg_sparql_select,
+        kg_sparql_negation=kg_sparql_negation,
+        kg_sparql_having=kg_sparql_having,
+        kg_sparql_subquery=kg_sparql_subquery,
         kg_sparql_graph=kg_sparql_graph,
         kg_trig_quads=kg_trig_quads,
         kg_graph_names=kg_graph_names,
@@ -596,6 +641,21 @@ def oracle_sql() -> dict[str, str]:
         "SELECT '<http://example.org/doc' || doc_id || '>' AS doc, "
         "'\"' || lang || '\"' AS lang FROM documents "
         "WHERE doc_id % 8 = 3 AND ('doc' || doc_id) LIKE 'doc1%'"
+    )
+
+    o["kg_sparql_negation"] = (
+        "SELECT '<http://example.org/doc' || doc_id || '>' AS doc "
+        "FROM documents WHERE doc_id % 8 <> 3 AND doc_id % 8 <> 5"
+    )
+
+    o["kg_sparql_having"] = (
+        "SELECT '\"' || lang || '\"' AS lang, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM documents GROUP BY lang HAVING COUNT(*) >= 10"
+    )
+
+    o["kg_sparql_subquery"] = (
+        "SELECT '<http://example.org/doc' || doc_id || '>' AS doc, "
+        "CAST(5 AS BIGINT) AS n FROM documents WHERE doc_id % 8 = 1"
     )
 
     o["kg_sparql_graph"] = (

@@ -400,7 +400,10 @@ class SparqlParser:
         self._agg_hoist, self._allow_aggs = outer_hoist, outer_allow
         return q
 
-    _AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT"}
+    _AGG_FNS = {
+        "COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT",
+        "MODE", "FOLD",
+    }
 
     def _agg_call(self) -> Tuple[str, Optional[str], bool, str]:
         """FN([DISTINCT] ?v | * [; SEPARATOR="…"]) — the call part, shared
@@ -1307,6 +1310,38 @@ def _agg_column(item: AggItem):
         return (F.min(key) if fn == "MIN" else F.max(key)), "t"
     if fn == "SAMPLE":
         return F.min(col), None
+    if fn == "MODE":
+        # AggMode (Jena fork aggregate): most frequent value; ties break
+        # to the smallest term so the result is deterministic.  Collected
+        # per group then counted array-side — groups are aggregate inputs,
+        # bounded by the grouping key's fan-in.
+        lst = F.collect_list(col)
+
+        def post_mode(c):
+            counted = F.transform(
+                F.array_distinct(c),
+                lambda x: F.struct(
+                    F.size(F.filter(c, lambda y: y == x)).alias("n"),
+                    x.alias("v"),
+                ),
+            )
+            best = F.array_sort(
+                counted,
+                lambda a, b: F.when(a["n"] != b["n"], b["n"] - a["n"]).otherwise(
+                    F.when(a["v"] < b["v"], F.lit(-1))
+                    .when(a["v"] > b["v"], F.lit(1))
+                    .otherwise(F.lit(0))
+                ),
+            )
+            return F.element_at(best, 1)["v"]
+
+        return lst, post_mode
+    if fn == "FOLD":
+        # AggFoldList: collect the group's terms into a list value —
+        # sorted (SPARQL leaves order undefined; we pin it for
+        # cross-run determinism, like GROUP_CONCAT)
+        vals = F.collect_set(col) if distinct else F.collect_list(col)
+        return F.array_sort(vals), None
     if fn == "GROUP_CONCAT":
         # AggGroupConcat: joins lexical forms (default separator " ") and
         # keeps the language tag when every input shares it.  Order is
@@ -1410,7 +1445,12 @@ def _compile_select(
             posts = [("__agg___cnt", "__cnt", None)]
         gdf = df.groupBy(*q.group_by).agg(*aggs) if q.group_by else df.agg(*aggs)
         for tmp, alias, post in posts:
-            gdf = gdf.withColumn(alias, F.col(f"{tmp}.{post}") if post else F.col(tmp))
+            if callable(post):
+                gdf = gdf.withColumn(alias, post(F.col(tmp)))
+            elif post:
+                gdf = gdf.withColumn(alias, F.col(f"{tmp}.{post}"))
+            else:
+                gdf = gdf.withColumn(alias, F.col(tmp))
             gdf = gdf.drop(tmp)
         gdf = gdf.drop("__cnt")
         if q.having is not None:

@@ -409,3 +409,27 @@ def test_union_null_then_join_compatible(tri):
         ("<http://e/a>", '"alice"'),
         ("<http://e/b>", '"bob"'),
     ]
+
+
+def test_mode_fold_aggregates(tri):
+    out = sparql_select(
+        tri,
+        """PREFIX e: <http://e/>
+           SELECT (MODE(?t) AS ?m) (FOLD(?t) AS ?all)
+           WHERE { ?p a ?t }""",
+    )
+    r = out.collect()[0]
+    assert r["m"] == "<http://e/Person>"  # 2 Persons vs 1 Robot
+    assert list(r["all"]) == [
+        "<http://e/Person>", "<http://e/Person>", "<http://e/Robot>"
+    ]
+
+
+def test_mode_tie_breaks_to_smallest_term(tri):
+    out = sparql_select(
+        tri,
+        """PREFIX e: <http://e/>
+           SELECT (MODE(?n) AS ?m) WHERE { ?p e:name ?n }""",
+    )
+    # alice and bob appear once each -> smallest term wins
+    assert out.collect()[0]["m"] == '"alice"'
