@@ -22,6 +22,7 @@ from ..terms import (
     mk_bnode,
     mk_iri,
     mk_literal,
+    mk_tripleterm,
 )
 from ..iri import split_iri
 from .tokenizer import (
@@ -31,6 +32,8 @@ from .tokenizer import (
     T_HATHAT,
     T_IRI,
     T_LANGTAG,
+    T_LTT,
+    T_RTT,
     T_STRING,
     Token,
     Tokenizer,
@@ -74,6 +77,15 @@ class _NTupleParser:
                     tz.next_token(),
                 )
             return mk_literal(tok.value), nxt
+        if tok.type == T_LTT:
+            # RDF 1.2 triple term <<( s p o )>> — object position only;
+            # the positional check lives in parse() (LangNTuple.java:138-144)
+            s, nxt = self._node(tz.next_token(), tz)
+            p, nxt = self._node(nxt, tz)
+            o, nxt = self._node(nxt, tz)
+            if nxt.type != T_RTT:
+                raise RDFSyntaxError("expected ')>>' closing a triple term")
+            return mk_tripleterm(s, p, o), tz.next_token()
         raise RDFSyntaxError(f"unexpected token {tok.type} in N-tuple")
 
     def parse(self) -> List[Quad]:
@@ -82,8 +94,8 @@ class _NTupleParser:
         tok = tz.next_token()
         while tok.type != T_EOF:
             s, tok = self._node(tok, tz)
-            if s.kind == "literal":
-                raise RDFSyntaxError("literal as subject")
+            if s.kind not in ("iri", "bnode"):
+                raise RDFSyntaxError(f"{s.kind} as subject")
             p, tok = self._node(tok, tz)
             if p.kind != "iri":
                 raise RDFSyntaxError("predicate must be an IRI")
@@ -91,8 +103,8 @@ class _NTupleParser:
             g: Optional[Term] = None
             if self.quads and tok.type != T_DOT:
                 g, tok = self._node(tok, tz)
-                if g.kind == "literal":
-                    raise RDFSyntaxError("literal as graph name")
+                if g.kind not in ("iri", "bnode"):
+                    raise RDFSyntaxError(f"{g.kind} as graph name")
             if tok.type != T_DOT:
                 raise RDFSyntaxError(f"expected '.' at end of statement, got {tok.type}")
             out.append((g.nt() if g else None, s.nt(), p.nt(), o.nt()))

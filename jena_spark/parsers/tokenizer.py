@@ -40,6 +40,15 @@ T_HATHAT = "^^"
 T_AT_PREFIX = "@prefix"
 T_AT_BASE = "@base"
 T_EOF = "EOF"
+# RDF 1.2 (rdf12 grammar: LangNTuple.java:138-144, LangTurtleBase reified
+# triples / annotation blocks)
+T_LTT = "<<("                # triple term open
+T_RTT = ")>>"                # triple term close
+T_LQT = "<<"                 # reified-triple open (Turtle only)
+T_RQT = ">>"                 # reified-triple close
+T_LANN = "{|"                # annotation block open
+T_RANN = "|}"                # annotation block close
+T_TILDE = "~"                # reifier marker
 T_VAR = "VAR"                # SPARQL ?name / $name (sparql mode only)
 T_OP = "OP"                  # SPARQL operator: = != < > <= >= && || ! * / + -
 
@@ -146,6 +155,15 @@ class Tokenizer:
             # start an IRIREF (followed by space, '=', digit, or var)
             if self.sparql and self._peek(1) in " \t\r\n=?$0123456789":
                 return self._sparql_op()
+            if not self.sparql and self._peek(1) == "<":
+                # RDF 1.2: "<<(" triple term / "<<" reified triple
+                if self._peek(2) == "(":
+                    self.i += 3
+                    return Token(T_LTT, line=ln)
+                if self.strict:
+                    raise self._err("'<<' reified triple not allowed in N-Triples")
+                self.i += 2
+                return Token(T_LQT, line=ln)
             return self._iri()
         if c == '"' or c == "'":
             if self.strict and c == "'":
@@ -167,8 +185,25 @@ class Tokenizer:
             # '.' may start a decimal like .5 (Turtle DOUBLE/DECIMAL)
             if c == "." and not self.strict and self._peek(1) in _DIGITS:
                 return self._number()
+            # RDF 1.2 closers/openers that share a first character
+            if c == ")" and self._peek(1) == ">" and self._peek(2) == ">":
+                self.i += 3
+                return Token(T_RTT, line=ln)
+            if c == "{" and not self.sparql and self._peek(1) == "|":
+                self.i += 2
+                return Token(T_LANN, line=ln)
             self.i += 1
             return Token(c, line=ln)
+        if not self.sparql:
+            if c == ">" and self._peek(1) == ">":
+                self.i += 2
+                return Token(T_RQT, line=ln)
+            if c == "|" and self._peek(1) == "}":
+                self.i += 2
+                return Token(T_RANN, line=ln)
+            if c == "~" and not self.strict:
+                self.i += 1
+                return Token(T_TILDE, line=ln)
         if self.sparql:
             if c in "?$":
                 return self._sparql_var()
@@ -369,10 +404,24 @@ class Tokenizer:
             return Token(T_AT_BASE, line=ln)
         if not word:
             raise self._err("empty language tag")
-        # LANGTAG: [a-zA-Z]+ ('-' [a-zA-Z0-9]+)*
+        # LANGTAG: [a-zA-Z]+ ('-' [a-zA-Z0-9]+)* ('--' [a-zA-Z]+)?
+        # (the '--dir' suffix is the RDF 1.2 base-direction:
+        # ParserProfileStd.java:335-343; value keeps the raw '--dir')
         parts = [word]
+        direction = None
         while j < self.n and s[j] == "-":
             k = j + 1
+            if k < self.n and s[k] == "-":
+                # '--' starts the direction suffix
+                m = k + 1
+                d0 = m
+                while m < self.n and s[m].isascii() and s[m].isalpha():
+                    m += 1
+                if m == d0:
+                    raise self._err("empty base direction after '--'")
+                direction = s[d0:m]
+                j = m
+                break
             m = k
             while m < self.n and s[m].isascii() and s[m].isalnum():
                 m += 1
@@ -381,7 +430,10 @@ class Tokenizer:
             parts.append(s[k:m])
             j = m
         self.i = j
-        return Token(T_LANGTAG, "-".join(parts), line=ln)
+        tag = "-".join(parts)
+        if direction is not None:
+            tag = f"{tag}--{direction}"
+        return Token(T_LANGTAG, tag, line=ln)
 
     def _number(self) -> Token:
         ln = self.line

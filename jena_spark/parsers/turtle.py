@@ -34,6 +34,7 @@ from ..terms import (
     mk_bnode,
     mk_iri,
     mk_literal,
+    mk_tripleterm,
 )
 from .tokenizer import (
     T_AT_BASE,
@@ -49,15 +50,22 @@ from .tokenizer import (
     T_IRI,
     T_KEYWORD,
     T_LANGTAG,
+    T_LANN,
     T_LBRACE,
     T_LBRACKET,
     T_LPAREN,
+    T_LQT,
+    T_LTT,
     T_PNAME,
+    T_RANN,
     T_RBRACE,
     T_RBRACKET,
     T_RPAREN,
+    T_RQT,
+    T_RTT,
     T_SEMI,
     T_STRING,
+    T_TILDE,
     Token,
     Tokenizer,
 )
@@ -69,6 +77,10 @@ _RDF_TYPE_TERM = mk_iri(RDF_TYPE)
 _RDF_NIL_TERM = mk_iri(RDF_NIL)
 _RDF_FIRST_TERM = mk_iri(RDF_FIRST)
 _RDF_REST_TERM = mk_iri(RDF_REST)
+# RDF 1.2 reification (LangTurtleBase reified triples / annotations)
+_RDF_REIFIES_TERM = mk_iri(
+    "http://www.w3.org/1999/02/22-rdf-syntax-ns#reifies"
+)
 
 
 class TurtleParser:
@@ -138,6 +150,13 @@ class TurtleParser:
             self._advance()
             self._directive_base(at_form=True)
             return
+        if t.type == T_LANGTAG and t.value == "version":
+            # '@version "1.2"' — the tokenizer lexes '@version' as a
+            # langtag; accepted (and ignored) as a directive, '.'-form
+            self._advance()
+            self._version_string()
+            self._expect(T_DOT)
+            return
         if t.type == T_KEYWORD:
             kw = t.value.lower()
             if kw == "prefix":
@@ -147,6 +166,13 @@ class TurtleParser:
             if kw == "base":
                 self._advance()
                 self._directive_base(at_form=False)
+                return
+            if kw == "version":
+                # Turtle 1.2 VERSION directive (case-insensitive, no dot)
+                self._advance()
+                self._version_string()
+                if self.tok.type == T_DOT:
+                    raise RDFSyntaxError("VERSION takes no '.'")
                 return
             if self.trig and kw == "graph":
                 self._advance()
@@ -162,6 +188,11 @@ class TurtleParser:
             self._expect(T_DOT)
 
     # -- directives ------------------------------------------------------
+
+    def _version_string(self) -> None:
+        t = self._expect(T_STRING)
+        if t.value2 not in ('"', "'"):
+            raise RDFSyntaxError("VERSION takes a short quoted string")
 
     def _directive_prefix(self, at_form: bool) -> None:
         t = self._expect(T_PNAME)
@@ -274,7 +305,10 @@ class TurtleParser:
             subj = self._collection()
             self._predicate_object_list(subj)
             return
+        reified_subj = t.type == T_LQT
         subj = self._subject()
+        if reified_subj and self.tok.type in (T_DOT, T_RBRACE):
+            return  # "<<:s :p :o>> ." — the reifies triple alone is legal
         self._predicate_object_list(subj)
 
     def _subject(self) -> Term:
@@ -284,6 +318,9 @@ class TurtleParser:
         if t.type == T_BNODE:
             self._advance()
             return mk_bnode(self.alloc.get(t.value))
+        if t.type == T_LQT:
+            # reified triple as subject: "<<:s :p :o>> :q :z ."
+            return self._reified_triple()
         raise RDFSyntaxError(f"line {t.line}: bad subject token {t.type}")
 
     def _predicate_object_list(self, subj: Term) -> None:
@@ -295,7 +332,7 @@ class TurtleParser:
             while self.tok.type == T_SEMI:
                 self._advance()
             # after ';' the next verb is optional (trailing semicolons)
-            if self.tok.type in (T_DOT, T_RBRACKET, T_RBRACE):
+            if self.tok.type in (T_DOT, T_RBRACKET, T_RBRACE, T_RANN):
                 return
 
     def _verb(self) -> Term:
@@ -311,9 +348,109 @@ class TurtleParser:
         while True:
             obj = self._object()
             self._emit(subj, pred, obj)
+            self._annotations(subj, pred, obj)
             if self.tok.type != T_COMMA:
                 return
             self._advance()
+
+    def _annotations(self, subj: Term, pred: Term, obj: Term) -> None:
+        """RDF 1.2 annotation syntax after an object:
+        ``~reifier`` and/or ``{| predicateObjectList |}`` blocks
+        (LangTurtleBase.java:686-745).  Each emits
+        (reifier, rdf:reifies, <<( s p o )>>); an annotation block
+        following a ``~reifier`` reuses that reifier."""
+        cur: Optional[Term] = None
+        while self.tok.type in (T_TILDE, T_LANN):
+            if self.tok.type == T_TILDE:
+                self._advance()
+                if self.tok.type in (T_IRI, T_PNAME):
+                    cur = self._iri_node()
+                elif self.tok.type == T_BNODE:
+                    t = self._advance()
+                    cur = mk_bnode(self.alloc.get(t.value))
+                else:
+                    cur = mk_bnode(self.alloc.fresh())
+                self._emit(cur, _RDF_REIFIES_TERM, mk_tripleterm(subj, pred, obj))
+            else:
+                self._advance()  # '{|'
+                if cur is None:
+                    cur = mk_bnode(self.alloc.fresh())
+                    self._emit(
+                        cur, _RDF_REIFIES_TERM, mk_tripleterm(subj, pred, obj)
+                    )
+                self._predicate_object_list(cur)
+                self._expect(T_RANN)
+                cur = None  # a further block gets its own fresh reifier
+
+    def _reified_triple(self) -> Term:
+        """``<< s p o (~ r)? >>`` — allocates (or takes) a reifier term R,
+        emits (R, rdf:reifies, <<( s p o )>>) and returns R.  The base
+        triple is NOT asserted (turtle12-eval-rt-01)."""
+        self._expect(T_LQT)
+        s = self._rt_term(subject=True)
+        p = self._verb()
+        o = self._rt_term(subject=False)
+        reifier: Optional[Term] = None
+        if self.tok.type == T_TILDE:
+            self._advance()
+            if self.tok.type in (T_IRI, T_PNAME):
+                reifier = self._iri_node()
+            elif self.tok.type == T_BNODE:
+                t = self._advance()
+                reifier = mk_bnode(self.alloc.get(t.value))
+        if reifier is None:
+            reifier = mk_bnode(self.alloc.fresh())
+        self._expect(T_RQT)
+        self._emit(reifier, _RDF_REIFIES_TERM, mk_tripleterm(s, p, o))
+        return reifier
+
+    def _triple_term(self) -> Term:
+        """``<<( s p o )>>`` — a term (object position only)."""
+        self._expect(T_LTT)
+        s = self._rt_term(subject=True, allow_reified=False)
+        p = self._verb()
+        o = self._rt_term(subject=False, allow_reified=False)
+        self._expect(T_RTT)
+        return mk_tripleterm(s, p, o)
+
+    def _rt_term(self, subject: bool, allow_reified: bool = True) -> Term:
+        """A term inside ``<< … >>`` / ``<<( … )>>``: IRI or bnode;
+        objects may also be literals, triple terms, or (in reified
+        triples) nested reified triples."""
+        t = self.tok
+        if t.type in (T_IRI, T_PNAME):
+            return self._iri_node()
+        if t.type == T_BNODE:
+            self._advance()
+            return mk_bnode(self.alloc.get(t.value))
+        if t.type == T_LBRACKET:
+            # ANON only — a property list inside a triple term is illegal
+            self._advance()
+            self._expect(T_RBRACKET)
+            return mk_bnode(self.alloc.fresh())
+        if allow_reified and t.type == T_LQT:
+            # rtSubject and rtObject both admit a nested reified triple
+            return self._reified_triple()
+        if not subject:
+            if t.type == T_LTT:
+                return self._triple_term()
+            if t.type == T_STRING:
+                return self._rdf_literal()
+            if t.type == T_INTEGER:
+                self._advance()
+                return mk_literal(t.value, datatype=XSD_INTEGER)
+            if t.type == T_DECIMAL:
+                self._advance()
+                return mk_literal(t.value, datatype=XSD_DECIMAL)
+            if t.type == T_DOUBLE:
+                self._advance()
+                return mk_literal(t.value, datatype=XSD_DOUBLE)
+            if t.type == T_KEYWORD and t.value in ("true", "false"):
+                self._advance()
+                return mk_literal(t.value, datatype=XSD_BOOLEAN)
+        raise RDFSyntaxError(
+            f"line {t.line}: bad term {t.type} inside reified/triple term"
+        )
 
     def _object(self) -> Term:
         t = self.tok
@@ -340,6 +477,10 @@ class TurtleParser:
         if t.type == T_KEYWORD and t.value in ("true", "false"):
             self._advance()
             return mk_literal(t.value, datatype=XSD_BOOLEAN)
+        if t.type == T_LTT:
+            return self._triple_term()
+        if t.type == T_LQT:
+            return self._reified_triple()
         raise RDFSyntaxError(f"line {t.line}: bad object token {t.type} {t.value!r}")
 
     def _rdf_literal(self) -> Term:

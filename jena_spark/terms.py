@@ -47,6 +47,7 @@ RDF_TYPE = RDF_NS + "type"
 IRI = "iri"
 BNODE = "bnode"
 LITERAL = "literal"
+TRIPLE_TERM = "triple"  # RDF 1.2 <<( s p o )>> — lex = encoded "s p o"
 
 
 class Term(NamedTuple):
@@ -218,14 +219,25 @@ def escape_iri_for_output(s: str) -> str:
 # RFC 5646 well-formedness, as enforced by the Turtle LANGTAG production
 # [a-zA-Z]+('-'[a-zA-Z0-9]+)*  — the tokenizer-level check; full RFC 5646
 # validation is not done at parse time in the reference either.
-_LANGTAG_RE = _re.compile(r"^[A-Za-z]+(-[A-Za-z0-9]+)*$")
+_LANGTAG_RE = _re.compile(r"^[A-Za-z]{1,8}(-[A-Za-z0-9]{1,8})*$")
 
 
 def canonical_langtag(tag: str) -> str:
     """RFC 5646 canonical case: language lowercase, then per-subtag by
     length (2 => UPPER, 4 => Title, else lower); everything after a
     singleton subtag is lowercase.  Mirrors LangTags.basicFormat
-    (jena-langtag/.../LangTags.java:81-111, InternalLangTag.strcase)."""
+    (jena-langtag/.../LangTags.java:81-111, InternalLangTag.strcase).
+
+    RDF 1.2 dir-lang: a ``--ltr`` / ``--rtl`` suffix (initial text
+    direction, ParserProfileStd.java:335-343) is validated case-
+    sensitively and preserved after the canonicalized language tag."""
+    if "--" in tag:
+        tag, _, direction = tag.partition("--")
+        if direction not in ("ltr", "rtl"):
+            raise RDFSyntaxError(
+                f"bad base direction {direction!r} (must be ltr or rtl)"
+            )
+        return f"{canonical_langtag(tag)}--{direction}"
     if not _LANGTAG_RE.match(tag):
         raise RDFSyntaxError(f"bad language tag: {tag!r}")
     parts = tag.split("-")
@@ -265,7 +277,25 @@ def mk_literal(
         return Term(LITERAL, lex, RDF_LANGSTRING, canonical_langtag(lang))
     if datatype is None or datatype == XSD_STRING:
         return Term(LITERAL, lex, None, None)
+    if datatype in (RDF_LANGSTRING, RDF_NS + "dirLangString"):
+        # these datatypes exist only WITH a language tag (RDF 1.2
+        # ntriples-langdir-bad-3/-5; Jena rejects the explicit form)
+        raise RDFSyntaxError(
+            f"literal typed {datatype} requires a language tag"
+        )
     return Term(LITERAL, lex, datatype, None)
+
+
+def mk_tripleterm(s: Term, p: Term, o: Term) -> Term:
+    """RDF 1.2 triple term ``<<( s p o )>>`` (LangNTuple.java:138-144).
+    Positional checks match the inner-triple grammar: subject ∈
+    {IRI, bnode}, predicate ∈ {IRI}; object is any term (incl. a nested
+    triple term)."""
+    if s.kind not in (IRI, BNODE):
+        raise RDFSyntaxError("triple-term subject must be an IRI or bnode")
+    if p.kind != IRI:
+        raise RDFSyntaxError("triple-term predicate must be an IRI")
+    return Term(TRIPLE_TERM, f"{s.nt()} {p.nt()} {o.nt()}")
 
 
 # ---------------------------------------------------------------------------
@@ -277,6 +307,8 @@ def encode_term(t: Term) -> str:
         return "<" + escape_iri_for_output(t.lex) + ">"
     if t.kind == BNODE:
         return "_:" + t.lex
+    if t.kind == TRIPLE_TERM:
+        return "<<(" + t.lex + ")>>"
     # literal
     body = '"' + escape_literal(t.lex) + '"'
     if t.lang is not None:

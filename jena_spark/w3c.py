@@ -114,11 +114,37 @@ def load_manifest(suite: str, suite_dir: Optional[str] = None) -> List[W3CTest]:
 # Graph/dataset isomorphism (blank-node bijection)
 # ---------------------------------------------------------------------------
 
+import re as _re
+
+_BN_RE = _re.compile(r"_:[A-Za-z0-9]+")
+
+
+def _bnodes_of(x: Optional[str]) -> List[str]:
+    """Blank-node labels in a term — the term itself, or labels embedded
+    in an RDF 1.2 triple term like ``<<( _:b <p> <o> )>>``."""
+    if x is None or x == "":
+        return []
+    if x.startswith("_:"):
+        return [x]
+    if x.startswith("<<("):
+        return _BN_RE.findall(x)
+    return []
+
+
+def _blind(x: str) -> str:
+    """Replace every bnode label with the wildcard '_:'."""
+    if x.startswith("_:"):
+        return "_:"
+    if x.startswith("<<("):
+        return _BN_RE.sub("_:", x)
+    return x
+
+
 def _split_bnodes(triples: Sequence[Tuple]) -> Tuple[set, List[Tuple]]:
     ground = set()
     open_ = []
     for t in triples:
-        if any(x is not None and x.startswith("_:") for x in t):
+        if any(_bnodes_of(x) for x in t):
             open_.append(t)
         else:
             ground.add(t)
@@ -126,7 +152,7 @@ def _split_bnodes(triples: Sequence[Tuple]) -> Tuple[set, List[Tuple]]:
 
 
 def _signature(t: Tuple) -> Tuple:
-    return tuple("_:" if (x is not None and x.startswith("_:")) else x for x in t)
+    return tuple(_blind(x) if x else x for x in t)
 
 
 def isomorphic(a: Sequence[Tuple], b: Sequence[Tuple]) -> bool:
@@ -148,8 +174,8 @@ def isomorphic(a: Sequence[Tuple], b: Sequence[Tuple]) -> bool:
     if sorted(map(_signature, open_a)) != sorted(map(_signature, open_b)):
         return False
 
-    bnodes_a = sorted({x for t in open_a for x in t if x and x.startswith("_:")})
-    bnodes_b = sorted({x for t in open_b for x in t if x and x.startswith("_:")})
+    bnodes_a = sorted({bn for t in open_a for x in t if x for bn in _bnodes_of(x)})
+    bnodes_b = sorted({bn for t in open_b for x in t if x for bn in _bnodes_of(x)})
     if len(bnodes_a) != len(bnodes_b):
         return False
 
@@ -159,35 +185,49 @@ def isomorphic(a: Sequence[Tuple], b: Sequence[Tuple]) -> bool:
     deg: Dict[str, int] = {bn: 0 for bn in bnodes_a}
     for t in open_a:
         for x in t:
-            if x and x.startswith("_:"):
-                deg[x] += 1
+            if x:
+                for bn in _bnodes_of(x):
+                    deg[bn] += 1
     order = sorted(bnodes_a, key=lambda bn: -deg[bn])
 
     mapping: Dict[str, str] = {}
     used: set = set()
 
-    def apply_map(t: Tuple) -> Tuple:
-        return tuple(
-            mapping.get(x, None) if (x and x.startswith("_:")) else x for x in t
-        )
+    def map_term(x: str) -> Optional[str]:
+        """Apply the bnode mapping to a term (incl. labels embedded in
+        triple terms); None if any label is still unmapped."""
+        if x.startswith("_:"):
+            return mapping.get(x)
+        if x.startswith("<<("):
+            unmapped = False
+
+            def rep(m):
+                nonlocal unmapped
+                v = mapping.get(m.group(0))
+                if v is None:
+                    unmapped = True
+                    return m.group(0)
+                return v
+
+            y = _BN_RE.sub(rep, x)
+            return None if unmapped else y
+        return x
 
     def consistent() -> bool:
         # every fully-mapped triple of a must exist in b
         for t in open_a:
-            mt = apply_map(t)
-            if None in [
-                m
-                for x, m in zip(t, mt)
-                if x is not None and x.startswith("_:")
-            ]:
-                continue
-            # rebuild with original non-bnode values (None graph stays None)
-            full = tuple(
-                mapping[x] if (x and x.startswith("_:")) else x for x in t
-                ) if all(
-                (not (x and x.startswith("_:"))) or x in mapping for x in t
-            ) else None
-            if full is not None and full not in open_b_set:
+            mt = []
+            full = True
+            for x in t:
+                if x and _bnodes_of(x):
+                    m = map_term(x)
+                    if m is None:
+                        full = False
+                        break
+                    mt.append(m)
+                else:
+                    mt.append(x)
+            if full and tuple(mt) not in open_b_set:
                 return False
         return True
 

@@ -108,3 +108,119 @@ def test_skolem_determinism_and_scope():
     assert a1.get("x") == a2.get("x")
     assert a1.fresh() == a2.fresh()
     assert a1.get("x") != other.get("x")  # per-document scope
+
+
+# --- round 2: widened JSON-LD subset ----------------------------------------
+
+
+def _jl(doc):
+    import json as _json
+
+    return parse_jsonld(_json.dumps(doc), None, alloc())
+
+
+def test_jsonld_term_definitions_and_id_coercion():
+    out = _jl({
+        "@context": {
+            "ex": "http://ex/",
+            "knows": {"@id": "http://ex/knows", "@type": "@id"},
+            "age": {"@id": "http://ex/age",
+                    "@type": "http://www.w3.org/2001/XMLSchema#integer"},
+        },
+        "@id": "http://ex/a",
+        "knows": "http://ex/b",
+        "age": "30",
+    })
+    trs = {(s, p, o) for _, s, p, o in out}
+    assert ("<http://ex/a>", "<http://ex/knows>", "<http://ex/b>") in trs
+    assert (
+        "<http://ex/a>", "<http://ex/age>",
+        '"30"^^<http://www.w3.org/2001/XMLSchema#integer>',
+    ) in trs
+
+
+def test_jsonld_list_container_and_value_form():
+    out = _jl({
+        "@context": {
+            "items": {"@id": "http://ex/items", "@container": "@list"},
+            "more": "http://ex/more",
+        },
+        "@id": "http://ex/a",
+        "items": ["x", "y"],
+        "more": {"@list": ["z"]},
+    })
+    rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    preds = [p for _, _, p, _ in out]
+    assert preds.count(f"<{rdf}first>") == 3
+    assert sum(1 for _, _, p, o in out
+               if p == f"<{rdf}rest>" and o == f"<{rdf}nil>") == 2
+    firsts = sorted(o for _, _, p, o in out if p == f"<{rdf}first>")
+    assert firsts == ['"x"', '"y"', '"z"']
+
+
+def test_jsonld_reverse_keyword_and_term():
+    out = _jl({
+        "@context": {
+            "ex": "http://ex/",
+            "parentOf": {"@reverse": "http://ex/childOf"},
+        },
+        "@id": "http://ex/dad",
+        "parentOf": {"@id": "http://ex/kid"},
+        "@reverse": {"ex:knows": {"@id": "http://ex/friend"}},
+    })
+    trs = {(s, p, o) for _, s, p, o in out}
+    assert ("<http://ex/kid>", "<http://ex/childOf>", "<http://ex/dad>") in trs
+    assert ("<http://ex/friend>", "<http://ex/knows>", "<http://ex/dad>") in trs
+
+
+def test_jsonld_context_array_null_reset_and_language():
+    out = _jl({
+        "@context": [
+            {"@vocab": "http://v1/", "@language": "en"},
+            {"name": "http://ex/name"},
+        ],
+        "@id": "http://ex/a",
+        "name": "hello",
+        "other": "plain",
+    })
+    trs = {(s, p, o) for _, s, p, o in out}
+    assert ("<http://ex/a>", "<http://ex/name>", '"hello"@en') in trs
+    assert ("<http://ex/a>", "<http://v1/other>", '"plain"@en') in trs
+
+
+def test_jsonld_keyword_aliases():
+    out = _jl({
+        "@context": {"id": "@id", "type": "@type", "ex": "http://ex/"},
+        "id": "http://ex/a",
+        "type": "ex:Thing",
+    })
+    trs = {(s, p, o) for _, s, p, o in out}
+    assert (
+        "<http://ex/a>",
+        "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>",
+        "<http://ex/Thing>",
+    ) in trs
+
+
+def test_jsonld_remote_context_raises():
+    import pytest as _pytest
+
+    with _pytest.raises(RDFSyntaxError, match="remote @context"):
+        _jl({"@context": "http://example.org/ctx.jsonld", "@id": "http://e/a"})
+
+
+def test_jsonld_base_resolves_relative_ids():
+    import json as _json
+
+    out = parse_jsonld(
+        _json.dumps({
+            "@context": {"ex": "http://ex/"},
+            "@id": "doc/1",
+            "ex:p": {"@id": "doc/2"},
+        }),
+        "http://host/root/",
+        alloc(),
+    )
+    trs = {(s, p, o) for _, s, p, o in out}
+    assert ("<http://host/root/doc/1>", "<http://ex/p>",
+            "<http://host/root/doc/2>") in trs
