@@ -150,36 +150,31 @@ def path_inverse(triples: DataFrame, pred: str) -> DataFrame:
     )
 
 
-def path_transitive(
-    triples: DataFrame,
-    pred: str,
-    zero: bool = False,
-    max_iters: int = 50,
-) -> DataFrame:
-    """P_OneOrMore / P_ZeroOrMore: iterative join-until-fixpoint
-    (semi-naive: only the frontier joins each round; each round's result
-    is localCheckpoint()ed to truncate lineage — the Spark analog of the
-    reference's ALP iterator state, sparql/path/eval/).
+def closure(rel: DataFrame, max_iters: int = 50, what: str = "path") -> DataFrame:
+    """Transitive closure of an arbitrary (src, dst) relation —
+    iterative join-until-fixpoint (semi-naive: only the frontier joins
+    each round; each round's result is localCheckpoint()ed to truncate
+    lineage — the Spark analog of the reference's ALP iterator state,
+    sparql/path/eval/).
 
     Scale note: rounds = graph diameter, shuffles = 2/round on the
     (frontier ⋈ edges) join; AQE handles frontier-size swings.  For
     1000-executor scale the frontier join broadcast-flips automatically
     once the frontier shrinks below the broadcast threshold.
     """
-    edges = (
-        triples.filter(F.col("pred") == pred)
-        .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
-        .distinct()
-        .persist()
-    )
+    # an optional 'g' column keys the closure per named graph (paths
+    # never cross graph boundaries — OpGraph scoping)
+    keys = ["g"] if "g" in rel.columns else []
+    cols = keys + ["src", "dst"]
+    edges = rel.select(*cols).distinct().persist()
     reach = edges.localCheckpoint(eager=True)
     frontier = reach
     converged = False
     for _ in range(max_iters):
         grown = (
             frontier.withColumnRenamed("dst", "mid")
-            .join(edges.withColumnRenamed("src", "mid"), "mid")
-            .select("src", "dst")
+            .join(edges.withColumnRenamed("src", "mid"), keys + ["mid"])
+            .select(*cols)
             .distinct()
         )
         new = grown.exceptAll(reach).localCheckpoint(eager=True)
@@ -192,16 +187,36 @@ def path_transitive(
     if not converged:
         # a silently truncated closure is a WRONG answer, not a slow one
         raise RuntimeError(
-            f"path_transitive({pred!r}) did not converge within "
-            f"{max_iters} iterations — raise max_iters (rounds needed = "
-            f"graph diameter along this predicate)"
+            f"{what} did not converge within {max_iters} iterations — "
+            f"raise max_iters (rounds needed = graph diameter)"
         )
+    return reach
+
+
+def all_nodes(triples: DataFrame) -> DataFrame:
+    """Every subject/object — the identity relation's domain for
+    zero-length path steps."""
+    return (
+        triples.select(F.col("subj").alias("n"))
+        .unionAll(triples.select(F.col("obj").alias("n")))
+        .distinct()
+    )
+
+
+def path_transitive(
+    triples: DataFrame,
+    pred: str,
+    zero: bool = False,
+    max_iters: int = 50,
+) -> DataFrame:
+    """P_OneOrMore / P_ZeroOrMore over a single predicate (see
+    :func:`closure` for the evaluation strategy and scale notes)."""
+    edges = triples.filter(F.col("pred") == pred).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    reach = closure(edges, max_iters, what=f"path_transitive({pred!r})")
     if zero:
-        nodes = (
-            triples.select(F.col("subj").alias("n"))
-            .unionAll(triples.select(F.col("obj").alias("n")))
-            .distinct()
-        )
+        nodes = all_nodes(triples)
         self_loops = nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
         reach = reach.unionAll(self_loops).distinct()
     return reach

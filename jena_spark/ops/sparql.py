@@ -61,8 +61,10 @@ from ..parsers.tokenizer import (
     T_KEYWORD,
     T_LANGTAG,
     T_LBRACE,
+    T_LBRACKET,
     T_LPAREN,
     T_OP,
+    T_RBRACKET,
     T_PNAME,
     T_RBRACE,
     T_RPAREN,
@@ -115,16 +117,14 @@ class GraphPat:
 
 @dataclass
 class PathPat:
-    """Property-path pattern: src (path-expr) dst.
-    ops: list of (pred, inverse) steps for a sequence path; modifier is
-    one of '', '+', '*', '?' applied to a single-step path; alts is a
-    list of predicates for an alternation path."""
+    """Property-path pattern: src (path-expr) dst.  ``expr`` is a nested
+    tuple AST mirroring sparql/path/P_* —
+    ("link", iri) | ("inv", p) | ("seq", [p…]) | ("alt", [p…]) |
+    ("mod", p, "+"|"*"|"?") | ("neg", [iris]) — fully recursive, so
+    grouped paths like ``(:p/:q)?`` and ``(^:p)*`` compose."""
     s: str
     o: str
-    seq: List[Tuple[str, bool]] = field(default_factory=list)
-    modifier: str = ""
-    alts: List[str] = field(default_factory=list)
-    negated: bool = False  # !(p1|p2…) — alts holds the excluded set
+    expr: tuple = ()
 
 
 @dataclass
@@ -230,6 +230,7 @@ class SparqlParser:
         self.resolver = IRIResolver(base or "http://sparql.local/")
         self._allow_aggs = False
         self._agg_hoist: List[AggItem] = []
+        self._anon_n = 0  # anonymous-variable counter ([] in patterns)
 
     def _advance(self) -> Token:
         t = self.tok
@@ -270,6 +271,19 @@ class SparqlParser:
             return AskQuery(self._group())
         if kw0 == "construct":
             self._advance()
+            if self._kw() == "where":
+                # CONSTRUCT WHERE { tp… } shorthand: the pattern doubles
+                # as the template (triples-only pattern required)
+                self._advance()
+                where = self._group()
+                template = [
+                    el for el in where.elements if isinstance(el, TriplePat)
+                ]
+                if len(template) != len(where.elements):
+                    raise RDFSyntaxError(
+                        "CONSTRUCT WHERE allows only triple patterns"
+                    )
+                return ConstructQuery(template, where)
             tmpl_group = Group()
             self._expect(T_LBRACE)
             while self.tok.type != T_RBRACE:
@@ -519,42 +533,100 @@ class SparqlParser:
         return g
 
     def _triples_block(self, g: Group) -> None:
-        s = self._term_or_var(subject=True)
+        if self.tok.type == T_LBRACKET:
+            s = self._bnode_prop_list(g)
+            if self.tok.type in (T_DOT, T_RBRACE):
+                return  # bare "[ … ] ." — property list as whole statement
+        else:
+            s = self._term_or_var(subject=True)
+        self._pred_obj_list(g, s)
+
+    def _bnode_prop_list(self, g: Group) -> str:
+        """'[' predicateObjectList? ']' — an anonymous variable (query
+        blank nodes are non-projected variables, AlgebraGenerator)."""
+        self._advance()  # '['
+        var = f"?__anon{self._anon_n}"
+        self._anon_n += 1
+        if self.tok.type == T_RBRACKET:
+            self._advance()
+            return var
+        self._pred_obj_list(g, var)
+        self._expect(T_RBRACKET)
+        return var
+
+    def _pred_obj_list(self, g: Group, s: str) -> None:
         while True:
             p = self._verb_or_path()
             while True:
-                o = self._term_or_var()
+                if self.tok.type == T_LBRACKET:
+                    o = self._bnode_prop_list(g)
+                else:
+                    o = self._term_or_var()
                 if isinstance(p, str):
                     g.elements.append(TriplePat(s, p, o))
                 else:
-                    seq, modifier, alts = p[0], p[1], p[2]
-                    negated = p[3] if len(p) > 3 else False
-                    g.elements.append(
-                        PathPat(s, o, seq=seq, modifier=modifier, alts=alts,
-                                negated=negated)
-                    )
+                    g.elements.append(PathPat(s, o, expr=p))
                 if self.tok.type == T_COMMA:
                     self._advance()
                     continue
                 break
             if self.tok.type == T_SEMI:
                 self._advance()
-                if self.tok.type in (T_DOT, T_RBRACE):
+                if self.tok.type in (T_DOT, T_RBRACE, T_RBRACKET):
                     return
                 continue
             return
 
     def _verb_or_path(self):
-        """Returns a plain predicate string, or (seq, modifier, alts) for a
-        property path (SURVEY.md §2.7 subset: ^p, p+, p*, p?, p1/p2…, p1|p2…)."""
+        """Returns a plain predicate string (BGP fast path) or a nested
+        path-expression tuple (Grammar: Path → PathAlternative →
+        PathSequence → PathEltOrInverse → PathElt → PathPrimary)."""
         if self.tok.type == T_KEYWORD and self.tok.value == "a":
             self._advance()
             return f"<{RDF_TYPE}>"
         if self.tok.type == T_VAR:
             return "?" + self._advance().value
+        p = self._path_alt()
+        if p[0] == "link":
+            return p[1]  # plain predicate joins inside the BGP
+        return p
 
+    def _path_alt(self) -> tuple:
+        e = self._path_seq()
+        if self.tok.type == T_OP and self.tok.value == "|":
+            alts = [e]
+            while self.tok.type == T_OP and self.tok.value == "|":
+                self._advance()
+                alts.append(self._path_seq())
+            return ("alt", alts)
+        return e
+
+    def _path_seq(self) -> tuple:
+        e = self._path_elt_or_inv()
+        if self.tok.type == T_OP and self.tok.value == "/":
+            seq = [e]
+            while self.tok.type == T_OP and self.tok.value == "/":
+                self._advance()
+                seq.append(self._path_elt_or_inv())
+            return ("seq", seq)
+        return e
+
+    def _path_elt_or_inv(self) -> tuple:
+        if self.tok.type == T_OP and self.tok.value == "^":
+            self._advance()
+            return ("inv", self._path_elt())
+        return self._path_elt()
+
+    def _path_elt(self) -> tuple:
+        p = self._path_primary()
+        if self.tok.type == T_OP and self.tok.value in ("+", "*", "?"):
+            op = self._advance().value
+            return ("mod", p, op)
+        return p
+
+    def _path_primary(self) -> tuple:
         if self.tok.type == T_OP and self.tok.value == "!":
-            # negated property set !(p1|p2|…) or !p
+            # negated property set !(p1|p2|…) or !p (forward-only subset)
             self._advance()
             excl = []
             if self.tok.type == T_LPAREN:
@@ -566,48 +638,26 @@ class SparqlParser:
                 self._expect(T_RPAREN)
             else:
                 excl.append(self._term_encoded())
-            return ([], "", excl, True)
-
-        def elt() -> Tuple[str, bool]:
-            inv = False
-            if self.tok.type == T_OP and self.tok.value == "^":
-                self._advance()
-                inv = True
-            return self._term_encoded(), inv
-
-        first = elt()
-        t = self.tok
-        if t.type == T_OP and t.value in ("+", "*", "?"):
+            return ("neg", excl)
+        if self.tok.type == T_LPAREN:
             self._advance()
-            if first[1]:
-                raise RDFSyntaxError("^p with modifier not supported (subset)")
-            return ([first], t.value, [])
-        if t.type == T_OP and t.value == "/":
-            seq = [first]
-            while self.tok.type == T_OP and self.tok.value == "/":
-                self._advance()
-                seq.append(elt())
-            return (seq, "", [])
-        if t.type == T_OP and t.value == "|":
-            if first[1]:
-                raise RDFSyntaxError("^p in alternation not supported (subset)")
-            alts = [first[0]]
-            while self.tok.type == T_OP and self.tok.value == "|":
-                self._advance()
-                nxt = elt()
-                if nxt[1]:
-                    raise RDFSyntaxError("^p in alternation not supported (subset)")
-                alts.append(nxt[0])
-            return ([], "", alts)
-        if first[1]:
-            return ([first], "", [])  # bare inverse step
-        return first[0]
+            p = self._path_alt()
+            self._expect(T_RPAREN)
+            return p
+        if self.tok.type == T_KEYWORD and self.tok.value == "a":
+            self._advance()
+            return ("link", f"<{RDF_TYPE}>")
+        return ("link", self._term_encoded())
 
     def _term_or_var(self, subject: bool = False) -> str:
         t = self.tok
         if t.type == T_VAR:
             self._advance()
             return "?" + t.value
+        if t.type == T_BNODE:
+            # a query blank node is a (document-scoped) anonymous variable
+            self._advance()
+            return f"?__anon_{t.value}"
         return self._term_encoded()
 
     def _term_encoded(self) -> str:
@@ -764,7 +814,11 @@ def _typed(e: Expr, avail: Optional[set] = None) -> Tuple[F.Column, str]:
             "EXISTS expression outside FILTER is not supported"
         )
     if e.kind == "const":
-        return F.lit(e.value), "term"
+        # statically-known non-literal constants compare by term identity
+        # alone — lets the comparison compiler skip the whole open-world
+        # category matrix (a large expression tree) for IRI/bnode consts
+        kind = "iri" if e.value[0] in "<_" else "term"
+        return F.lit(e.value), kind
     if e.kind in ("and", "or", "not"):
         a = _as_bool(e.args[0], avail)
         if e.kind == "not":
@@ -774,24 +828,54 @@ def _typed(e: Expr, avail: Optional[set] = None) -> Tuple[F.Column, str]:
     if e.kind == "cmp":
         return _compile_cmp(e, avail), "bool"
     if e.kind == "arith":
+        # XSD numeric type promotion (SPARQL §17.3 operator mapping /
+        # Jena XSDFuncOp.classifyNumeric): integer-tree ops stay integer,
+        # mixed operands promote to the wider of decimal < float < double,
+        # and integer ÷ integer is decimal.  Value + result datatype
+        # travel together as a struct so DATATYPE() and term encoding of
+        # the result are exact, not double-everything.
         (ca, ta), (cb, tb) = _typed(e.args[0], avail), _typed(e.args[1], avail)
-        na = tf.numeric_value(ca) if ta == "term" else _numish(ca)
-        nb = tf.numeric_value(cb) if tb == "term" else _numish(cb)
+
+        def numdt(c, t):
+            if t == "numdt":
+                return c
+            if t in ("term", "iri"):
+                return F.struct(
+                    tf.numeric_value(c).alias("v"),
+                    _num_dt_rank(c).alias("r"),
+                )
+            if t == "plain":
+                # a plain string (e.g. STR(…)) is never a number —
+                # arithmetic on it is an evaluation error → unbound
+                return F.struct(
+                    F.lit(None).cast("double").alias("v"), F.lit(0).alias("r")
+                )
+            # native num (STRLEN etc.): integer-valued
+            return F.struct(
+                _numish(c).alias("v"), F.lit(0).alias("r")
+            )
+
+        a, b = numdt(ca, ta), numdt(cb, tb)
         op = e.value
-        if op == "+":
-            return na + nb, "num"
-        if op == "-":
-            return na - nb, "num"
-        if op == "*":
-            return na * nb, "num"
-        return na / nb, "num"
+        va, vb = a["v"], b["v"]
+        v = (
+            va + vb if op == "+" else
+            va - vb if op == "-" else
+            va * vb if op == "*" else
+            va / vb
+        )
+        r = F.greatest(a["r"], b["r"])
+        if op == "/":
+            # integer / integer → decimal
+            r = F.when(r == 0, F.lit(1)).otherwise(r)
+        return F.struct(v.alias("v"), r.alias("r")), "numdt"
     if e.kind == "call":
         name = e.value
         targs = [_typed(a, avail) for a in e.args]
 
         def plain(i: int) -> F.Column:
             c, t = targs[i]
-            return tf.lex(c) if t == "term" else c
+            return tf.lex(c) if t in ("term", "iri") else c
 
         if name == "BOUND":
             return targs[0][0].isNotNull(), "bool"
@@ -812,8 +896,17 @@ def _typed(e: Expr, avail: Optional[set] = None) -> Tuple[F.Column, str]:
         if name == "LANG":
             return tf.lang(targs[0][0]), "plain"
         if name == "DATATYPE":
-            # DATATYPE returns an IRI term (E_Datatype → NodeValue IRI)
-            return tf.mk_iri_col(tf.datatype(targs[0][0])), "term"
+            # DATATYPE returns an IRI term (E_Datatype → NodeValue IRI) —
+            # statically known non-literal, so comparisons stay tiny
+            c0, t0 = targs[0]
+            if t0 == "numdt":  # arith result: promoted datatype
+                return (
+                    F.when(c0["v"].isNotNull(), tf.mk_iri_col(_rank_to_dt(c0["r"]))),
+                    "iri",
+                )
+            if t0 == "num":  # native numerics (STRLEN …) are integers
+                return tf.mk_iri_col(F.lit(tf.XSD + "integer")), "iri"
+            return tf.mk_iri_col(tf.datatype(c0)), "iri"
         if name == "ISIRI":
             return tf.is_iri(targs[0][0]), "bool"
         if name == "ISLITERAL":
@@ -832,10 +925,31 @@ def _numish(c: F.Column) -> F.Column:
     return F.coalesce(c.try_cast("double"), tf.numeric_value(c.cast("string")))
 
 
+def _num_dt_rank(c: F.Column) -> F.Column:
+    """Promotion rank of a numeric term's datatype: 0 = the xsd:integer
+    tree, 1 = decimal, 2 = float, 3 = double; null when not numeric."""
+    dt = tf.datatype(c)
+    return (
+        F.when(dt == tf.XSD + "decimal", F.lit(1))
+        .when(dt == tf.XSD + "float", F.lit(2))
+        .when(dt == tf.XSD + "double", F.lit(3))
+        .when(tf.is_numeric(c), F.lit(0))
+    )
+
+
+def _rank_to_dt(r: F.Column) -> F.Column:
+    return (
+        F.when(r == 0, F.lit(tf.XSD + "integer"))
+        .when(r == 1, F.lit(tf.XSD + "decimal"))
+        .when(r == 2, F.lit(tf.XSD + "float"))
+        .otherwise(F.lit(tf.XSD + "double"))
+    )
+
+
 def _term_of(c: F.Column, kind: str) -> F.Column:
     """Encode a typed expression result as a canonical term string, so
     BIND/projection outputs join and compare like any other binding."""
-    if kind == "term":
+    if kind in ("term", "iri"):
         return c
     if kind == "bool":
         return F.when(
@@ -846,6 +960,15 @@ def _term_of(c: F.Column, kind: str) -> F.Column:
                 F.lit(f'"^^<{tf.XSD}boolean>'),
             ),
         )
+    if kind == "numdt":
+        # arith result with tracked promotion rank: exact datatype,
+        # integer lexical forms without the ".0"
+        v, r = c["v"], c["r"]
+        lex = F.when(
+            (r == 0) & (F.abs(v) < F.lit(9.007199254740992e15)),
+            v.try_cast("long").cast("string"),
+        ).otherwise(v.cast("string"))
+        return F.when(v.isNotNull(), tf.str_dt(lex, _rank_to_dt(r)))
     if kind == "num":
         # integral results encode as xsd:integer (Jena's numeric tower
         # keeps integer+integer → integer); fractional stay xsd:double
@@ -878,6 +1001,8 @@ def _as_bool(e: Expr, avail: Optional[set] = None) -> F.Column:
         return c
     if t == "num":
         return _numish(c) != 0
+    if t == "numdt":
+        return c["v"] != 0
     if t == "plain":
         return F.length(c) > 0
     nv = tf.numeric_value(c)
@@ -896,29 +1021,122 @@ def _as_bool(e: Expr, avail: Optional[set] = None) -> F.Column:
     )
 
 
+_DATE_DTS = [tf.XSD + n for n in ("dateTime", "date", "time")]
+_KNOWN_CMP_DTS = (
+    [tf.XSD + "string", tf.RDF_LANGSTRING, tf.XSD + "boolean"]
+    + _DATE_DTS
+)
+
+
 def _compile_cmp(e: Expr, avail: Optional[set] = None) -> F.Column:
     (ca, ta), (cb, tb) = _typed(e.args[0], avail), _typed(e.args[1], avail)
     op = e.value
+    if {"iri", "term"} >= {ta, tb} and "iri" in (ta, tb):
+        # one side is statically a non-literal term: value comparison
+        # degenerates to term identity (=/!=) and ordering to error
+        if op == "=":
+            return ca == cb
+        if op == "!=":
+            return ~(ca == cb)
+        return F.lit(None).cast("boolean")
     if ta == tb == "term":
-        # SPARQL value comparison: numeric when both operands parse as
-        # numbers, term/lexical otherwise
+        # SPARQL open-world value comparison (§17.3 operator mapping,
+        # NodeValue.compare / compareAlways): defined within a value
+        # category — numeric by value, string/boolean/date-group by
+        # lexical form; a literal with an UNKNOWN datatype is only
+        # term-comparable, anything else is a type ERROR (null → the
+        # FILTER drops the row, for = and != alike)
         na, nb = tf.numeric_value(ca), tf.numeric_value(cb)
         num_ok = na.isNotNull() & nb.isNotNull()
         la, lb = tf.lex(ca), tf.lex(cb)
-        ops = {
-            "=": (na == nb, ca == cb),
-            "!=": (na != nb, ca != cb),
-            "<": (na < nb, la < lb),
-            ">": (na > nb, la > lb),
-            "<=": (na <= nb, la <= lb),
-            ">=": (na >= nb, la >= lb),
-        }
-        numc, strc = ops[op]
-        return F.when(num_ok, numc).otherwise(strc)
+        dta, dtb = tf.datatype(ca), tf.datatype(cb)
+        lit_a, lit_b = tf.is_literal(ca), tf.is_literal(cb)
+
+        def cat(c, dt):
+            return (
+                F.when(tf.is_numeric(c), F.lit("num"))
+                .when(dt == tf.XSD + "string", F.lit("str"))
+                .when(dt == tf.RDF_LANGSTRING, F.lit("lang"))
+                .when(dt == tf.XSD + "boolean", F.lit("bool"))
+                .when(dt.isin(_DATE_DTS), F.lit("date"))
+                .otherwise(F.lit("unk"))
+            )
+
+        cat_a, cat_b = cat(ca, dta), cat(cb, dtb)
+        num_both = (cat_a == "num") & (cat_b == "num")
+        str_both = (cat_a == "str") & (cat_b == "str")
+        bool_both = (cat_a == "bool") & (cat_b == "bool")
+        lang_any = (cat_a == "lang") | (cat_b == "lang")
+        err = F.lit(None).cast("boolean")
+        # date/dateTime/time value space: 'Z' ≡ '+00:00' ≡ '-00:00'; a
+        # timezone-vs-none (or date-vs-dateTime) pair with the SAME date
+        # part is indeterminate (XSD ±14h window) → error; a different
+        # date part is definitely a different value
+        date_both = lit_a & lit_b & dta.isin(_DATE_DTS) & dtb.isin(_DATE_DTS)
+        tz_re = r"(Z|[+-]\d\d:\d\d)$"
+        norm_a = F.regexp_replace(la, r"[+-]00:00$", "Z")
+        norm_b = F.regexp_replace(lb, r"[+-]00:00$", "Z")
+        same_flavor = (dta == dtb) & (la.rlike(tz_re) == lb.rlike(tz_re))
+        date_part = lambda c: F.substring(c, 1, 10)
+        dp_ne = date_part(la) != date_part(lb)
+        # equality: different date-group datatypes never share a value;
+        # same datatype with mixed timezone-ness is indeterminate (XSD
+        # ±14h window) unless the date parts already differ
+        date_eq = (
+            F.when(dta != dtb, F.lit(False))
+            .when(same_flavor, norm_a == norm_b)
+            .when(dp_ne, F.lit(False))
+            .otherwise(err)
+        )
+
+        def date_ord(lex_cmp, part_cmp):
+            # ordering is only defined within one datatype; mixed
+            # timezone-ness is determinate iff the date parts differ
+            return (
+                F.when(dta != dtb, err)
+                .when(same_flavor, lex_cmp)
+                .when(dp_ne, part_cmp)
+                .otherwise(err)
+            )
+        if op in ("=", "!="):
+            # NodeValue.sameValueAs category matrix: same category →
+            # value/lexical compare (numeric errors if a lexical form is
+            # invalid); a node (IRI/bnode) vs anything ≠ same term is
+            # definitely different; a language-tagged literal is
+            # definitely different from any other category; every other
+            # cross-category / unknown-datatype literal pair is an ERROR
+            eq = (
+                F.when(ca == cb, F.lit(True))
+                .when(~lit_a | ~lit_b, F.lit(False))
+                .when(num_both, F.when(num_ok, na == nb).otherwise(err))
+                .when(str_both, la == lb)
+                .when((cat_a == "lang") & (cat_b == "lang"), F.lit(False))
+                .when(bool_both, la == lb)
+                .when(date_both, date_eq)
+                .when(lang_any, F.lit(False))
+                .otherwise(err)
+            )
+            return eq if op == "=" else ~eq
+        lops = {"<": la < lb, ">": la > lb, "<=": la <= lb, ">=": la >= lb}
+        nops = {"<": na < nb, ">": na > nb, "<=": na <= nb, ">=": na >= nb}
+        pa_, pb_ = date_part(la), date_part(lb)
+        pops = {"<": pa_ < pb_, ">": pa_ > pb_, "<=": pa_ <= pb_, ">=": pa_ >= pb_}
+        return (
+            F.when(num_both, F.when(num_ok, nops[op]).otherwise(err))
+            .when(str_both | bool_both, lops[op])
+            .when(date_both, date_ord(lops[op], pops[op]))
+            .otherwise(err)
+        )
     # mixed / plain / numeric: compare on the plain view
-    if ta == "num" or tb == "num":
-        pa = tf.numeric_value(ca) if ta == "term" else _numish(ca)
-        pb = tf.numeric_value(cb) if tb == "term" else _numish(cb)
+    def numview(c, t):
+        if t == "numdt":
+            return c["v"]
+        if t == "term":
+            return tf.numeric_value(c)
+        return _numish(c)
+
+    if ta in ("num", "numdt") or tb in ("num", "numdt"):
+        pa, pb = numview(ca, ta), numview(cb, tb)
     else:
         pa = tf.lex(ca) if ta == "term" else ca
         pb = tf.lex(cb) if tb == "term" else cb
@@ -1042,6 +1260,8 @@ def _compile_group_n(
             rel = _compile_path(triples, el, graph_term, graph_var)
             # bind endpoints: consts filter, vars project/join
             sel = []
+            if graph_var is not None and "g" in rel.columns:
+                sel.append(F.col("g").alias(graph_var))
             if el.s.startswith("?"):
                 sel.append(F.col("src").alias(el.s[1:]))
             else:
@@ -1050,7 +1270,13 @@ def _compile_group_n(
                 sel.append(F.col("dst").alias(el.o[1:]))
             else:
                 rel = rel.filter(F.col("dst") == el.o)
-            step = rel.select(*sel) if sel else rel.select(F.lit(1).alias("__one")).limit(1)
+            # no variables at all: an existence marker (dropped from
+            # results by the __anon prefix rule)
+            step = (
+                rel.select(*sel)
+                if sel
+                else rel.select(F.lit(1).alias("__anon_one")).limit(1)
+            )
             if df is None:
                 df = step
             else:
@@ -1363,52 +1589,87 @@ def _compile_path(
     graph_term: Optional[str],
     graph_var: Optional[str],
 ) -> DataFrame:
-    """PathPat → (src, dst) relation via ops.algebra path evaluators."""
-    from .algebra import (
-        path_alt,
-        path_inverse,
-        path_negated,
-        path_transitive,
-        path_zero_or_one,
-    )
+    """Recursive path-expression evaluator → (src, dst) relation.
+    Mirrors the P_* evaluators (sparql/path/eval/): links are filtered
+    scans, sequence = join chain, alternation = union-distinct,
+    modifiers = transitive closure (:func:`ops.algebra.closure`,
+    semi-naive fixpoint) plus the identity relation for zero-length."""
+    from .algebra import closure
 
     t = triples
+    per_graph = False
     if "graph" in t.columns:
         if graph_term is not None:
             t = t.filter(F.col("graph") == graph_term)
         elif graph_var is None:
             t = t.filter(F.col("graph").isNull())
         else:
+            # GRAPH ?g { …path… }: paths are evaluated per named graph
+            # and never cross graph boundaries — every relation carries
+            # a 'g' key column (joins, closure, identity all keyed on it)
             t = t.filter(F.col("graph").isNotNull())
-    if pat.negated:
-        return path_negated(t, pat.alts)
-    if pat.alts:
-        return path_alt(t, pat.alts)
-    if pat.modifier == "+":
-        return path_transitive(t, pat.seq[0][0])
-    if pat.modifier == "*":
-        return path_transitive(t, pat.seq[0][0], zero=True)
-    if pat.modifier == "?":
-        return path_zero_or_one(t, pat.seq[0][0])
-    # sequence (with per-step inverse)
-    rel: Optional[DataFrame] = None
-    for pred, inv in pat.seq:
-        step = (
-            path_inverse(t, pred)
-            if inv
-            else t.filter(F.col("pred") == pred).select(
-                F.col("subj").alias("src"), F.col("obj").alias("dst")
-            )
+            per_graph = True
+
+    gcols = [F.col("graph").alias("g")] if per_graph else []
+    keys = ["g"] if per_graph else []
+    out_cols = keys + ["src", "dst"]
+
+    def ident() -> DataFrame:
+        nodes = t.select(
+            *gcols, F.col("subj").alias("n")
+        ).unionAll(t.select(*gcols, F.col("obj").alias("n"))).distinct()
+        return nodes.select(
+            *keys, F.col("n").alias("src"), F.col("n").alias("dst")
         )
-        if rel is None:
-            rel = step
-        else:
-            rel = (
-                rel.withColumnRenamed("dst", "__mid")
-                .join(step.withColumnRenamed("src", "__mid"), "__mid")
-                .select("src", "dst")
+
+    def ev(p: tuple) -> DataFrame:
+        kind = p[0]
+        if kind == "link":
+            return t.filter(F.col("pred") == p[1]).select(
+                *gcols, F.col("subj").alias("src"), F.col("obj").alias("dst")
             )
-    return rel
+        if kind == "inv":
+            r = ev(p[1])
+            return r.select(
+                *keys, F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        if kind == "seq":
+            rel: Optional[DataFrame] = None
+            for child in p[1]:
+                step = ev(child)
+                if rel is None:
+                    rel = step
+                else:
+                    rel = (
+                        rel.withColumnRenamed("dst", "__mid")
+                        .join(
+                            step.withColumnRenamed("src", "__mid"),
+                            keys + ["__mid"],
+                        )
+                        .select(*out_cols)
+                    )
+            return rel
+        if kind == "alt":
+            out: Optional[DataFrame] = None
+            for child in p[1]:
+                r = ev(child)
+                out = r if out is None else out.unionAll(r)
+            return out.distinct()
+        if kind == "mod":
+            rel = ev(p[1])
+            op = p[2]
+            if op == "+":
+                return closure(rel, what="path +")
+            if op == "?":
+                return rel.unionAll(ident()).distinct()
+            return closure(rel, what="path *").unionAll(ident()).distinct()
+        if kind == "neg":
+            return t.filter(~F.col("pred").isin(list(p[1]))).select(
+                *gcols, F.col("subj").alias("src"), F.col("obj").alias("dst")
+            ).distinct()
+        raise RDFSyntaxError(f"unknown path node {kind!r}")
+
+    return ev(pat.expr)
 
 
 def _subst_native(e: Expr, native: set) -> Expr:
@@ -1429,6 +1690,10 @@ def _compile_select(
     graph_var: Optional[str] = None,
 ) -> DataFrame:
     df = _compile_group(triples, q.where, graph_term, graph_var)
+    # anonymous variables ([] / query bnodes) never appear in results
+    anon = [c for c in df.columns if c.startswith("__anon")]
+    if anon:
+        df = df.drop(*anon)
     proj_aliases = [a for _, a in q.proj_exprs]
     grouped = bool(q.aggregates or q.group_by or q.having_aggs)
     if grouped:
@@ -1542,6 +1807,25 @@ def sparql_construct(
     if not isinstance(q, ConstructQuery):
         raise RDFSyntaxError("not a CONSTRUCT query")
     sol = _compile_group(triples, q.where)
+    # template blank nodes (parsed as __anon vars the WHERE never binds)
+    # are FRESH per solution row, shared across the template's triples —
+    # materialize a per-row id once so every template branch sees the
+    # same labels (monotonically_increasing_id is not stable across
+    # re-executions otherwise)
+    tmpl_vars = {
+        t[1:]
+        for pat in q.template
+        for t in (pat.s, pat.p, pat.o)
+        if t.startswith("?__anon")
+    }
+    missing = [v for v in tmpl_vars if v not in sol.columns]
+    if missing:
+        sol = sol.withColumn("__rowid", F.monotonically_increasing_id())
+        for v in missing:
+            sol = sol.withColumn(
+                v, F.concat(F.lit(f"_:{v}r"), F.col("__rowid").cast("string"))
+            )
+        sol = sol.drop("__rowid").localCheckpoint(eager=True)
     out = None
     for pat in q.template:
         def term_col(t: str):

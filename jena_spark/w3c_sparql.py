@@ -510,6 +510,10 @@ def run_sparql_dir(spark, d: str, exclude: Optional[set] = None):
     exclude = exclude or set()
     p = f = s = 0
     details = []
+    # fixture graphs are tiny: one shuffle partition per query keeps the
+    # harness wall-clock dominated by work, not task scheduling
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
     for t in tests:
         if t.name in exclude:
             s += 1
@@ -526,4 +530,5 @@ def run_sparql_dir(spark, d: str, exclude: Optional[set] = None):
         else:
             s += 1
         details.append((t.name, outcome, detail))
+    spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return p, f, s, details

@@ -23,23 +23,30 @@ SUITES = [
     (SPARQL11_DIR, "subquery", 10),
     (SPARQL11_DIR, "bind", 10),
     (SPARQL11_DIR, "grouping", 3),
-    (SPARQL11_DIR, "aggregates", 24),
+    (SPARQL11_DIR, "aggregates", 27),
     (SPARQL11_DIR, "project-expression", 7),
+    (SPARQL11_DIR, "functions", 4),
+    (SPARQL11_DIR, "construct", 3),
+    (SPARQL11_DIR, "property-path", 25),
     (DAWG_DIR, "basic", 23),
     (DAWG_DIR, "triple-match", 4),
     (DAWG_DIR, "bound", 1),
     (DAWG_DIR, "distinct", 11),
     (DAWG_DIR, "sort", 10),
     (DAWG_DIR, "ask", 4),
-    (DAWG_DIR, "construct", 3),
-    (DAWG_DIR, "optional", 4),
+    (DAWG_DIR, "construct", 5),
+    (DAWG_DIR, "optional", 7),
     (DAWG_DIR, "optional-filter", 5),
     (DAWG_DIR, "boolean-effective-value", 7),
     (DAWG_DIR, "bnode-coreference", 1),
     (DAWG_DIR, "graph", 12),
     (DAWG_DIR, "expr-equals", 12),
     (DAWG_DIR, "expr-ops", 6),
-    (DAWG_DIR, "algebra", 12),
+    (DAWG_DIR, "algebra", 14),
+    (DAWG_DIR, "open-world", 18),
+    (DAWG_DIR, "type-promotion", 30),
+    (DAWG_DIR, "i18n", 5),
+    (DAWG_DIR, "solution-seq", 13),
 ]
 
 # Documented exclusions (test name → why).
