@@ -97,6 +97,19 @@ def mk_iri_col(s: Column) -> Column:
     return F.concat(F.lit("<"), s, F.lit(">"))
 
 
+def literal_suffix(t: Column) -> Column:
+    """The encoded part after a literal's closing quote — ``@lang`` /
+    ``^^<dt>`` / '' — so string functions can rebuild a literal that
+    keeps the original language tag or datatype (XSDFuncOp string ops
+    preserve the argument's lang, SPARQL §17.4.3)."""
+    return F.coalesce(F.regexp_extract(t, r'"([^"]*)$', 1), F.lit(""))
+
+
+def rebuild_literal(t: Column, new_lex: Column) -> Column:
+    """Literal with the lexical form replaced, lang/datatype preserved."""
+    return F.concat(F.lit('"'), new_lex, F.lit('"'), literal_suffix(t))
+
+
 def str_lang(s: Column, tag: Column) -> Column:
     return F.concat(F.lit('"'), s, F.lit('"@'), tag)
 

@@ -471,6 +471,10 @@ class SparqlParser:
                     self._advance()
                     self._expect(T_KEYWORD, "exists")
                     g.elements.append(ExistsPat(self._group(), False))
+                elif self.tok.type == T_KEYWORD:
+                    # FILTER BuiltInCall — no enclosing parens (Grammar:
+                    # Constraint ::= BrackettedExpression | BuiltInCall)
+                    g.elements.append(Filter(self._unary()))
                 else:
                     self._expect(T_LPAREN)
                     g.elements.append(Filter(self._expr()))
@@ -709,6 +713,20 @@ class SparqlParser:
         if self.tok.type == T_OP and self.tok.value in ("=", "!=", "<", ">", "<=", ">="):
             op = self._advance().value
             return Expr("cmp", op, [e, self._additive()])
+        if self.tok.type == T_KEYWORD and self.tok.value.lower() in ("in", "not"):
+            negated = self.tok.value.lower() == "not"
+            self._advance()
+            if negated:
+                self._expect(T_KEYWORD, "in")
+            self._expect(T_LPAREN)
+            items = []
+            if self.tok.type != T_RPAREN:
+                items.append(self._additive())
+                while self.tok.type == T_COMMA:
+                    self._advance()
+                    items.append(self._additive())
+            self._expect(T_RPAREN)
+            return Expr("in", negated, [e] + items)
         return e
 
     def _additive(self) -> Expr:
@@ -771,7 +789,13 @@ class SparqlParser:
             return Expr("plainvar", alias)
         if self.tok.type == T_KEYWORD and self.tok.value.upper() in (
             "BOUND", "REGEX", "CONTAINS", "STRSTARTS", "STRLEN", "STR",
-            "LANG", "DATATYPE", "ISIRI", "ISLITERAL", "ISBLANK", "SAMETERM",
+            "LANG", "DATATYPE", "ISIRI", "ISURI", "ISLITERAL", "ISBLANK",
+            "SAMETERM", "UCASE", "LCASE", "STRENDS", "STRBEFORE",
+            "STRAFTER", "SUBSTR", "REPLACE", "CONCAT", "ENCODE_FOR_URI",
+            "ABS", "ROUND", "CEIL", "FLOOR", "IF", "COALESCE", "STRDT",
+            "STRLANG", "IRI", "URI", "ISNUMERIC", "LANGMATCHES", "MD5",
+            "SHA1", "SHA256", "SHA384", "SHA512", "YEAR", "MONTH", "DAY",
+            "HOURS", "MINUTES", "SECONDS", "TZ",
         ):
             name = self._advance().value.upper()
             self._expect(T_LPAREN)
@@ -827,6 +851,21 @@ def _typed(e: Expr, avail: Optional[set] = None) -> Tuple[F.Column, str]:
         return (a & b) if e.kind == "and" else (a | b), "bool"
     if e.kind == "cmp":
         return _compile_cmp(e, avail), "bool"
+    if e.kind == "in":
+        # e IN (a, b, …) ≡ e=a || e=b || … (SPARQL §17.4.1.9); the OR
+        # chain gives the right error semantics for free (true||err=true)
+        negated = e.value
+        eqs = [
+            _compile_cmp(Expr("cmp", "=", [e.args[0], item]), avail)
+            for item in e.args[1:]
+        ]
+        if not eqs:
+            col = F.lit(False)
+        else:
+            col = eqs[0]
+            for q_ in eqs[1:]:
+                col = col | q_
+        return (~col if negated else col), "bool"
     if e.kind == "arith":
         # XSD numeric type promotion (SPARQL §17.3 operator mapping /
         # Jena XSDFuncOp.classifyNumeric): integer-tree ops stay integer,
@@ -862,7 +901,7 @@ def _typed(e: Expr, avail: Optional[set] = None) -> Tuple[F.Column, str]:
             va + vb if op == "+" else
             va - vb if op == "-" else
             va * vb if op == "*" else
-            va / vb
+            F.try_divide(va, vb)  # x/0 is an evaluation error, not a crash
         )
         r = F.greatest(a["r"], b["r"])
         if op == "/":
@@ -907,14 +946,220 @@ def _typed(e: Expr, avail: Optional[set] = None) -> Tuple[F.Column, str]:
             if t0 == "num":  # native numerics (STRLEN …) are integers
                 return tf.mk_iri_col(F.lit(tf.XSD + "integer")), "iri"
             return tf.mk_iri_col(tf.datatype(c0)), "iri"
-        if name == "ISIRI":
+        if name in ("ISIRI", "ISURI"):
             return tf.is_iri(targs[0][0]), "bool"
         if name == "ISLITERAL":
             return tf.is_literal(targs[0][0]), "bool"
         if name == "ISBLANK":
             return tf.is_bnode(targs[0][0]), "bool"
+        if name == "ISNUMERIC":
+            return tf.is_numeric(targs[0][0]), "bool"
         if name == "SAMETERM":
             return targs[0][0] == targs[1][0], "bool"
+        if name in ("UCASE", "LCASE"):
+            c, t = targs[0]
+            fn = F.upper if name == "UCASE" else F.lower
+            if t == "plain":
+                return fn(c), "plain"
+            return (
+                F.when(_stringish(c, t), tf.rebuild_literal(c, fn(tf.lex(c)))),
+                "term",
+            )
+        if name == "STRENDS":
+            return plain(0).endswith(plain(1)), "bool"
+        if name in ("STRBEFORE", "STRAFTER"):
+            # §17.4.3: args must be compatible string literals (arg2 is
+            # simple/xsd:string, or both share a language tag); not-found
+            # → SIMPLE empty literal; found → arg1's lang is preserved
+            (c1, t1), (c2, t2) = targs[0], targs[1]
+            s, sub = plain(0), plain(1)
+            compat = (
+                _stringish(c1, t1)
+                & _stringish(c2, t2)
+                & (
+                    (_lang_of(c2, t2) == "")
+                    | (_lang_of(c2, t2) == _lang_of(c1, t1))
+                )
+            )
+            pos = F.when(F.length(sub) == 0, F.lit(1)).otherwise(F.instr(s, sub))
+            if name == "STRBEFORE":
+                res = s.substr(F.lit(1), pos - 1)
+            else:
+                res = s.substr(pos + F.length(sub), F.length(s))
+            kept = (
+                tf.rebuild_literal(c1, res)
+                if t1 in ("term", "iri")
+                else _plain_literal(res)
+            )
+            out = (
+                F.when(~compat, F.lit(None).cast("string"))
+                .when(pos > 0, kept)
+                .otherwise(F.lit('""'))
+            )
+            return out, "term"
+        if name == "SUBSTR":
+            c, t = targs[0]
+            s = plain(0)
+            pos = _numish(targs[1][0]).cast("int")
+            ln = (
+                _numish(targs[2][0]).cast("int")
+                if len(targs) > 2
+                else F.lit(1_000_000_000)
+            )
+            res = s.substr(pos, ln)
+            if t == "plain":
+                return res, "plain"
+            return tf.rebuild_literal(c, res), "term"
+        if name == "REPLACE":
+            from ..terms import decode_term
+
+            if e.args[1].kind != "const":
+                raise RDFSyntaxError("REPLACE pattern must be a literal")
+            pat = decode_term(e.args[1].value).lex
+            rep = (
+                decode_term(e.args[2].value).lex
+                if e.args[2].kind == "const"
+                else None
+            )
+            if rep is None:
+                raise RDFSyntaxError("REPLACE replacement must be a literal")
+            if len(e.args) > 3 and e.args[3].kind == "const":
+                flags = decode_term(e.args[3].value).lex
+                if "i" in flags:
+                    pat = "(?i)" + pat
+            c, t = targs[0]
+            res = F.regexp_replace(plain(0), pat, rep)
+            built = (
+                tf.rebuild_literal(c, res)
+                if t in ("term", "iri")
+                else _plain_literal(res)
+            )
+            return F.when(_stringish(c, t), built), "term"
+        if name == "CONCAT":
+            # result keeps a language tag only when EVERY argument has
+            # that same tag; any non-string argument is an error
+            valid = F.lit(True)
+            lexes, langs = [], []
+            for c, t in targs:
+                valid = valid & _stringish(c, t)
+                lexes.append(tf.lex(c) if t in ("term", "iri") else c)
+                langs.append(_lang_of(c, t))
+            joined = F.concat(*lexes) if lexes else F.lit("")
+            if langs:
+                first = langs[0]
+                same = F.lit(True)
+                for L in langs[1:]:
+                    same = same & (L == first)
+                keep = same & (first != "")
+                built = F.when(keep, tf.str_lang(joined, first)).otherwise(
+                    _plain_literal(joined)
+                )
+            else:
+                built = _plain_literal(joined)
+            return F.when(valid, built), "term"
+        if name == "ENCODE_FOR_URI":
+            # url_encode is form-encoding: fix '+' and keep RFC-3986
+            # unreserved '~' unescaped (SPARQL follows percent-encoding)
+            enc = F.url_encode(plain(0))
+            enc = F.regexp_replace(enc, r"\+", "%20")
+            enc = F.regexp_replace(enc, r"%7E", "~")
+            return enc, "plain"
+        if name in ("ABS", "ROUND", "CEIL", "FLOOR"):
+            c, t = targs[0]
+            st = (
+                c
+                if t == "numdt"
+                else F.struct(
+                    (
+                        tf.numeric_value(c)
+                        if t in ("term", "iri")
+                        else _numish(c)
+                    ).alias("v"),
+                    (
+                        _num_dt_rank(c)
+                        if t in ("term", "iri")
+                        else F.lit(0)
+                    ).alias("r"),
+                )
+            )
+            v = st["v"]
+            nv = {
+                "ABS": F.abs(v),
+                "ROUND": F.round(v, 0),
+                "CEIL": F.ceil(v).cast("double"),
+                "FLOOR": F.floor(v).cast("double"),
+            }[name]
+            return F.struct(nv.alias("v"), st["r"].alias("r")), "numdt"
+        if name == "IF":
+            cond = _ebv(targs[0][0], targs[0][1])
+            a = _term_of(targs[1][0], targs[1][1])
+            b = _term_of(targs[2][0], targs[2][1])
+            return F.when(cond, a).when(~cond, b), "term"
+        if name == "COALESCE":
+            return F.coalesce(*[_term_of(c, t) for c, t in targs]), "term"
+        if name in ("STRDT", "STRLANG"):
+            # first arg must be a SIMPLE literal (xsd:string, no lang)
+            c1, t1 = targs[0]
+            simple = (
+                F.lit(True)
+                if t1 == "plain"
+                else tf.is_literal(c1) & (tf.datatype(c1) == tf.XSD + "string")
+            )
+            if name == "STRDT":
+                dt = tf.lex(targs[1][0])
+                built = F.when(
+                    dt == tf.XSD + "string", _plain_literal(plain(0))
+                ).otherwise(tf.str_dt(plain(0), dt))
+            else:
+                built = tf.str_lang(plain(0), plain(1))
+            return F.when(simple, built), "term"
+        if name in ("IRI", "URI"):
+            s = plain(0)
+            if _ACTIVE_BASE:
+                s = F.when(
+                    s.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:"), s
+                ).otherwise(F.concat(F.lit(_ACTIVE_BASE), s))
+            return tf.mk_iri_col(s), "iri"
+        if name == "LANGMATCHES":
+            lang_c = F.lower(plain(0))
+            pat_c = F.lower(plain(1))
+            return (
+                F.when(pat_c == "*", lang_c != "")
+                .otherwise(
+                    (lang_c == pat_c)
+                    | lang_c.startswith(F.concat(pat_c, F.lit("-")))
+                ),
+                "bool",
+            )
+        if name in ("MD5", "SHA1", "SHA256", "SHA384", "SHA512"):
+            s = plain(0)
+            h = {
+                "MD5": F.md5(s),
+                "SHA1": F.sha1(s),
+                "SHA256": F.sha2(s, 256),
+                "SHA384": F.sha2(s, 384),
+                "SHA512": F.sha2(s, 512),
+            }[name]
+            return h, "plain"
+        if name in ("YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS"):
+            s = plain(0)
+            pos = {
+                "YEAR": (1, 4), "MONTH": (6, 2), "DAY": (9, 2),
+                "HOURS": (12, 2), "MINUTES": (15, 2),
+            }
+            if name == "SECONDS":
+                part = F.regexp_extract(s, r"T\d\d:\d\d:(\d\d(?:\.\d+)?)", 1)
+                return part.try_cast("double"), "num"
+            a, b = pos[name]
+            return F.substring(s, a, b).try_cast("int"), "num"
+        if name == "TZ":
+            return (
+                F.coalesce(
+                    F.regexp_extract(plain(0), r"(Z|[+-]\d\d:\d\d)$", 1),
+                    F.lit(""),
+                ),
+                "plain",
+            )
     raise RDFSyntaxError(f"cannot compile expression {e.kind}")
 
 
@@ -923,6 +1168,32 @@ def _numish(c: F.Column) -> F.Column:
     output) OR an encoded term (hidden MIN/MAX/SAMPLE aggregates project
     terms): try the direct cast first, fall back to term parsing."""
     return F.coalesce(c.try_cast("double"), tf.numeric_value(c.cast("string")))
+
+
+_ACTIVE_BASE: Optional[str] = None  # query base IRI for the IRI() builtin
+
+
+def _stringish(c: F.Column, t: str) -> F.Column:
+    """SPARQL 'string literal' argument check (simple / xsd:string /
+    language-tagged) — other terms make string functions error."""
+    if t == "plain":
+        return F.lit(True)
+    if t in ("term",):
+        dt = tf.datatype(c)
+        return tf.is_literal(c) & (
+            (dt == tf.XSD + "string") | (dt == tf.RDF_LANGSTRING)
+        )
+    return F.lit(False)
+
+
+def _lang_of(c: F.Column, t: str) -> F.Column:
+    if t == "term":
+        return F.coalesce(tf.lang(c), F.lit(""))
+    return F.lit("")
+
+
+def _plain_literal(lex_col: F.Column) -> F.Column:
+    return F.concat(F.lit('"'), lex_col, F.lit('"'))
 
 
 def _num_dt_rank(c: F.Column) -> F.Column:
@@ -991,12 +1262,11 @@ def _term_of(c: F.Column, kind: str) -> F.Column:
     return F.when(c.isNotNull(), F.concat(F.lit('"'), c, F.lit('"')))
 
 
-def _as_bool(e: Expr, avail: Optional[set] = None) -> F.Column:
+def _ebv(c: F.Column, t: str) -> F.Column:
     """Effective boolean value (SPARQL §17.2.2 / Jena XSDFuncOp
     booleanEffectiveValue): booleans by value, numerics ≠ 0 (malformed
     numeric literal → false), strings non-empty; anything else is a type
     error → null (rows are dropped by FILTER)."""
-    c, t = _typed(e, avail)
     if t == "bool":
         return c
     if t == "num":
@@ -1019,6 +1289,11 @@ def _as_bool(e: Expr, avail: Optional[set] = None) -> F.Column:
         )
         .otherwise(F.lit(None).cast("boolean"))
     )
+
+
+def _as_bool(e: Expr, avail: Optional[set] = None) -> F.Column:
+    c, t = _typed(e, avail)
+    return _ebv(c, t)
 
 
 _DATE_DTS = [tf.XSD + n for n in ("dateTime", "date", "time")]
@@ -1781,18 +2056,28 @@ def _compile_select(
     return df
 
 
+def _parse_query(query: str, base: Optional[str]):
+    """Parse + record the query's (possibly BASE-updated) base IRI for
+    the IRI()/URI() builtins."""
+    global _ACTIVE_BASE
+    parser = SparqlParser(query, base)
+    ast = parser.parse()
+    _ACTIVE_BASE = parser.resolver.base
+    return ast
+
+
 def sparql_select(triples: DataFrame, query: str, base: Optional[str] = None) -> DataFrame:
     """Run a SPARQL SELECT (documented subset) over a triples DataFrame
     (columns subj/pred/obj in canonical encoding).  Aggregate outputs are
     native values (long/double/string), not encoded terms."""
-    q = SparqlParser(query, base).parse()
+    q = _parse_query(query, base)
     if not isinstance(q, SelectQuery):
         raise RDFSyntaxError("not a SELECT query — use sparql_query()")
     return _compile_select(triples, q)
 
 
 def sparql_ask(triples: DataFrame, query: str, base: Optional[str] = None) -> bool:
-    q = SparqlParser(query, base).parse()
+    q = _parse_query(query, base)
     if not isinstance(q, AskQuery):
         raise RDFSyntaxError("not an ASK query")
     return not _compile_group(triples, q.where).isEmpty()
@@ -1803,7 +2088,7 @@ def sparql_construct(
 ) -> DataFrame:
     """CONSTRUCT: instantiate the template per solution → distinct triples
     DataFrame (subj, pred, obj)."""
-    q = SparqlParser(query, base).parse()
+    q = _parse_query(query, base)
     if not isinstance(q, ConstructQuery):
         raise RDFSyntaxError("not a CONSTRUCT query")
     sol = _compile_group(triples, q.where)
@@ -1847,7 +2132,7 @@ def sparql_construct(
 def sparql_query(triples: DataFrame, query: str, base: Optional[str] = None):
     """Dispatch on query form: SELECT → DataFrame, ASK → bool,
     CONSTRUCT → triples DataFrame."""
-    q = SparqlParser(query, base).parse()
+    q = _parse_query(query, base)
     if isinstance(q, AskQuery):
         return not _compile_group(triples, q.where).isEmpty()
     if isinstance(q, ConstructQuery):

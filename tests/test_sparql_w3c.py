@@ -25,7 +25,7 @@ SUITES = [
     (SPARQL11_DIR, "grouping", 3),
     (SPARQL11_DIR, "aggregates", 27),
     (SPARQL11_DIR, "project-expression", 7),
-    (SPARQL11_DIR, "functions", 4),
+    (SPARQL11_DIR, "functions", 62),
     (SPARQL11_DIR, "construct", 3),
     (SPARQL11_DIR, "property-path", 25),
     (DAWG_DIR, "basic", 23),
