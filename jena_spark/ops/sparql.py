@@ -199,17 +199,21 @@ class SelectQuery:
     having: Optional[Expr] = None
     having_aggs: List[AggItem] = field(default_factory=list)  # hidden aggs
     proj_exprs: List[Tuple["Expr", str]] = field(default_factory=list)
+    # FROM / FROM NAMED graph IRIs (encoded terms) — dataset construction
+    datasets: Optional[Tuple[List[str], List[str]]] = None
 
 
 @dataclass
 class ConstructQuery:
     template: List[TriplePat]
     where: Group
+    datasets: Optional[Tuple[List[str], List[str]]] = None
 
 
 @dataclass
 class AskQuery:
     where: Group
+    datasets: Optional[Tuple[List[str], List[str]]] = None
 
 
 # ---------------------------------------------------------------------------
@@ -266,15 +270,17 @@ class SparqlParser:
         kw0 = self._kw()
         if kw0 == "ask":
             self._advance()
+            ds = self._dataset_clauses()
             if self._kw() == "where":
                 self._advance()
-            return AskQuery(self._group())
+            return AskQuery(self._group(), datasets=ds)
         if kw0 == "construct":
             self._advance()
-            if self._kw() == "where":
-                # CONSTRUCT WHERE { tp… } shorthand: the pattern doubles
-                # as the template (triples-only pattern required)
-                self._advance()
+            if self._kw() in ("where", "from"):
+                # CONSTRUCT [FROM…] WHERE { tp… } shorthand: the pattern
+                # doubles as the template (triples-only pattern required)
+                ds = self._dataset_clauses()
+                self._expect(T_KEYWORD, "where")
                 where = self._group()
                 template = [
                     el for el in where.elements if isinstance(el, TriplePat)
@@ -283,7 +289,7 @@ class SparqlParser:
                     raise RDFSyntaxError(
                         "CONSTRUCT WHERE allows only triple patterns"
                     )
-                return ConstructQuery(template, where)
+                return ConstructQuery(template, where, datasets=ds)
             tmpl_group = Group()
             self._expect(T_LBRACE)
             while self.tok.type != T_RBRACE:
@@ -291,10 +297,11 @@ class SparqlParser:
                 while self.tok.type == T_DOT:
                     self._advance()
             self._advance()
+            ds = self._dataset_clauses()
             self._expect(T_KEYWORD, "where")
             where = self._group()
             template = [el for el in tmpl_group.elements if isinstance(el, TriplePat)]
-            return ConstructQuery(template, where)
+            return ConstructQuery(template, where, datasets=ds)
         q = self._select_query()
         if self.tok.type != T_EOF:
             raise RDFSyntaxError(f"trailing tokens at line {self.tok.line}")
@@ -345,8 +352,9 @@ class SparqlParser:
                     proj_exprs.append((e, alias))
             else:
                 break
-        if not variables and not aggregates and self.tok.type != T_LBRACE and self._kw() != "where":
+        if not variables and not aggregates and self.tok.type != T_LBRACE and self._kw() not in ("where", "from"):
             raise RDFSyntaxError("SELECT needs variables, aggregates or *")
+        datasets = self._dataset_clauses()
         if self._kw() == "where":
             self._advance()
         where = self._group()
@@ -410,6 +418,7 @@ class SparqlParser:
         q = SelectQuery(
             variables, aggregates, group_by, distinct, where, order, limit, offset,
             having=having, having_aggs=self._agg_hoist, proj_exprs=proj_exprs,
+            datasets=datasets,
         )
         self._agg_hoist, self._allow_aggs = outer_hoist, outer_allow
         return q
@@ -418,6 +427,20 @@ class SparqlParser:
         "COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT",
         "MODE", "FOLD",
     }
+
+    def _dataset_clauses(self) -> Optional[Tuple[List[str], List[str]]]:
+        """(FROM iri | FROM NAMED iri)* — returns (default, named) graph
+        IRI term lists, or None when absent."""
+        frm: List[str] = []
+        named: List[str] = []
+        while self._kw() == "from":
+            self._advance()
+            if self._kw() == "named":
+                self._advance()
+                named.append(self._term_encoded())
+            else:
+                frm.append(self._term_encoded())
+        return (frm, named) if (frm or named) else None
 
     def _agg_call(self) -> Tuple[str, Optional[str], bool, str]:
         """FN([DISTINCT] ?v | * [; SEPARATOR="…"]) — the call part, shared
@@ -630,19 +653,35 @@ class SparqlParser:
 
     def _path_primary(self) -> tuple:
         if self.tok.type == T_OP and self.tok.value == "!":
-            # negated property set !(p1|p2|…) or !p (forward-only subset)
+            # negated property set !(p1|^p2|…) or !p / !^p — splits into a
+            # forward part (edges whose pred ∉ fwd set) and a reverse part
+            # (inverted edges whose pred ∉ rev set), alternated (§9.1)
             self._advance()
-            excl = []
+            fwd, rev = [], []
+
+            def one():
+                if self.tok.type == T_OP and self.tok.value == "^":
+                    self._advance()
+                    rev.append(self._term_encoded())
+                else:
+                    fwd.append(self._term_encoded())
+
             if self.tok.type == T_LPAREN:
                 self._advance()
-                excl.append(self._term_encoded())
-                while self.tok.type == T_OP and self.tok.value == "|":
-                    self._advance()
-                    excl.append(self._term_encoded())
+                if self.tok.type != T_RPAREN:
+                    one()
+                    while self.tok.type == T_OP and self.tok.value == "|":
+                        self._advance()
+                        one()
                 self._expect(T_RPAREN)
             else:
-                excl.append(self._term_encoded())
-            return ("neg", excl)
+                one()
+            parts = []
+            if fwd or not rev:
+                parts.append(("neg", fwd))
+            if rev:
+                parts.append(("inv", ("neg", rev)))
+            return parts[0] if len(parts) == 1 else ("alt", parts)
         if self.tok.type == T_LPAREN:
             self._advance()
             p = self._path_alt()
@@ -795,7 +834,8 @@ class SparqlParser:
             "ABS", "ROUND", "CEIL", "FLOOR", "IF", "COALESCE", "STRDT",
             "STRLANG", "IRI", "URI", "ISNUMERIC", "LANGMATCHES", "MD5",
             "SHA1", "SHA256", "SHA384", "SHA512", "YEAR", "MONTH", "DAY",
-            "HOURS", "MINUTES", "SECONDS", "TZ",
+            "HOURS", "MINUTES", "SECONDS", "TZ", "TIMEZONE", "NOW", "RAND",
+            "UUID", "STRUUID",
         ):
             name = self._advance().value.upper()
             self._expect(T_LPAREN)
@@ -923,7 +963,13 @@ def _typed(e: Expr, avail: Optional[set] = None) -> Tuple[F.Column, str]:
                 raise RDFSyntaxError("REGEX pattern must be a literal")
             from ..terms import decode_term
 
-            return plain(0).rlike(decode_term(e.args[1].value).lex), "bool"
+            pat = decode_term(e.args[1].value).lex
+            if len(e.args) > 2 and e.args[2].kind == "const":
+                flags = decode_term(e.args[2].value).lex
+                java_flags = "".join(f for f in flags if f in "imsx")
+                if java_flags:
+                    pat = f"(?{java_flags}){pat}"
+            return plain(0).rlike(pat), "bool"
         if name == "CONTAINS":
             return plain(0).contains(plain(1)), "bool"
         if name == "STRSTARTS":
@@ -1160,6 +1206,43 @@ def _typed(e: Expr, avail: Optional[set] = None) -> Tuple[F.Column, str]:
                 ),
                 "plain",
             )
+        if name == "TIMEZONE":
+            tz = F.regexp_extract(plain(0), r"(Z|[+-]\d\d:\d\d)$", 1)
+            hh = F.substring(tz, 2, 2).try_cast("int")
+            mm = F.substring(tz, 5, 2).try_cast("int")
+            sign = F.when(tz.startswith("-"), F.lit("-")).otherwise(F.lit(""))
+            dur = F.when(tz == "Z", F.lit("PT0S")).otherwise(
+                F.concat(
+                    sign,
+                    F.lit("PT"),
+                    hh.cast("string"),
+                    F.lit("H"),
+                    F.when(mm > 0, F.concat(mm.cast("string"), F.lit("M"))).otherwise(
+                        F.lit("")
+                    ),
+                )
+            )
+            return (
+                F.when(
+                    tz != "", tf.str_dt(dur, F.lit(tf.XSD + "dayTimeDuration"))
+                ),
+                "term",
+            )
+        if name == "NOW":
+            # query-constant (Spark's current_timestamp is per-query)
+            lex = F.date_format(
+                F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss.SSS"
+            )
+            return tf.str_dt(lex, F.lit(tf.XSD + "dateTime")), "term"
+        if name == "RAND":
+            return F.struct(F.rand().alias("v"), F.lit(3).alias("r")), "numdt"
+        if name == "UUID":
+            return (
+                tf.mk_iri_col(F.concat(F.lit("urn:uuid:"), F.expr("uuid()"))),
+                "iri",
+            )
+        if name == "STRUUID":
+            return F.expr("uuid()"), "plain"
     raise RDFSyntaxError(f"cannot compile expression {e.kind}")
 
 
@@ -1958,12 +2041,36 @@ def _subst_native(e: Expr, native: set) -> Expr:
     return Expr(e.kind, e.value, [_subst_native(a, native) for a in e.args])
 
 
+def _apply_datasets(triples: DataFrame, q) -> DataFrame:
+    """FROM / FROM NAMED dataset construction over a quads input: the
+    default graph becomes the union of the FROM graphs (their names are
+    erased), and only FROM NAMED graphs stay addressable by GRAPH."""
+    ds = getattr(q, "datasets", None)
+    if not ds or "graph" not in triples.columns:
+        return triples
+    frm, named = ds
+    parts = []
+    if frm:
+        parts.append(
+            triples.filter(F.col("graph").isin(frm)).withColumn(
+                "graph", F.lit(None).cast("string")
+            )
+        )
+    if named:
+        parts.append(triples.filter(F.col("graph").isin(named)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
 def _compile_select(
     triples: DataFrame,
     q: SelectQuery,
     graph_term: Optional[str] = None,
     graph_var: Optional[str] = None,
 ) -> DataFrame:
+    triples = _apply_datasets(triples, q)
     df = _compile_group(triples, q.where, graph_term, graph_var)
     # anonymous variables ([] / query bnodes) never appear in results
     anon = [c for c in df.columns if c.startswith("__anon")]
@@ -2080,7 +2187,7 @@ def sparql_ask(triples: DataFrame, query: str, base: Optional[str] = None) -> bo
     q = _parse_query(query, base)
     if not isinstance(q, AskQuery):
         raise RDFSyntaxError("not an ASK query")
-    return not _compile_group(triples, q.where).isEmpty()
+    return not _compile_group(_apply_datasets(triples, q), q.where).isEmpty()
 
 
 def sparql_construct(
@@ -2091,7 +2198,7 @@ def sparql_construct(
     q = _parse_query(query, base)
     if not isinstance(q, ConstructQuery):
         raise RDFSyntaxError("not a CONSTRUCT query")
-    sol = _compile_group(triples, q.where)
+    sol = _compile_group(_apply_datasets(triples, q), q.where)
     # template blank nodes (parsed as __anon vars the WHERE never binds)
     # are FRESH per solution row, shared across the template's triples —
     # materialize a per-row id once so every template branch sees the
@@ -2134,7 +2241,7 @@ def sparql_query(triples: DataFrame, query: str, base: Optional[str] = None):
     CONSTRUCT → triples DataFrame."""
     q = _parse_query(query, base)
     if isinstance(q, AskQuery):
-        return not _compile_group(triples, q.where).isEmpty()
+        return not _compile_group(_apply_datasets(triples, q), q.where).isEmpty()
     if isinstance(q, ConstructQuery):
         return sparql_construct(triples, query, base)
     return sparql_select(triples, query, base)

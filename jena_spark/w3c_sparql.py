@@ -457,6 +457,24 @@ def run_sparql_test(spark, t: SparqlTest) -> Tuple[str, str]:
     except RecursionError:
         return "skip", "unsupported syntax: recursion"
 
+    # FROM / FROM NAMED files: load each as a named graph so the engine's
+    # dataset construction (_apply_datasets) can scope it
+    ds = getattr(ast, "datasets", None)
+    if ds:
+        extra = []
+        for iri_term in ds[0] + ds[1]:
+            iri = iri_term[1:-1]
+            if iri.startswith("file://"):
+                extra.append((iri, iri[len("file://"):]))
+        if extra:
+            t = SparqlTest(
+                name=t.name,
+                query_path=t.query_path,
+                data_path=t.data_path,
+                graph_data=sorted(set(t.graph_data) | set(extra)),
+                result_path=t.result_path,
+            )
+
     triples = _load_data(spark, t)
     try:
         result = sparql_query(triples, qtext, base)
