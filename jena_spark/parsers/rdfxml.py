@@ -42,9 +42,11 @@ from ..terms import (
 Triple = Tuple[str, str, str]
 
 XML_NS = "http://www.w3.org/XML/1998/namespace"
+ITS_NS = "http://www.w3.org/2005/11/its"  # its:dir base-direction (RDF 1.2)
 XMLNS_NS = "http://www.w3.org/2000/xmlns/"
 RDF_XMLLITERAL = RDF_NS + "XMLLiteral"
 RDF_STATEMENT = RDF_NS + "Statement"
+RDF_REIFIES = RDF_NS + "reifies"
 
 _CORE_SYNTAX = {"RDF", "ID", "about", "parseType", "resource", "nodeID", "datatype"}
 _OLD_TERMS = {"aboutEach", "aboutEachPrefix", "bagID"}
@@ -230,6 +232,7 @@ class _RDFXMLWalker:
         self.out: List[Triple] = []
         self.base0 = base
         self.ids_seen: Dict[Tuple[str, str], bool] = {}
+        self.version12 = False  # rdf:version="1.2" seen (enables 1.2 syntax)
 
     # base/lang are passed down the walk explicitly (xml:base/xml:lang scoping)
 
@@ -240,7 +243,7 @@ class _RDFXMLWalker:
             raise RDFSyntaxError(f"relative IRI without base: {iri!r}")
         return iri_resolve(base, iri)
 
-    def _scoped(self, el: _Elem, base: Optional[str], lang: str) -> Tuple[Optional[str], str]:
+    def _scoped(self, el: _Elem, base: Optional[str], lang: str, dir_: str = ""):
         for auri, alocal, aq, aval in el.attrs:
             if auri == XML_NS and alocal == "base":
                 # fragment stripped from xml:base per XML Base / RFC 3986
@@ -251,7 +254,19 @@ class _RDFXMLWalker:
                 base = newb
             elif auri == XML_NS and alocal == "lang":
                 lang = aval
-        return base, lang
+            elif auri == ITS_NS and alocal == "dir":
+                dir_ = aval
+            elif auri == RDF_NS and alocal == "version":
+                self.version12 = aval.startswith("1.2")
+        return base, lang, dir_
+
+    def _langdir(self, lang: str, dir_: str) -> Optional[str]:
+        """Combined language tag for mk_literal: dir without lang is
+        ignored (a base direction needs a language, dir-06), and its:dir
+        only takes effect under rdf:version="1.2" (dir-02)."""
+        if lang and dir_ and self.version12:
+            return f"{lang}--{dir_}"
+        return lang or None
 
     def _emit(self, s: Term, p: Term, o: Term) -> None:
         self.out.append((s.nt(), p.nt(), o.nt()))
@@ -272,13 +287,16 @@ class _RDFXMLWalker:
         if auri == XML_NS or aqname.startswith("xml"):
             # xml:lang/base/space and xmlFoo reserved-looking names: ignored
             return False
+        if auri == ITS_NS:
+            # its:dir handled by _scoped; its:version et al. ignored
+            return False
         if auri == "":
             raise RDFSyntaxError(
                 f"line {line}: unqualified attribute {aqname!r} not allowed"
             )
         if auri == RDF_NS:
-            if alocal in _CORE_SYNTAX:
-                return False  # handled by caller
+            if alocal in _CORE_SYNTAX or alocal == "version":
+                return False  # handled by caller / parser-version decl
             if alocal in _OLD_TERMS:
                 raise RDFSyntaxError(f"line {line}: rdf:{alocal} not allowed")
             if alocal in ("Description", "li"):
@@ -289,8 +307,8 @@ class _RDFXMLWalker:
 
     # -- node elements -------------------------------------------------------
 
-    def node_element(self, el: _Elem, base: Optional[str], lang: str) -> Term:
-        base, lang = self._scoped(el, base, lang)
+    def node_element(self, el: _Elem, base: Optional[str], lang: str, dir_: str = "") -> Term:
+        base, lang, dir_ = self._scoped(el, base, lang, dir_)
         if el.uri == RDF_NS and (
             el.local in _CORE_SYNTAX or el.local in _OLD_TERMS or el.local == "li"
         ):
@@ -347,7 +365,7 @@ class _RDFXMLWalker:
                 self._emit(
                     subj,
                     mk_iri(auri + alocal),
-                    mk_literal(aval, lang=lang or None),
+                    mk_literal(aval, lang=self._langdir(lang, dir_)),
                 )
 
         # property elements
@@ -359,7 +377,7 @@ class _RDFXMLWalker:
                         f"line {el.line}: stray text inside node element"
                     )
                 continue
-            self.property_element(c, subj, base, lang, li_counter)
+            self.property_element(c, subj, base, lang, li_counter, dir_)
         return subj
 
     # -- property elements -----------------------------------------------------
@@ -371,9 +389,10 @@ class _RDFXMLWalker:
         base: Optional[str],
         lang: str,
         li_counter: List[int],
+        dir_: str = "",
     ) -> None:
         outer_base = base
-        base, lang = self._scoped(el, base, lang)
+        base, lang, dir_ = self._scoped(el, base, lang, dir_)
         if el.uri == RDF_NS:
             if el.local in _CORE_SYNTAX or el.local in _OLD_TERMS or el.local == "Description":
                 raise RDFSyntaxError(
@@ -390,9 +409,14 @@ class _RDFXMLWalker:
             pred = mk_iri(el.uri + el.local)
 
         resource = nodeid = datatype = parse_type = idv = None
+        annotation = annotation_nodeid = None
         prop_attrs = []
         for auri, alocal, aqname, aval in el.attrs:
-            if auri == RDF_NS and alocal == "resource":
+            if auri == RDF_NS and alocal == "annotation":
+                annotation = aval
+            elif auri == RDF_NS and alocal == "annotationNodeID":
+                annotation_nodeid = aval
+            elif auri == RDF_NS and alocal == "resource":
                 resource = aval
             elif auri == RDF_NS and alocal == "nodeID":
                 nodeid = aval
@@ -419,6 +443,21 @@ class _RDFXMLWalker:
                 self._emit(st, mk_iri(RDF_NS + "subject"), subj)
                 self._emit(st, mk_iri(RDF_NS + "predicate"), pred)
                 self._emit(st, mk_iri(RDF_NS + "object"), o)
+            if annotation is not None or annotation_nodeid is not None:
+                # RDF 1.2: rdf:annotation / rdf:annotationNodeID reify the
+                # asserted triple via rdf:reifies + a triple term
+                from ..terms import TRIPLE_TERM
+
+                if annotation is not None:
+                    reifier = mk_iri(self._resolve(annotation, base))
+                else:
+                    if not _NCNAME_RE.match(annotation_nodeid):
+                        raise RDFSyntaxError(
+                            f"line {el.line}: bad rdf:annotationNodeID"
+                        )
+                    reifier = mk_bnode(self.alloc.get(annotation_nodeid))
+                tt = Term(TRIPLE_TERM, f"{subj.nt()} {pred.nt()} {o.nt()}")
+                self._emit(reifier, mk_iri(RDF_REIFIES), tt)
 
         elems = [c for c in el.children if isinstance(c, _Elem)]
         texts = [c for c in el.children if isinstance(c, str)]
@@ -440,7 +479,33 @@ class _RDFXMLWalker:
                                 f"line {el.line}: text in parseType=Resource"
                             )
                         continue
-                    self.property_element(c, bn, base, lang, inner_li)
+                    self.property_element(c, bn, base, lang, inner_li, dir_)
+                return
+            if parse_type == "Triple":
+                # RDF 1.2 triple term — only recognized in 1.2 mode
+                # (without rdf:version="1.2" the construct is ignored,
+                # rdf12-xml-tt-01)
+                if not self.version12:
+                    return
+                if text.strip() or len(elems) != 1:
+                    raise RDFSyntaxError(
+                        f"line {el.line}: parseType=Triple needs exactly one node element"
+                    )
+                from ..terms import TRIPLE_TERM
+
+                saved = self.out
+                self.out = []
+                try:
+                    self.node_element(elems[0], base, lang, dir_)
+                    inner = self.out
+                finally:
+                    self.out = saved
+                if len(inner) != 1:
+                    raise RDFSyntaxError(
+                        f"line {el.line}: parseType=Triple must describe exactly one triple"
+                    )
+                s_, p_, o_ = inner[0]
+                emit(Term(TRIPLE_TERM, f"{s_} {p_} {o_}"))
                 return
             if parse_type == "Collection":
                 if elems:
@@ -452,7 +517,7 @@ class _RDFXMLWalker:
                             nxt = mk_bnode(self.alloc.fresh())
                             self._emit(cur, mk_iri(RDF_REST), nxt)
                             cur = nxt
-                        node = self.node_element(c, base, lang)
+                        node = self.node_element(c, base, lang, dir_)
                         self._emit(cur, mk_iri(RDF_FIRST), node)
                     self._emit(cur, mk_iri(RDF_REST), mk_iri(RDF_NIL))
                 else:
@@ -476,7 +541,7 @@ class _RDFXMLWalker:
                 raise RDFSyntaxError(
                     f"line {el.line}: node element content with conflicting attributes"
                 )
-            node = self.node_element(elems[0], base, lang)
+            node = self.node_element(elems[0], base, lang, dir_)
             emit(node)
             return
 
@@ -489,7 +554,7 @@ class _RDFXMLWalker:
             if datatype is not None:
                 emit(mk_literal(text, datatype=self._resolve(datatype, base)))
             else:
-                emit(mk_literal(text, lang=lang or None))
+                emit(mk_literal(text, lang=self._langdir(lang, dir_)))
             return
 
         # empty (or whitespace-only) property element
@@ -500,7 +565,7 @@ class _RDFXMLWalker:
         if resource is not None:
             obj: Term = mk_iri(self._resolve(resource, base))
             for auri, alocal, aval in prop_attrs:
-                self._attr_triple(obj, auri, alocal, aval, base, lang)
+                self._attr_triple(obj, auri, alocal, aval, base, lang, dir_)
             emit(obj)
             return
         if nodeid is not None:
@@ -508,13 +573,13 @@ class _RDFXMLWalker:
                 raise RDFSyntaxError(f"line {el.line}: bad rdf:nodeID {nodeid!r}")
             obj = mk_bnode(self.alloc.get(nodeid))
             for auri, alocal, aval in prop_attrs:
-                self._attr_triple(obj, auri, alocal, aval, base, lang)
+                self._attr_triple(obj, auri, alocal, aval, base, lang, dir_)
             emit(obj)
             return
         if prop_attrs:
             obj = mk_bnode(self.alloc.fresh())
             for auri, alocal, aval in prop_attrs:
-                self._attr_triple(obj, auri, alocal, aval, base, lang)
+                self._attr_triple(obj, auri, alocal, aval, base, lang, dir_)
             emit(obj)
             return
         # truly empty → empty literal (whitespace-only content is "" per
@@ -525,25 +590,29 @@ class _RDFXMLWalker:
         if datatype is not None:
             emit(mk_literal(text, datatype=self._resolve(datatype, base)))
         else:
-            emit(mk_literal(text, lang=lang or None))
+            emit(mk_literal(text, lang=self._langdir(lang, dir_)))
 
-    def _attr_triple(self, subj, auri, alocal, aval, base, lang):
+    def _attr_triple(self, subj, auri, alocal, aval, base, lang, dir_=""):
         if auri == RDF_NS and alocal == "type":
             self._emit(subj, mk_iri(RDF_TYPE), mk_iri(self._resolve(aval, base)))
         else:
-            self._emit(subj, mk_iri(auri + alocal), mk_literal(aval, lang=lang or None))
+            self._emit(
+                subj,
+                mk_iri(auri + alocal),
+                mk_literal(aval, lang=self._langdir(lang, dir_)),
+            )
 
     # -- document ---------------------------------------------------------------
 
     def walk(self, root: _Elem) -> List[Triple]:
-        base, lang = self._scoped(root, self.base0, "")
+        base, lang, dir_ = self._scoped(root, self.base0, "")
         if root.uri == RDF_NS and root.local == "RDF":
             for c in root.children:
                 if isinstance(c, str):
                     if c.strip():
                         raise RDFSyntaxError("stray text at top level")
                     continue
-                self.node_element(c, base, lang)
+                self.node_element(c, base, lang, dir_)
         else:
             # rdf:RDF element is optional (rdf-element-not-mandatory)
             self.node_element(root, self.base0, "")
