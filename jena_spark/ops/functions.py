@@ -64,9 +64,23 @@ def lex(t: Column) -> Column:
 
 
 def lang(t: Column) -> Column:
-    """E_Lang: language tag or '' (SPARQL returns '' for plain)."""
+    """E_Lang: language tag or '' (SPARQL returns '' for plain).
+    The RDF 1.2 base direction suffix (``--ltr``/``--rtl``) is NOT part
+    of the language tag — LANGDIR returns it (E_LangDir)."""
     return F.when(
-        is_literal(t), F.coalesce(F.regexp_extract(t, r'"@([A-Za-z0-9-]+)$', 1), F.lit(""))
+        is_literal(t),
+        F.coalesce(
+            F.regexp_extract(t, r'"@([A-Za-z0-9-]+?)(?:--(?:ltr|rtl))?$', 1),
+            F.lit(""),
+        ),
+    )
+
+
+def lang_dir(t: Column) -> Column:
+    """E_LangDir: the base direction ('ltr'/'rtl') or ''."""
+    return F.when(
+        is_literal(t),
+        F.coalesce(F.regexp_extract(t, r'"@[A-Za-z0-9-]+--(ltr|rtl)$', 1), F.lit("")),
     )
 
 

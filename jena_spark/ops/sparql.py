@@ -835,7 +835,8 @@ class SparqlParser:
             "STRLANG", "IRI", "URI", "ISNUMERIC", "LANGMATCHES", "MD5",
             "SHA1", "SHA256", "SHA384", "SHA512", "YEAR", "MONTH", "DAY",
             "HOURS", "MINUTES", "SECONDS", "TZ", "TIMEZONE", "NOW", "RAND",
-            "UUID", "STRUUID",
+            "UUID", "STRUUID", "LANGDIR", "HASLANG", "HASLANGDIR",
+            "STRLANGDIR",
         ):
             name = self._advance().value.upper()
             self._expect(T_LPAREN)
@@ -980,6 +981,18 @@ def _typed(e: Expr, avail: Optional[set] = None) -> Tuple[F.Column, str]:
             return plain(0), "plain"
         if name == "LANG":
             return tf.lang(targs[0][0]), "plain"
+        if name == "LANGDIR":
+            return tf.lang_dir(targs[0][0]), "plain"
+        if name == "HASLANG":
+            return (
+                tf.is_literal(targs[0][0]) & (tf.lang(targs[0][0]) != ""),
+                "bool",
+            )
+        if name == "HASLANGDIR":
+            return (
+                tf.is_literal(targs[0][0]) & (tf.lang_dir(targs[0][0]) != ""),
+                "bool",
+            )
         if name == "DATATYPE":
             # DATATYPE returns an IRI term (E_Datatype → NodeValue IRI) —
             # statically known non-literal, so comparisons stay tiny
@@ -1157,7 +1170,21 @@ def _typed(e: Expr, avail: Optional[set] = None) -> Tuple[F.Column, str]:
                     dt == tf.XSD + "string", _plain_literal(plain(0))
                 ).otherwise(tf.str_dt(plain(0), dt))
             else:
-                built = tf.str_lang(plain(0), plain(1))
+                tag = plain(1)
+                built = F.when(tag != "", tf.str_lang(plain(0), tag))
+            return F.when(simple, built), "term"
+        if name == "STRLANGDIR":
+            c1, t1 = targs[0]
+            simple = (
+                F.lit(True)
+                if t1 == "plain"
+                else tf.is_literal(c1) & (tf.datatype(c1) == tf.XSD + "string")
+            )
+            tag, d = plain(1), plain(2)
+            built = F.when(
+                (tag != "") & d.isin("ltr", "rtl"),
+                tf.str_lang(plain(0), F.concat(tag, F.lit("--"), d)),
+            )
             return F.when(simple, built), "term"
         if name in ("IRI", "URI"):
             s = plain(0)
@@ -1360,15 +1387,19 @@ def _ebv(c: F.Column, t: str) -> F.Column:
         return F.length(c) > 0
     nv = tf.numeric_value(c)
     dtc = tf.datatype(c)
+    lx = tf.lex(c)
     return (
         F.when(
-            tf.is_literal(c) & (dtc == tf.XSD + "boolean"), tf.lex(c) == "true"
+            tf.is_literal(c) & (dtc == tf.XSD + "boolean"),
+            # invalid boolean lexical forms are a type error, not false
+            F.when(lx.isin("true", "1"), F.lit(True))
+            .when(lx.isin("false", "0"), F.lit(False))
+            .otherwise(F.lit(None).cast("boolean")),
         )
         .when(tf.is_numeric(c), F.coalesce(nv != 0, F.lit(False)))
         .when(
-            tf.is_literal(c)
-            & ((dtc == tf.XSD + "string") | (dtc == tf.RDF_LANGSTRING)),
-            F.length(tf.lex(c)) > 0,
+            tf.is_literal(c) & (dtc == tf.XSD + "string"),
+            F.length(lx) > 0,
         )
         .otherwise(F.lit(None).cast("boolean"))
     )

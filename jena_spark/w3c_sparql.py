@@ -47,6 +47,7 @@ from .w3c import isomorphic
 
 SPARQL11_DIR = "/root/reference/jena-arq/testing/rdf-tests-cg/sparql/sparql11"
 DAWG_DIR = "/root/reference/jena-arq/testing/DAWG-Final"
+SPARQL12_DIR = "/root/reference/jena-arq/testing/rdf-tests-cg/sparql/sparql12"
 
 MF = "http://www.w3.org/2001/sw/DataAccess/tests/test-manifest#"
 QT = "http://www.w3.org/2001/sw/DataAccess/tests/test-query#"
@@ -193,7 +194,11 @@ def read_srj(path: str):
                 row[var] = "_:" + v["value"]
             elif t in ("literal", "typed-literal"):
                 if v.get("xml:lang"):
-                    row[var] = mk_literal(v["value"], lang=v["xml:lang"]).nt()
+                    tag = v["xml:lang"]
+                    d = v.get("dir") or v.get("its:dir")
+                    if d:  # SPARQL 1.2 dir-lang results
+                        tag = f"{tag}--{d}"
+                    row[var] = mk_literal(v["value"], lang=tag).nt()
                 elif v.get("datatype"):
                     row[var] = mk_literal(v["value"], datatype=v["datatype"]).nt()
                 else:

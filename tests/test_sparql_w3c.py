@@ -13,7 +13,7 @@ import os
 
 import pytest
 
-from jena_spark.w3c_sparql import run_sparql_dir, SPARQL11_DIR, DAWG_DIR
+from jena_spark.w3c_sparql import run_sparql_dir, SPARQL11_DIR, DAWG_DIR, SPARQL12_DIR
 
 # (base, subdir, min_pass) — min_pass is the pass count at wiring time;
 # regressions that turn passes into skips trip the floor.
@@ -48,6 +48,10 @@ SUITES = [
     (DAWG_DIR, "i18n", 5),
     (DAWG_DIR, "solution-seq", 13),
     (DAWG_DIR, "dataset", 12),
+    (SPARQL12_DIR, "lang-basedir", 6),
+    (SPARQL12_DIR, "rdf11", 3),
+    (SPARQL12_DIR, "grouping", 1),
+    (SPARQL12_DIR, "expression", 1),
 ]
 
 # Documented exclusions (test name → why).
