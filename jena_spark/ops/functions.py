@@ -151,15 +151,33 @@ def order_key(t: Column) -> Column:
     numerics order by *value* before non-numerics order lexically —
     mirrors QueryIterSort / NodeValue.compareAlways (numeric "9" < "10",
     not the encoded-string order) and the MIN/MAX aggregate key."""
+    is_tt = t.startswith("<<(")
     kind_rank = (
         F.when(t.isNull(), F.lit(0))
         .when(is_bnode(t), F.lit(1))
+        .when(is_tt, F.lit(4))  # triple terms sort last
         .when(is_iri(t), F.lit(2))
         .otherwise(F.lit(3))
     )
-    nv = numeric_value(t)
+    # triple terms order component-wise: (subject, predicate) string key,
+    # then object by numeric value when numeric, then full encoding
+    # strip the IRI terminator so "…/s" < "…/s1" (prefix order, like
+    # comparing the IRI strings themselves rather than their encodings)
+    tt_sp = F.regexp_replace(
+        F.concat(
+            F.regexp_extract(t, r"^<<\((\S+) \S+ (?s:.*)\)>>$", 1),
+            F.lit(" "),
+            F.regexp_extract(t, r"^<<\(\S+ (\S+) (?s:.*)\)>>$", 1),
+        ),
+        ">",
+        "",
+    )
+    tt_obj = F.regexp_extract(t, r"^<<\(\S+ \S+ ((?s:.*))\)>>$", 1)
+    nv = F.when(is_tt, numeric_value(tt_obj)).otherwise(numeric_value(t))
+    v1 = F.when(is_tt, tt_sp).otherwise(F.lit(""))
     return F.struct(
         kind_rank.alias("k"),
+        v1.alias("v1"),
         nv.isNull().cast("int").alias("nn"),
         F.coalesce(nv, F.lit(0.0)).alias("n"),
         t.alias("v"),

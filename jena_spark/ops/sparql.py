@@ -60,11 +60,18 @@ from ..parsers.tokenizer import (
     T_IRI,
     T_KEYWORD,
     T_LANGTAG,
+    T_LANN,
     T_LBRACE,
     T_LBRACKET,
     T_LPAREN,
+    T_LQT,
+    T_LTT,
     T_OP,
+    T_RANN,
     T_RBRACKET,
+    T_RQT,
+    T_RTT,
+    T_TILDE,
     T_PNAME,
     T_RBRACE,
     T_RPAREN,
@@ -74,6 +81,8 @@ from ..parsers.tokenizer import (
 )
 from . import functions as tf
 from .algebra import bgp
+
+RDF_NS_REIFIES = "http://www.w3.org/1999/02/22-rdf-syntax-ns#reifies"
 
 
 # ---------------------------------------------------------------------------
@@ -166,6 +175,20 @@ class SubGroupPat:
 
 
 @dataclass
+class TermDecomp:
+    """SPARQL 1.2 triple-term decomposition constraint: ``var`` (an
+    already-bound variable holding an encoded term) must be a triple term
+    whose components match/bind s, p, o (each '?name' or encoded term).
+    Compiled as withColumn/filter over regexp component extraction —
+    valid because inner subjects/predicates are IRIs/bnodes (no spaces),
+    so the first two space-splits are exact even with a nested object."""
+    var: str
+    s: str
+    p: str
+    o: str
+
+
+@dataclass
 class Group:
     elements: List[object] = field(default_factory=list)
 
@@ -208,6 +231,8 @@ class ConstructQuery:
     template: List[TriplePat]
     where: Group
     datasets: Optional[Tuple[List[str], List[str]]] = None
+    # triple-term constructions used by the template (RDF 1.2)
+    decomps: List["TermDecomp"] = field(default_factory=list)
 
 
 @dataclass
@@ -285,11 +310,15 @@ class SparqlParser:
                 template = [
                     el for el in where.elements if isinstance(el, TriplePat)
                 ]
-                if len(template) != len(where.elements):
+                decomps = [
+                    el for el in where.elements if isinstance(el, TermDecomp)
+                ]
+                if len(template) + len(decomps) != len(where.elements):
                     raise RDFSyntaxError(
                         "CONSTRUCT WHERE allows only triple patterns"
                     )
-                return ConstructQuery(template, where, datasets=ds)
+                return ConstructQuery(template, where, datasets=ds,
+                                      decomps=decomps)
             tmpl_group = Group()
             self._expect(T_LBRACE)
             while self.tok.type != T_RBRACE:
@@ -301,7 +330,8 @@ class SparqlParser:
             self._expect(T_KEYWORD, "where")
             where = self._group()
             template = [el for el in tmpl_group.elements if isinstance(el, TriplePat)]
-            return ConstructQuery(template, where, datasets=ds)
+            decomps = [el for el in tmpl_group.elements if isinstance(el, TermDecomp)]
+            return ConstructQuery(template, where, datasets=ds, decomps=decomps)
         q = self._select_query()
         if self.tok.type != T_EOF:
             raise RDFSyntaxError(f"trailing tokens at line {self.tok.line}")
@@ -564,9 +594,64 @@ class SparqlParser:
             s = self._bnode_prop_list(g)
             if self.tok.type in (T_DOT, T_RBRACE):
                 return  # bare "[ … ] ." — property list as whole statement
+        elif self.tok.type == T_LQT:
+            s = self._reif_pat(g)
+            if self.tok.type in (T_DOT, T_RBRACE):
+                return  # bare reified-triple pattern
         else:
             s = self._term_or_var(subject=True)
         self._pred_obj_list(g, s)
+
+    def _fresh_anon(self) -> str:
+        v = f"?__anon{self._anon_n}"
+        self._anon_n += 1
+        return v
+
+    def _reif_pat(self, g: Group) -> str:
+        """``<< s p o (~ r)? >>`` pattern → reifier term/var: adds
+        (r, rdf:reifies, ?tt) plus the decomposition of ?tt."""
+        self._advance()  # '<<'
+        s = self._rt_pat_term(g, subject=True)
+        p = self._verb_simple()
+        o = self._rt_pat_term(g, subject=False)
+        reifier = None
+        if self.tok.type == T_TILDE:
+            self._advance()
+            reifier = self._term_or_var()
+        if reifier is None:
+            reifier = self._fresh_anon()
+        self._expect(T_RQT)
+        ttv = self._fresh_anon()
+        g.elements.append(
+            TriplePat(reifier, f"<{RDF_NS_REIFIES}>", ttv)
+        )
+        g.elements.append(TermDecomp(ttv, s, p, o))
+        return reifier
+
+    def _tt_pat(self, g: Group) -> str:
+        """``<<( s p o )>>`` triple-term pattern → a variable constrained
+        to that (possibly partially ground) triple term."""
+        self._advance()  # '<<('
+        s = self._rt_pat_term(g, subject=True)
+        p = self._verb_simple()
+        o = self._rt_pat_term(g, subject=False)
+        self._expect(T_RTT)
+        ttv = self._fresh_anon()
+        g.elements.append(TermDecomp(ttv, s, p, o))
+        return ttv
+
+    def _rt_pat_term(self, g: Group, subject: bool) -> str:
+        if self.tok.type == T_LQT:
+            return self._reif_pat(g)
+        if not subject and self.tok.type == T_LTT:
+            return self._tt_pat(g)
+        return self._term_or_var(subject=subject)
+
+    def _verb_simple(self) -> str:
+        if self.tok.type == T_KEYWORD and self.tok.value == "a":
+            self._advance()
+            return f"<{RDF_TYPE}>"
+        return self._term_or_var()
 
     def _bnode_prop_list(self, g: Group) -> str:
         """'[' predicateObjectList? ']' — an anonymous variable (query
@@ -587,10 +672,46 @@ class SparqlParser:
             while True:
                 if self.tok.type == T_LBRACKET:
                     o = self._bnode_prop_list(g)
+                elif self.tok.type == T_LQT:
+                    o = self._reif_pat(g)
+                elif self.tok.type == T_LTT:
+                    o = self._tt_pat(g)
                 else:
                     o = self._term_or_var()
                 if isinstance(p, str):
                     g.elements.append(TriplePat(s, p, o))
+                    # SPARQL 1.2 annotation syntax after an object:
+                    # ~reifier and/or {| pol |} blocks over (s, p, o)
+                    while self.tok.type in (T_TILDE, T_LANN):
+                        if self.tok.type == T_TILDE:
+                            self._advance()
+                            if self.tok.type in (T_TILDE, T_LANN, T_COMMA,
+                                                 T_SEMI, T_DOT, T_RBRACE):
+                                r = self._fresh_anon()
+                            else:
+                                r = self._term_or_var()
+                        else:
+                            r = None
+                        if r is None:
+                            self._advance()  # '{|'
+                            r = self._fresh_anon()
+                            ttv = self._fresh_anon()
+                            g.elements.append(
+                                TriplePat(r, f"<{RDF_NS_REIFIES}>", ttv)
+                            )
+                            g.elements.append(TermDecomp(ttv, s, p, o))
+                            self._pred_obj_list(g, r)
+                            self._expect(T_RANN)
+                        else:
+                            ttv = self._fresh_anon()
+                            g.elements.append(
+                                TriplePat(r, f"<{RDF_NS_REIFIES}>", ttv)
+                            )
+                            g.elements.append(TermDecomp(ttv, s, p, o))
+                            if self.tok.type == T_LANN:
+                                self._advance()
+                                self._pred_obj_list(g, r)
+                                self._expect(T_RANN)
                 else:
                     g.elements.append(PathPat(s, o, expr=p))
                 if self.tok.type == T_COMMA:
@@ -704,6 +825,18 @@ class SparqlParser:
         return self._term_encoded()
 
     def _term_encoded(self) -> str:
+        if self.tok.type == T_LTT:
+            # constant triple term in expression/VALUES position
+            self._advance()
+            s = self._term_encoded()
+            if self.tok.type == T_KEYWORD and self.tok.value == "a":
+                self._advance()
+                p = f"<{RDF_TYPE}>"
+            else:
+                p = self._term_encoded()
+            o = self._term_encoded()
+            self._expect(T_RTT)
+            return f"<<({s} {p} {o})>>"
         t = self._advance()
         if t.type == T_IRI:
             return mk_iri(self.resolver.resolve(t.value)).nt()
@@ -808,6 +941,21 @@ class SparqlParser:
             return e
         if self.tok.type == T_VAR:
             return Expr("var", self._advance().value)
+        if self.tok.type == T_LTT:
+            # <<( s p o )>> in an expression ≡ TRIPLE(s, p, o)
+            self._advance()
+
+            def part() -> Expr:
+                if self.tok.type == T_VAR:
+                    return Expr("var", self._advance().value)
+                if self.tok.type == T_KEYWORD and self.tok.value == "a":
+                    self._advance()
+                    return Expr("const", f"<{RDF_TYPE}>")
+                return Expr("const", self._term_encoded())
+
+            args = [part(), part(), part()]
+            self._expect(T_RTT)
+            return Expr("call", "TRIPLE", args)
         if self.tok.type == T_KEYWORD and self.tok.value.lower() == "exists":
             self._advance()
             return Expr("exists", (self._group(), True))
@@ -836,7 +984,8 @@ class SparqlParser:
             "SHA1", "SHA256", "SHA384", "SHA512", "YEAR", "MONTH", "DAY",
             "HOURS", "MINUTES", "SECONDS", "TZ", "TIMEZONE", "NOW", "RAND",
             "UUID", "STRUUID", "LANGDIR", "HASLANG", "HASLANGDIR",
-            "STRLANGDIR",
+            "STRLANGDIR", "TRIPLE", "SUBJECT", "PREDICATE", "OBJECT",
+            "ISTRIPLE",
         ):
             name = self._advance().value.upper()
             self._expect(T_LPAREN)
@@ -1270,6 +1419,26 @@ def _typed(e: Expr, avail: Optional[set] = None) -> Tuple[F.Column, str]:
             )
         if name == "STRUUID":
             return F.expr("uuid()"), "plain"
+        if name == "TRIPLE":
+            s_ = _term_of(*targs[0])
+            p_ = _term_of(*targs[1])
+            o_ = _term_of(*targs[2])
+            return (
+                F.concat(
+                    F.lit("<<("), s_, F.lit(" "), p_, F.lit(" "), o_, F.lit(")>>")
+                ),
+                "term",
+            )
+        if name == "ISTRIPLE":
+            return targs[0][0].startswith("<<("), "bool"
+        if name in ("SUBJECT", "PREDICATE", "OBJECT"):
+            c = targs[0][0]
+            pat = {
+                "SUBJECT": r"^<<\((\S+) \S+ (?s:.*)\)>>$",
+                "PREDICATE": r"^<<\(\S+ (\S+) (?s:.*)\)>>$",
+                "OBJECT": r"^<<\(\S+ \S+ ((?s:.*))\)>>$",
+            }[name]
+            return F.when(c.startswith("<<("), F.regexp_extract(c, pat, 1)), "term"
     raise RDFSyntaxError(f"cannot compile expression {e.kind}")
 
 
@@ -1417,6 +1586,140 @@ _KNOWN_CMP_DTS = (
 )
 
 
+def _slim_eq(a: F.Column, b: F.Column, depth: int) -> F.Column:
+    """Lightweight value equality for triple-term components: numerics by
+    value, nested triple terms one level deeper, term identity otherwise."""
+    na, nb = tf.numeric_value(a), tf.numeric_value(b)
+    base = F.when(na.isNotNull() & nb.isNotNull(), na == nb).otherwise(a == b)
+    if depth <= 0:
+        return base
+    pat = r"^<<\((\S+) (\S+) ((?s:.*))\)>>$"
+    return F.when(
+        a.startswith("<<(") & b.startswith("<<("),
+        (F.regexp_extract(a, pat, 1) == F.regexp_extract(b, pat, 1))
+        & (F.regexp_extract(a, pat, 2) == F.regexp_extract(b, pat, 2))
+        & _slim_eq(
+            F.regexp_extract(a, pat, 3), F.regexp_extract(b, pat, 3), depth - 1
+        ),
+    ).otherwise(base)
+
+
+def _term_value_cmp(ca: F.Column, cb: F.Column, op: str, depth: int = 2) -> F.Column:
+    """SPARQL open-world value comparison of two encoded-term columns
+    (§17.3 operator mapping, NodeValue.compare / compareAlways): defined
+    within a value category — numeric by value, string/boolean/date-group
+    by lexical form; a literal with an UNKNOWN datatype is only
+    term-comparable, anything else is a type ERROR (null → the FILTER
+    drops the row, for = and != alike).  RDF 1.2 triple terms compare
+    component-wise, recursing ``depth`` levels through nested objects."""
+    na, nb = tf.numeric_value(ca), tf.numeric_value(cb)
+    num_ok = na.isNotNull() & nb.isNotNull()
+    la, lb = tf.lex(ca), tf.lex(cb)
+    dta, dtb = tf.datatype(ca), tf.datatype(cb)
+    lit_a, lit_b = tf.is_literal(ca), tf.is_literal(cb)
+
+    def cat(c, dt):
+        return (
+            F.when(tf.is_numeric(c), F.lit("num"))
+            .when(dt == tf.XSD + "string", F.lit("str"))
+            .when(dt == tf.RDF_LANGSTRING, F.lit("lang"))
+            .when(dt == tf.XSD + "boolean", F.lit("bool"))
+            .when(dt.isin(_DATE_DTS), F.lit("date"))
+            .otherwise(F.lit("unk"))
+        )
+
+    cat_a, cat_b = cat(ca, dta), cat(cb, dtb)
+    num_both = (cat_a == "num") & (cat_b == "num")
+    str_both = (cat_a == "str") & (cat_b == "str")
+    bool_both = (cat_a == "bool") & (cat_b == "bool")
+    lang_any = (cat_a == "lang") | (cat_b == "lang")
+    err = F.lit(None).cast("boolean")
+    # date/dateTime/time value space: 'Z' ≡ '+00:00' ≡ '-00:00'; a
+    # timezone-vs-none (or date-vs-dateTime) pair with the SAME date
+    # part is indeterminate (XSD ±14h window) → error; a different
+    # date part is definitely a different value
+    date_both = lit_a & lit_b & dta.isin(_DATE_DTS) & dtb.isin(_DATE_DTS)
+    tz_re = r"(Z|[+-]\d\d:\d\d)$"
+    norm_a = F.regexp_replace(la, r"[+-]00:00$", "Z")
+    norm_b = F.regexp_replace(lb, r"[+-]00:00$", "Z")
+    same_flavor = (dta == dtb) & (la.rlike(tz_re) == lb.rlike(tz_re))
+    date_part = lambda c: F.substring(c, 1, 10)
+    dp_ne = date_part(la) != date_part(lb)
+    date_eq = (
+        F.when(dta != dtb, F.lit(False))
+        .when(same_flavor, norm_a == norm_b)
+        .when(dp_ne, F.lit(False))
+        .otherwise(err)
+    )
+
+    def date_ord(lex_cmp, part_cmp):
+        return (
+            F.when(dta != dtb, err)
+            .when(same_flavor, lex_cmp)
+            .when(dp_ne, part_cmp)
+            .otherwise(err)
+        )
+
+    # triple terms (RDF 1.2): compare component-wise — inner subjects and
+    # predicates are IRIs/bnodes (term identity), the object recurses
+    tt_both = ca.startswith("<<(") & cb.startswith("<<(")
+    tts = lambda c: F.regexp_extract(c, r"^<<\((\S+) \S+ (?s:.*)\)>>$", 1)
+    ttp = lambda c: F.regexp_extract(c, r"^<<\(\S+ (\S+) (?s:.*)\)>>$", 1)
+    tto = lambda c: F.regexp_extract(c, r"^<<\(\S+ \S+ ((?s:.*))\)>>$", 1)
+    oa, ob = tto(ca), tto(cb)
+    # nested objects use a SLIM value comparison (numeric-by-value, term
+    # identity otherwise, one more tt decomposition level) — embedding
+    # the full category matrix recursively would explode the Catalyst
+    # expression tree and stall codegen on every comparison
+    tt_obj_eq = _slim_eq(oa, ob, depth)
+    tt_obj_lt = F.when(
+        tf.numeric_value(oa).isNotNull() & tf.numeric_value(ob).isNotNull(),
+        tf.numeric_value(oa) < tf.numeric_value(ob),
+    ).otherwise(oa < ob)
+    sp_eq = (tts(ca) == tts(cb)) & (ttp(ca) == ttp(cb))
+    tt_eq = F.when(sp_eq, tt_obj_eq).otherwise(F.lit(False))
+
+    if op in ("=", "!="):
+        eq = (
+            F.when(ca == cb, F.lit(True))
+            .when(tt_both, tt_eq)
+            .when(ca.startswith("<<(") | cb.startswith("<<("), F.lit(False))
+            .when(~lit_a | ~lit_b, F.lit(False))
+            .when(num_both, F.when(num_ok, na == nb).otherwise(err))
+            .when(str_both, la == lb)
+            .when((cat_a == "lang") & (cat_b == "lang"), F.lit(False))
+            .when(bool_both, la == lb)
+            .when(date_both, date_eq)
+            .when(lang_any, F.lit(False))
+            .otherwise(err)
+        )
+        return eq if op == "=" else ~eq
+    lops = {"<": la < lb, ">": la > lb, "<=": la <= lb, ">=": la >= lb}
+    nops = {"<": na < nb, ">": na > nb, "<=": na <= nb, ">=": na >= nb}
+    pa_, pb_ = date_part(la), date_part(lb)
+    pops = {"<": pa_ < pb_, ">": pa_ > pb_, "<=": pa_ <= pb_, ">=": pa_ >= pb_}
+    # triple-term ordering OPERATORS are only defined when subject and
+    # predicate agree (the object then compares by value) — unlike the
+    # total sort order used by ORDER BY (functions.order_key), which
+    # ranks any two triple terms
+    tt_lt = F.when(sp_eq, tt_obj_lt).otherwise(err)
+    tt_ord = {
+        "<": tt_lt & ~tt_eq,
+        ">": ~tt_lt & ~tt_eq,
+        "<=": tt_lt | tt_eq,
+        ">=": ~tt_lt | tt_eq,
+    }
+    # identical terms: <= / >= hold, < / > do not (RDFterm-equal)
+    return (
+        F.when(ca == cb, F.lit(op in ("<=", ">=")))
+        .when(tt_both, tt_ord[op])
+        .when(num_both, F.when(num_ok, nops[op]).otherwise(err))
+        .when(str_both | bool_both, lops[op])
+        .when(date_both, date_ord(lops[op], pops[op]))
+        .otherwise(err)
+    )
+
+
 def _compile_cmp(e: Expr, avail: Optional[set] = None) -> F.Column:
     (ca, ta), (cb, tb) = _typed(e.args[0], avail), _typed(e.args[1], avail)
     op = e.value
@@ -1429,93 +1732,7 @@ def _compile_cmp(e: Expr, avail: Optional[set] = None) -> F.Column:
             return ~(ca == cb)
         return F.lit(None).cast("boolean")
     if ta == tb == "term":
-        # SPARQL open-world value comparison (§17.3 operator mapping,
-        # NodeValue.compare / compareAlways): defined within a value
-        # category — numeric by value, string/boolean/date-group by
-        # lexical form; a literal with an UNKNOWN datatype is only
-        # term-comparable, anything else is a type ERROR (null → the
-        # FILTER drops the row, for = and != alike)
-        na, nb = tf.numeric_value(ca), tf.numeric_value(cb)
-        num_ok = na.isNotNull() & nb.isNotNull()
-        la, lb = tf.lex(ca), tf.lex(cb)
-        dta, dtb = tf.datatype(ca), tf.datatype(cb)
-        lit_a, lit_b = tf.is_literal(ca), tf.is_literal(cb)
-
-        def cat(c, dt):
-            return (
-                F.when(tf.is_numeric(c), F.lit("num"))
-                .when(dt == tf.XSD + "string", F.lit("str"))
-                .when(dt == tf.RDF_LANGSTRING, F.lit("lang"))
-                .when(dt == tf.XSD + "boolean", F.lit("bool"))
-                .when(dt.isin(_DATE_DTS), F.lit("date"))
-                .otherwise(F.lit("unk"))
-            )
-
-        cat_a, cat_b = cat(ca, dta), cat(cb, dtb)
-        num_both = (cat_a == "num") & (cat_b == "num")
-        str_both = (cat_a == "str") & (cat_b == "str")
-        bool_both = (cat_a == "bool") & (cat_b == "bool")
-        lang_any = (cat_a == "lang") | (cat_b == "lang")
-        err = F.lit(None).cast("boolean")
-        # date/dateTime/time value space: 'Z' ≡ '+00:00' ≡ '-00:00'; a
-        # timezone-vs-none (or date-vs-dateTime) pair with the SAME date
-        # part is indeterminate (XSD ±14h window) → error; a different
-        # date part is definitely a different value
-        date_both = lit_a & lit_b & dta.isin(_DATE_DTS) & dtb.isin(_DATE_DTS)
-        tz_re = r"(Z|[+-]\d\d:\d\d)$"
-        norm_a = F.regexp_replace(la, r"[+-]00:00$", "Z")
-        norm_b = F.regexp_replace(lb, r"[+-]00:00$", "Z")
-        same_flavor = (dta == dtb) & (la.rlike(tz_re) == lb.rlike(tz_re))
-        date_part = lambda c: F.substring(c, 1, 10)
-        dp_ne = date_part(la) != date_part(lb)
-        # equality: different date-group datatypes never share a value;
-        # same datatype with mixed timezone-ness is indeterminate (XSD
-        # ±14h window) unless the date parts already differ
-        date_eq = (
-            F.when(dta != dtb, F.lit(False))
-            .when(same_flavor, norm_a == norm_b)
-            .when(dp_ne, F.lit(False))
-            .otherwise(err)
-        )
-
-        def date_ord(lex_cmp, part_cmp):
-            # ordering is only defined within one datatype; mixed
-            # timezone-ness is determinate iff the date parts differ
-            return (
-                F.when(dta != dtb, err)
-                .when(same_flavor, lex_cmp)
-                .when(dp_ne, part_cmp)
-                .otherwise(err)
-            )
-        if op in ("=", "!="):
-            # NodeValue.sameValueAs category matrix: same category →
-            # value/lexical compare (numeric errors if a lexical form is
-            # invalid); a node (IRI/bnode) vs anything ≠ same term is
-            # definitely different; a language-tagged literal is
-            # definitely different from any other category; every other
-            # cross-category / unknown-datatype literal pair is an ERROR
-            eq = (
-                F.when(ca == cb, F.lit(True))
-                .when(~lit_a | ~lit_b, F.lit(False))
-                .when(num_both, F.when(num_ok, na == nb).otherwise(err))
-                .when(str_both, la == lb)
-                .when((cat_a == "lang") & (cat_b == "lang"), F.lit(False))
-                .when(bool_both, la == lb)
-                .when(date_both, date_eq)
-                .when(lang_any, F.lit(False))
-                .otherwise(err)
-            )
-            return eq if op == "=" else ~eq
-        lops = {"<": la < lb, ">": la > lb, "<=": la <= lb, ">=": la >= lb}
-        nops = {"<": na < nb, ">": na > nb, "<=": na <= nb, ">=": na >= nb}
-        pa_, pb_ = date_part(la), date_part(lb)
-        pops = {"<": pa_ < pb_, ">": pa_ > pb_, "<=": pa_ <= pb_, ">=": pa_ >= pb_}
-        return (
-            F.when(num_both, F.when(num_ok, nops[op]).otherwise(err))
-            .when(str_both | bool_both, lops[op])
-            .when(date_both, date_ord(lops[op], pops[op]))
-            .otherwise(err)
-        )
+        return _term_value_cmp(ca, cb, op)
     # mixed / plain / numeric: compare on the plain view
     def numview(c, t):
         if t == "numdt":
@@ -1797,6 +2014,25 @@ def _compile_group_n(
                         F.col(c).isNotNull() & F.col("__r_" + c).isNotNull()
                     )
                 df = df.join(r, _compat_cond(shared) & overlap, "left_anti")
+        elif isinstance(el, TermDecomp):
+            if df is None or el.var[1:] not in df.columns:
+                raise RDFSyntaxError("triple-term pattern variable not bound")
+            v = F.col(el.var[1:])
+            df = df.filter(v.startswith("<<("))
+            comps = [
+                (el.s, F.regexp_extract(v, r"^<<\((\S+) \S+ (?s:.*)\)>>$", 1)),
+                (el.p, F.regexp_extract(v, r"^<<\(\S+ (\S+) (?s:.*)\)>>$", 1)),
+                (el.o, F.regexp_extract(v, r"^<<\(\S+ \S+ ((?s:.*))\)>>$", 1)),
+            ]
+            for t, c in comps:
+                if t.startswith("?"):
+                    name = t[1:]
+                    if name in df.columns:
+                        df = df.filter(F.col(name) == c)
+                    else:
+                        df = df.withColumn(name, c)
+                else:
+                    df = df.filter(c == t)
         elif isinstance(el, SubGroupPat):
             sub, snull = _compile_group_n(triples, el.pattern, graph_term, graph_var)
             if df is None:
@@ -2230,29 +2466,53 @@ def sparql_construct(
     if not isinstance(q, ConstructQuery):
         raise RDFSyntaxError("not a CONSTRUCT query")
     sol = _compile_group(_apply_datasets(triples, q), q.where)
-    # template blank nodes (parsed as __anon vars the WHERE never binds)
-    # are FRESH per solution row, shared across the template's triples —
-    # materialize a per-row id once so every template branch sees the
-    # same labels (monotonically_increasing_id is not stable across
-    # re-executions otherwise)
+    # template triple-term constructions: realize each decomp var as the
+    # composed encoded term (components from solution columns or consts)
+    for d in q.decomps:
+        if d.var[1:] in sol.columns:
+            continue  # already bound by the WHERE pattern
+
+        def comp(t: str):
+            return F.col(t[1:]) if t.startswith("?") else F.lit(t)
+
+        sol = sol.withColumn(
+            d.var[1:],
+            F.concat(
+                F.lit("<<("), comp(d.s), F.lit(" "), comp(d.p),
+                F.lit(" "), comp(d.o), F.lit(")>>"),
+            ),
+        )
+    # template blank nodes (parsed as __anon vars) are ALWAYS fresh per
+    # solution row, even when the same var matched an existing reifier in
+    # a CONSTRUCT WHERE pattern (template bnode scoping).  They are
+    # shared across the template's triples — materialize a per-row id
+    # once so every template branch sees the same labels
+    # (monotonically_increasing_id is not stable across re-executions).
+    # Decomp vars (composed triple terms) are values, not bnodes.
+    decomp_vars = {d.var[1:] for d in q.decomps}
     tmpl_vars = {
         t[1:]
         for pat in q.template
         for t in (pat.s, pat.p, pat.o)
         if t.startswith("?__anon")
     }
-    missing = [v for v in tmpl_vars if v not in sol.columns]
-    if missing:
+    fresh = sorted(v for v in tmpl_vars if v not in decomp_vars)
+    rename = {v: f"__tb_{v}" for v in fresh}
+    if fresh:
         sol = sol.withColumn("__rowid", F.monotonically_increasing_id())
-        for v in missing:
+        for v in fresh:
             sol = sol.withColumn(
-                v, F.concat(F.lit(f"_:{v}r"), F.col("__rowid").cast("string"))
+                rename[v],
+                F.concat(F.lit(f"_:{v}r"), F.col("__rowid").cast("string")),
             )
         sol = sol.drop("__rowid").localCheckpoint(eager=True)
     out = None
     for pat in q.template:
         def term_col(t: str):
-            return F.col(t[1:]) if t.startswith("?") else F.lit(t)
+            if t.startswith("?"):
+                name = rename.get(t[1:], t[1:])
+                return F.col(name)
+            return F.lit(t)
 
         row = sol.select(
             term_col(pat.s).alias("subj"),

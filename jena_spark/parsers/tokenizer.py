@@ -155,8 +155,9 @@ class Tokenizer:
             # start an IRIREF (followed by space, '=', digit, or var)
             if self.sparql and self._peek(1) in " \t\r\n=?$0123456789":
                 return self._sparql_op()
-            if not self.sparql and self._peek(1) == "<":
+            if self._peek(1) == "<":
                 # RDF 1.2: "<<(" triple term / "<<" reified triple
+                # (also valid in SPARQL 1.2 patterns/expressions)
                 if self._peek(2) == "(":
                     self.i += 3
                     return Token(T_LTT, line=ln)
@@ -189,7 +190,7 @@ class Tokenizer:
             if c == ")" and self._peek(1) == ">" and self._peek(2) == ">":
                 self.i += 3
                 return Token(T_RTT, line=ln)
-            if c == "{" and not self.sparql and self._peek(1) == "|":
+            if c == "{" and self._peek(1) == "|":
                 self.i += 2
                 return Token(T_LANN, line=ln)
             self.i += 1
@@ -207,6 +208,9 @@ class Tokenizer:
         if self.sparql:
             if c in "?$":
                 return self._sparql_var()
+            if c == "~":  # reifier marker (SPARQL 1.2)
+                self.i += 1
+                return Token(T_TILDE, line=ln)
             if c in "=!<>&|*/+-" and not (
                 c in "+-" and self._peek(1) in _DIGITS
             ):
@@ -246,6 +250,12 @@ class Tokenizer:
         ln = self.line
         s = self.s
         two = s[self.i : self.i + 2]
+        if two == ">>":  # SPARQL 1.2 reified-triple close
+            self.i += 2
+            return Token(T_RQT, line=ln)
+        if two == "|}":  # SPARQL 1.2 annotation-block close
+            self.i += 2
+            return Token(T_RANN, line=ln)
         if two in ("!=", "<=", ">=", "&&", "||"):
             self.i += 2
             return Token(T_OP, two, line=ln)

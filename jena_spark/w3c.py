@@ -116,7 +116,7 @@ def load_manifest(suite: str, suite_dir: Optional[str] = None) -> List[W3CTest]:
 
 import re as _re
 
-_BN_RE = _re.compile(r"_:[A-Za-z0-9]+")
+_BN_RE = _re.compile(r"_:[A-Za-z0-9_\-]+")
 
 
 def _bnodes_of(x: Optional[str]) -> List[str]:

@@ -143,6 +143,14 @@ def _srx_term(el) -> str:
         return mk_iri(el.text or "").nt()
     if tag == "bnode":
         return "_:" + (el.text or "")
+    if tag == "triple":
+        # SPARQL 1.2 triple-term result value: nested subject/predicate/
+        # object elements, each wrapping a term element
+        parts = []
+        for role in ("subject", "predicate", "object"):
+            node = el.find(f"{SRX_NS}{role}")
+            parts.append(_srx_term(list(node)[0]))
+        return f"<<({parts[0]} {parts[1]} {parts[2]})>>"
     if tag == "literal":
         lang = el.get("{http://www.w3.org/XML/1998/namespace}lang")
         dt = el.get("datatype")
@@ -183,26 +191,38 @@ def read_srj(path: str):
     if "boolean" in doc:
         return "bool", bool(doc["boolean"])
     vars_ = doc.get("head", {}).get("vars", [])
+
+    def term_of(v):
+        t = v.get("type")
+        if t == "uri":
+            return mk_iri(v["value"]).nt()
+        if t == "bnode":
+            return "_:" + v["value"]
+        if t == "triple":
+            tv = v["value"]
+            s_ = term_of(tv["subject"])
+            p_ = term_of(tv["predicate"])
+            o_ = term_of(tv["object"])
+            return f"<<({s_} {p_} {o_})>>"
+        if t in ("literal", "typed-literal"):
+            if v.get("xml:lang"):
+                tag = v["xml:lang"]
+                d = v.get("dir") or v.get("its:dir")
+                if d:
+                    tag = f"{tag}--{d}"
+                return mk_literal(v["value"], lang=tag).nt()
+            if v.get("datatype"):
+                return mk_literal(v["value"], datatype=v["datatype"]).nt()
+            return mk_literal(v["value"]).nt()
+        return None
+
     rows = []
     for b in doc.get("results", {}).get("bindings", []):
         row = {}
         for var, v in b.items():
-            t = v.get("type")
-            if t == "uri":
-                row[var] = mk_iri(v["value"]).nt()
-            elif t == "bnode":
-                row[var] = "_:" + v["value"]
-            elif t in ("literal", "typed-literal"):
-                if v.get("xml:lang"):
-                    tag = v["xml:lang"]
-                    d = v.get("dir") or v.get("its:dir")
-                    if d:  # SPARQL 1.2 dir-lang results
-                        tag = f"{tag}--{d}"
-                    row[var] = mk_literal(v["value"], lang=tag).nt()
-                elif v.get("datatype"):
-                    row[var] = mk_literal(v["value"], datatype=v["datatype"]).nt()
-                else:
-                    row[var] = mk_literal(v["value"]).nt()
+            enc = term_of(v)
+            if enc is not None:
+                row[var] = enc
         rows.append(row)
     return "rows", (vars_, rows)
 
@@ -288,6 +308,27 @@ def _is_bnode(term: str) -> bool:
     return term.startswith("_:")
 
 
+_BN_RE = re.compile(r"_:[A-Za-z0-9_\-]+")
+
+
+def _bnodes_in(v: str) -> List[str]:
+    """Blank-node labels in a result value — the value itself or labels
+    embedded in a triple term."""
+    if v.startswith("_:"):
+        return [v]
+    if v.startswith("<<("):
+        return _BN_RE.findall(v)
+    return []
+
+
+def _blind_bn(v: str) -> str:
+    if v.startswith("_:"):
+        return "_:"
+    if v.startswith("<<("):
+        return _BN_RE.sub("_:", v)
+    return v
+
+
 def _term_eq(got: str, want: str) -> bool:
     if got == want:
         return True
@@ -308,8 +349,8 @@ def _row_sig(row: Dict[str, str]) -> Tuple:
     out = []
     for k in sorted(row):
         v = row[k]
-        if _is_bnode(v):
-            out.append((k, "b", ""))
+        if _bnodes_in(v):
+            out.append((k, "b", _blind_bn(v)))
         else:
             n = _num(v)
             out.append((k, "n", str(n)) if n is not None else (k, "t", v))
@@ -318,28 +359,28 @@ def _row_sig(row: Dict[str, str]) -> Tuple:
 
 def _rows_compatible(got: Dict[str, str], want: Dict[str, str], mapping: Dict[str, str], rev: Dict[str, str]) -> Optional[List[Tuple[str, str]]]:
     """Can `got` match `want` under the (extensible) bnode bijection?
-    Returns the new (got_bnode, want_bnode) pairs to add, or None."""
+    Handles labels embedded in triple terms.  Returns the new
+    (got_bnode, want_bnode) pairs to add, or None."""
     if set(got) != set(want):
         return None
     new: List[Tuple[str, str]] = []
+    tent: Dict[str, str] = {}
+    tent_rev: Dict[str, str] = {}
     for k, gv in got.items():
         wv = want[k]
-        if _is_bnode(gv) and _is_bnode(wv):
-            mg, mw = mapping.get(gv), rev.get(wv)
-            if mg is None and mw is None:
-                if any(p == (gv, wv) for p in new):
-                    continue
-                # tentative new pair — also honour pairs added this row
-                for g2, w2 in new:
-                    if g2 == gv and w2 != wv:
-                        return None
-                    if w2 == wv and g2 != gv:
-                        return None
-                new.append((gv, wv))
-            elif mg != wv or (mw is not None and mw != gv):
+        gl, wl = _bnodes_in(gv), _bnodes_in(wv)
+        if gl or wl:
+            if len(gl) != len(wl) or _blind_bn(gv) != _blind_bn(wv):
                 return None
-        elif _is_bnode(gv) or _is_bnode(wv):
-            return None
+            for g_, w_ in zip(gl, wl):
+                mg = mapping.get(g_, tent.get(g_))
+                mw = rev.get(w_, tent_rev.get(w_))
+                if mg is None and mw is None:
+                    tent[g_] = w_
+                    tent_rev[w_] = g_
+                    new.append((g_, w_))
+                elif mg != w_ or (mw is not None and mw != g_):
+                    return None
         elif not _term_eq(gv, wv):
             return None
     return new
@@ -410,6 +451,12 @@ def _load_data(spark, t: SparqlTest):
             from .parsers.rdfxml import parse_rdfxml
 
             trs = parse_rdfxml(text, base, alloc)
+        elif path.endswith(".trig"):
+            from .parsers.turtle import parse_trig
+
+            for g, s, p, o in parse_trig(text, base, alloc):
+                quads.append((g if g is not None else graph, s, p, o))
+            return
         else:
             trs = parse_turtle(text, base, alloc)
         for s, p, o in trs:
@@ -420,6 +467,9 @@ def _load_data(spark, t: SparqlTest):
     for iri, path in t.graph_data:
         load(path, mk_iri(iri).nt())
 
+    # an RDF graph is a SET: duplicate statements collapse (a duplicated
+    # reified triple with the same reifier would otherwise multiply rows)
+    quads = list(dict.fromkeys(quads))
     # always carry a graph column: a dataset with no named graphs must
     # make GRAPH ?g {…} match nothing (graph IS NULL = default graph).
     # Explicit schema — an all-default dataset has graph=None everywhere,

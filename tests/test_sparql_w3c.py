@@ -52,6 +52,7 @@ SUITES = [
     (SPARQL12_DIR, "rdf11", 3),
     (SPARQL12_DIR, "grouping", 1),
     (SPARQL12_DIR, "expression", 1),
+    (SPARQL12_DIR, "eval-triple-terms", 35),
 ]
 
 # Documented exclusions (test name → why).
