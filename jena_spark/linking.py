@@ -13,21 +13,26 @@ Pipeline:
 3. scoring on candidates only: Levenshtein (Spark built-in, JVM-side)
    and shingle Jaccard; accept by threshold.
 
-Scale: the banding self-join is the only shuffle; AQE skew-join handles
-hot buckets (e.g. thousands of ``get``/``set`` mentions), and the
-entity side is broadcast when the vocabulary is small.
+Scale (100 TB design point, same guards as ``pipelines.dedup``):
+ONE mention×entity join on (band_idx, band_key) covers every band — no
+per-band join loop.  Buckets are pre-counted per side; buckets present
+on only one side are pruned (they can't produce a pair), and buckets
+whose side exceeds ``max_bucket_size`` are DROPPED with their mass
+logged — a hot code identifier (``get``, ``set``, ``data``) with 10^6
+mentions against 10^3 same-bucket entities would emit 10^9 pairs and
+kill the job; AQE spreads a merely-large bucket's shuffle, but only
+the cap shrinks the quadratic *output*.
 """
 
 from __future__ import annotations
 
-import hashlib
 import random
 from typing import List, Tuple
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .pipelines.dedup import minhash_signatures, _shingles
+from .pipelines.dedup import minhash_signatures, _shingles, _band_structs
 
 
 def normalized(col) -> F.Column:
@@ -42,8 +47,18 @@ def lsh_candidates(
     k: int = 3,
     num_perm: int = 8,
     bands: int = 4,
+    max_bucket_size: int = 1000,
+    log_fn=None,
 ) -> DataFrame:
-    """(mention, entity_iri) candidate pairs via shared LSH band buckets."""
+    """(mention, entity_iri) candidate pairs via shared LSH band buckets.
+
+    One capped mention×entity join on (band_idx, band_key) — the
+    two-sided form of ``pipelines.dedup.minhash_candidates`` (same band
+    keys via ``_band_structs``).  Buckets with no partner side are
+    pruned before the join; buckets where either side exceeds
+    ``max_bucket_size`` are dropped (``log_fn`` gets one line with the
+    dropped bucket count and pair mass so truncation is never silent).
+    """
     rows = num_perm // bands
     m = mentions.select(
         F.col(mention_col).alias("mention"), normalized(F.col(mention_col)).alias("norm")
@@ -54,7 +69,7 @@ def lsh_candidates(
         normalized(F.col(entity_col)).alias("norm"),
     ).distinct()
 
-    def signatures(df: DataFrame, id_cols: List[str]) -> DataFrame:
+    def signatures(df: DataFrame) -> DataFrame:
         sigs = minhash_signatures(
             df.withColumn("__txt", F.col("norm")),
             text_col="__txt",
@@ -64,18 +79,60 @@ def lsh_candidates(
         ).dropDuplicates(["norm"])
         return df.join(sigs, "norm")
 
-    ms = signatures(m, ["mention"])
-    es = signatures(e, ["entity_iri"])
-    out = None
     sig_cols = [f"mh_{i}" for i in range(num_perm)]
-    for b in range(bands):
-        cols = sig_cols[b * rows : (b + 1) * rows]
-        key = F.md5(F.concat_ws("|", *[F.col(c) for c in cols])).alias("band_key")
-        mb = ms.select("mention", F.col("norm").alias("m_norm"), key)
-        eb = es.select("entity_iri", "entity_name", F.col("norm").alias("e_norm"), key)
-        p = mb.join(eb, "band_key").select("mention", "m_norm", "entity_iri", "entity_name", "e_norm")
-        out = p if out is None else out.unionAll(p)
-    return out.distinct()
+    bs = _band_structs(sig_cols, bands, rows)
+    m_long = (
+        signatures(m)
+        .select("mention", F.col("norm").alias("m_norm"), F.explode(bs).alias("bk"))
+        .select("mention", "m_norm", "bk.band_idx", "bk.band_key")
+        .persist()
+    )
+    e_long = (
+        signatures(e)
+        .select(
+            "entity_iri",
+            "entity_name",
+            F.col("norm").alias("e_norm"),
+            F.explode(bs).alias("bk"),
+        )
+        .select("entity_iri", "entity_name", "e_norm", "bk.band_idx", "bk.band_key")
+        .persist()
+    )
+    keys = ["band_idx", "band_key"]
+    # inner join of the per-side counts prunes one-sided buckets for free
+    counts = (
+        m_long.groupBy(*keys).agg(F.count("*").alias("m_cnt"))
+        .join(e_long.groupBy(*keys).agg(F.count("*").alias("e_cnt")), keys)
+    )
+    if log_fn is not None:
+        dropped = (
+            counts.filter(
+                (F.col("m_cnt") > max_bucket_size) | (F.col("e_cnt") > max_bucket_size)
+            )
+            .agg(
+                F.count("*").alias("n_buckets"),
+                F.coalesce(F.sum(F.col("m_cnt") * F.col("e_cnt")), F.lit(0)).alias(
+                    "n_pairs"
+                ),
+            )
+            .collect()[0]
+        )
+        if dropped["n_buckets"]:
+            log_fn(
+                f"lsh_candidates: dropped {dropped['n_buckets']} over-cap "
+                f"buckets (side > {max_bucket_size}) covering "
+                f"{dropped['n_pairs']} candidate pairs"
+            )
+    eligible = counts.filter(
+        (F.col("m_cnt") <= max_bucket_size) & (F.col("e_cnt") <= max_bucket_size)
+    ).select(*keys)
+    mf = m_long.join(eligible, keys, "left_semi")
+    ef = e_long.join(eligible, keys, "left_semi")
+    return (
+        mf.join(ef, keys)
+        .select("mention", "m_norm", "entity_iri", "entity_name", "e_norm")
+        .distinct()
+    )
 
 
 def score_candidates(

@@ -31,8 +31,10 @@ compatible with any binding, and the merged row carries the bound value.
 The compiler tracks which variables can be null and only pays for the
 null-tolerant join when one of the join variables actually can be.
 
-Not supported (use the DataFrame layer): SERVICE, DESCRIBE, named
-solution sequences, EXISTS nested inside boolean expressions.
+Not supported (use the DataFrame layer): SERVICE, named solution
+sequences.  (EXISTS nested inside boolean expressions IS supported via
+per-EXISTS marker joins; RDF 1.2 reified-triple / triple-term patterns
+are supported in both pattern and expression position.)
 """
 
 from __future__ import annotations
@@ -1818,6 +1820,30 @@ def _compile_group(
     return df
 
 
+def _apply_term_decomp(df: DataFrame, el: TermDecomp) -> DataFrame:
+    """Apply a SPARQL 1.2 triple-term decomposition: constrain the bound
+    column ``el.var`` to be a triple term and match/bind its components
+    (regex decomposition — inner subjects/predicates are space-free, so
+    the two splits are exact even with a nested object)."""
+    v = F.col(el.var[1:])
+    df = df.filter(v.startswith("<<("))
+    comps = [
+        (el.s, F.regexp_extract(v, r"^<<\((\S+) \S+ (?s:.*)\)>>$", 1)),
+        (el.p, F.regexp_extract(v, r"^<<\(\S+ (\S+) (?s:.*)\)>>$", 1)),
+        (el.o, F.regexp_extract(v, r"^<<\(\S+ \S+ ((?s:.*))\)>>$", 1)),
+    ]
+    for t, c in comps:
+        if t.startswith("?"):
+            name = t[1:]
+            if name in df.columns:
+                df = df.filter(F.col(name) == c)
+            else:
+                df = df.withColumn(name, c)
+        else:
+            df = df.filter(c == t)
+    return df
+
+
 def _compile_group_n(
     triples: DataFrame,
     g: Group,
@@ -1837,6 +1863,23 @@ def _compile_group_n(
     nullable: set = set()
     seg: List[TriplePat] = []
     filters: List[object] = []  # Filter | ExistsPat, applied at group end
+    pending_decomps: List[TermDecomp] = []  # TermDecomps whose var isn't bound yet
+
+    def drain_decomps():
+        # A <<( )>> pattern in object position parses BEFORE the triple
+        # that binds its variable (_tt_pat appends the TermDecomp, then
+        # _pred_obj_list appends the TriplePat) — so decomps are deferred
+        # until a BGP flush binds the var.  Loop to fixpoint: a decomp
+        # can bind the variable of a nested decomp.
+        nonlocal df
+        progressed = True
+        while progressed and pending_decomps:
+            progressed = False
+            for d in list(pending_decomps):
+                if df is not None and d.var[1:] in df.columns:
+                    df = _apply_term_decomp(df, d)
+                    pending_decomps.remove(d)
+                    progressed = True
 
     def flush():
         nonlocal df, nullable
@@ -1853,6 +1896,7 @@ def _compile_group_n(
             df = rel
         else:
             df, nullable = _join_compat(df, nullable, rel, set(), "inner")
+        drain_decomps()
 
     for el in g.elements:
         if isinstance(el, TriplePat):
@@ -2015,24 +2059,12 @@ def _compile_group_n(
                     )
                 df = df.join(r, _compat_cond(shared) & overlap, "left_anti")
         elif isinstance(el, TermDecomp):
-            if df is None or el.var[1:] not in df.columns:
-                raise RDFSyntaxError("triple-term pattern variable not bound")
-            v = F.col(el.var[1:])
-            df = df.filter(v.startswith("<<("))
-            comps = [
-                (el.s, F.regexp_extract(v, r"^<<\((\S+) \S+ (?s:.*)\)>>$", 1)),
-                (el.p, F.regexp_extract(v, r"^<<\(\S+ (\S+) (?s:.*)\)>>$", 1)),
-                (el.o, F.regexp_extract(v, r"^<<\(\S+ \S+ ((?s:.*))\)>>$", 1)),
-            ]
-            for t, c in comps:
-                if t.startswith("?"):
-                    name = t[1:]
-                    if name in df.columns:
-                        df = df.filter(F.col(name) == c)
-                    else:
-                        df = df.withColumn(name, c)
-                else:
-                    df = df.filter(c == t)
+            if df is not None and el.var[1:] in df.columns:
+                df = _apply_term_decomp(df, el)
+            else:
+                # bound later in this group (e.g. by the enclosing triple
+                # pattern of a <<( )>> in object position) — defer
+                pending_decomps.append(el)
         elif isinstance(el, SubGroupPat):
             sub, snull = _compile_group_n(triples, el.pattern, graph_term, graph_var)
             if df is None:
@@ -2051,6 +2083,9 @@ def _compile_group_n(
                 df = df.withColumn(el.var, _term_of(col, kind))
             nullable.add(el.var)  # expression errors bind to unbound (null)
     flush()
+    drain_decomps()
+    if pending_decomps:
+        raise RDFSyntaxError("triple-term pattern variable not bound")
     if df is None:
         # {} or a filters-only group: the unit table (one empty solution)
         df = triples.sparkSession.range(1).drop("id")

@@ -75,6 +75,31 @@ def minhash_signatures(
     return df.select(F.col(id_col), *sigs)
 
 
+def _band_structs(sig_cols, bands: int, rows_per_band: int) -> F.Column:
+    """array<struct<band_idx, band_key>> — band key = md5 of the band's
+    concatenated minima.  Shared by dedup and entity linking so both go
+    through the same single-join banding machinery."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(c)
+                            for c in sig_cols[
+                                b * rows_per_band : (b + 1) * rows_per_band
+                            ]
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def minhash_candidates(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -101,25 +126,7 @@ def minhash_candidates(
     """
     sig_cols = [c for c in signatures.columns if c.startswith("mh_")]
     assert len(sig_cols) >= bands * rows_per_band
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        *[
-                            F.col(c)
-                            for c in sig_cols[
-                                b * rows_per_band : (b + 1) * rows_per_band
-                            ]
-                        ],
-                    )
-                ).alias("band_key"),
-            )
-            for b in range(bands)
-        ]
-    )
+    band_structs = _band_structs(sig_cols, bands, rows_per_band)
     long = (
         signatures.select(F.col(id_col), F.explode(band_structs).alias("bk"))
         .select(F.col(id_col), F.col("bk.band_idx"), F.col("bk.band_key"))
@@ -203,11 +210,17 @@ def simhash(
     both Spark and an ANSI-SQL oracle can evaluate identically.
     simhash bit i = 1 iff sum over tokens of (+1/-1) > 0."""
     assert nbits <= 32
-    toks = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
-    ).filter(F.col("tok") != "")
-    h = F.md5(F.col("tok"))
+    toks = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        # project md5(tok) ONCE before the groupBy — don't rely on Catalyst
+        # subexpression elimination across the 16 aggregate expressions
+        .select("id", F.md5(F.col("tok")).alias("__h"))
+    )
+    h = F.col("__h")
     bit_sums = [
         F.sum(
             F.when(

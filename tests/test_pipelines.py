@@ -169,6 +169,40 @@ def test_ivf_recall_skewed_corpus(spark):
     assert recall >= 0.9
 
 
+def test_linking_bucket_cap_two_sided(spark):
+    """A hot identifier bucket (many distinct mentions and entities all
+    normalizing to the same string ⇒ identical signatures ⇒ one band
+    bucket per band) must be dropped by the per-side cap instead of
+    emitting |M|×|E| pairs — the two-sided analog of the dedup cap."""
+    base = "httpclienthandlerfactorybuilderregistrymanager"  # 46 chars ≥ 41
+    # 40 distinct surface forms per side, all with the same normalized form
+    mentions = [(base[:i] + "_" + base[i:],) for i in range(1, 41)]
+    entities = [
+        (f"http://example.org/e/{i}", base[:i].upper() + base[i:])
+        for i in range(1, 41)
+    ]
+    mdf = spark.createDataFrame(mentions, ["mention"])
+    edf = spark.createDataFrame(entities, ["entity_iri", "entity_name"])
+    msgs = []
+    capped = linking.lsh_candidates(
+        mdf, edf, max_bucket_size=10, log_fn=msgs.append
+    )
+    assert capped.count() == 0  # dropped, not exploded
+    assert msgs and "dropped" in msgs[0]
+    # cap high enough → the (quadratic) pairs do appear
+    open_ = linking.lsh_candidates(mdf, edf, max_bucket_size=100)
+    assert open_.count() == 40 * 40
+    # one-sided bucket (entities only) produces no pairs and no drop log
+    msgs2 = []
+    none = linking.lsh_candidates(
+        spark.createDataFrame([("zzzunrelatedzzz",)], ["mention"]),
+        edf,
+        max_bucket_size=10,
+        log_fn=msgs2.append,
+    )
+    assert none.count() == 0 and not msgs2
+
+
 def test_lsh_bucket_cap_prevents_quadratic_blowup(spark):
     """A degenerate bucket (every doc identical ⇒ one band bucket of 1000)
     must be dropped by the cap instead of emitting ~500k pairs."""

@@ -433,3 +433,61 @@ def test_mode_tie_breaks_to_smallest_term(tri):
     )
     # alice and bob appear once each -> smallest term wins
     assert out.collect()[0]["m"] == '"alice"'
+
+
+# --- round 3: <<( )>> triple-term patterns in triple pattern position -------
+# (ADVICE r2 high: the TermDecomp used to be compiled before the enclosing
+# triple bound its variable, raising 'triple-term pattern variable not bound')
+
+@pytest.fixture(scope="module")
+def tt_tri(spark):
+    RE = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#reifies>"
+    rows = [
+        ("<http://e/r1>", RE, '<<(<http://e/s> <http://e/p> "x")>>'),
+        ("<http://e/r2>", RE, '<<(<http://e/s> <http://e/p> "y")>>'),
+        ("<http://e/r3>", RE, '<<(<http://e/z> <http://e/p> "x")>>'),
+    ]
+    return spark.createDataFrame(rows, ["subj", "pred", "obj"]).cache()
+
+
+def test_tt_pattern_object_position_var_component(tt_tri):
+    out = sparql_select(
+        tt_tri,
+        """PREFIX : <http://e/>
+           PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+           SELECT ?r ?o WHERE { ?r rdf:reifies <<( :s :p ?o )>> }""",
+    )
+    assert rows(out) == [
+        ("<http://e/r1>", '"x"'),
+        ("<http://e/r2>", '"y"'),
+    ]
+
+
+def test_tt_pattern_object_position_ground_and_var_subject(tt_tri):
+    q = """PREFIX : <http://e/>
+           PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+           SELECT ?r WHERE { ?r rdf:reifies <<( :s :p "x" )>> }"""
+    assert rows(sparql_select(tt_tri, q)) == [("<http://e/r1>",)]
+    q2 = """PREFIX : <http://e/>
+            PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+            SELECT ?r ?s WHERE { ?r rdf:reifies <<( ?s :p "x" )>> }"""
+    assert rows(sparql_select(tt_tri, q2)) == [
+        ("<http://e/r1>", "<http://e/s>"),
+        ("<http://e/r3>", "<http://e/z>"),
+    ]
+
+
+def test_tt_pattern_nested(tt_tri, spark):
+    RE = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#reifies>"
+    nested = spark.createDataFrame(
+        [("<http://e/r9>", RE,
+          '<<(<http://e/s> <http://e/p> <<(<http://e/a> <http://e/b> "c")>>)>>')],
+        ["subj", "pred", "obj"],
+    )
+    out = sparql_select(
+        nested,
+        """PREFIX : <http://e/>
+           PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+           SELECT ?r ?v WHERE { ?r rdf:reifies <<( :s :p <<( :a :b ?v )>> )>> }""",
+    )
+    assert rows(out) == [("<http://e/r9>", '"c"')]
