@@ -17,8 +17,11 @@ per-partition lineage + metrics.  Design (SURVEY.md §7.7):
   single atomic commit point.  Readers only see committed runs, so a
   crash anywhere mid-batch leaves orphan files that are ignored (and
   re-extracted by the next run) instead of duplicate triples or lineage
-  rows without data.  On HDFS/S3 the marker create is a single-object
-  PUT — the same O(1)-commit idea as the TDB2 loader's journal.
+  rows without data.  Marker listing/creation goes through the Hadoop
+  FileSystem API (``Path.getFileSystem``), so the protocol works on any
+  scheme Spark can write to — local, HDFS, S3A — where the marker create
+  is a single-object PUT: the same O(1)-commit idea as the TDB2 loader's
+  journal.
 
 The reference analog is the TDB2 loader's phased, replayable dataflow
 (tdb2/loader/main/LoaderMain.java:49-100) — our phases are idempotent
@@ -47,16 +50,28 @@ class CheckpointedExtraction:
         self.lineage_dir = os.path.join(work_dir, "lineage")
         self.commits_dir = os.path.join(work_dir, "commits")
 
+    def _fs_path(self, p: str):
+        """(Hadoop FileSystem, Path) for any scheme Spark can reach —
+        file://, hdfs://, s3a:// — so commit listing and marker creation
+        are not driver-local-filesystem-only."""
+        jvm = self.spark._jvm
+        hconf = self.spark._jsc.hadoopConfiguration()
+        path = jvm.org.apache.hadoop.fs.Path(p)
+        return path.getFileSystem(hconf), path
+
     def _committed(self) -> list[str]:
-        try:
-            return sorted(os.listdir(self.commits_dir))
-        except OSError:
+        fs, path = self._fs_path(self.commits_dir)
+        if not fs.exists(path):
             return []
+        return sorted(st.getPath().getName() for st in fs.listStatus(path))
 
     def _read_runs(self, base: str) -> Optional[DataFrame]:
-        runs = self._committed()
-        paths = [os.path.join(base, f"run={r}") for r in runs]
-        paths = [p for p in paths if os.path.isdir(p)]
+        paths = []
+        for r in self._committed():
+            p = os.path.join(base, f"run={r}")
+            fs, path = self._fs_path(p)
+            if fs.exists(path):
+                paths.append(p)
         if not paths:
             return None
         return self.spark.read.parquet(*paths)
@@ -100,9 +115,15 @@ class CheckpointedExtraction:
         finally:
             triples_err.unpersist()
         # atomic commit point: both tables for this run become visible
-        os.makedirs(self.commits_dir, exist_ok=True)
-        with open(os.path.join(self.commits_dir, run_id), "w") as f:
-            f.write(str(n_docs))
+        # (Hadoop FS create = single-object PUT on object stores)
+        fs, cdir = self._fs_path(self.commits_dir)
+        fs.mkdirs(cdir)
+        marker_fs, marker = self._fs_path(os.path.join(self.commits_dir, run_id))
+        out = marker_fs.create(marker, False)
+        try:
+            out.write(bytearray(str(n_docs), "utf-8"))
+        finally:
+            out.close()
         return n_docs
 
     def triples(self) -> DataFrame:

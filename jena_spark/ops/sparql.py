@@ -226,6 +226,9 @@ class SelectQuery:
     proj_exprs: List[Tuple["Expr", str]] = field(default_factory=list)
     # FROM / FROM NAMED graph IRIs (encoded terms) — dataset construction
     datasets: Optional[Tuple[List[str], List[str]]] = None
+    # resolved BASE, threaded to the compiler for IRI()/URI() (set on the
+    # top-level AST by _parse_query; subqueries inherit the enclosing one)
+    base: Optional[str] = None
 
 
 @dataclass
@@ -235,12 +238,14 @@ class ConstructQuery:
     datasets: Optional[Tuple[List[str], List[str]]] = None
     # triple-term constructions used by the template (RDF 1.2)
     decomps: List["TermDecomp"] = field(default_factory=list)
+    base: Optional[str] = None
 
 
 @dataclass
 class AskQuery:
     where: Group
     datasets: Optional[Tuple[List[str], List[str]]] = None
+    base: Optional[str] = None
 
 
 # ---------------------------------------------------------------------------
@@ -1339,10 +1344,11 @@ def _typed(e: Expr, avail: Optional[set] = None) -> Tuple[F.Column, str]:
             return F.when(simple, built), "term"
         if name in ("IRI", "URI"):
             s = plain(0)
-            if _ACTIVE_BASE:
+            active_base = _ACTIVE_BASE.get()
+            if active_base:
                 s = F.when(
                     s.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:"), s
-                ).otherwise(F.concat(F.lit(_ACTIVE_BASE), s))
+                ).otherwise(F.concat(F.lit(active_base), s))
             return tf.mk_iri_col(s), "iri"
         if name == "LANGMATCHES":
             lang_c = F.lower(plain(0))
@@ -1451,7 +1457,16 @@ def _numish(c: F.Column) -> F.Column:
     return F.coalesce(c.try_cast("double"), tf.numeric_value(c.cast("string")))
 
 
-_ACTIVE_BASE: Optional[str] = None  # query base IRI for the IRI() builtin
+# Query base IRI for the IRI()/URI() builtin, scoped per compile via a
+# ContextVar (set from the AST's recorded base at each public entry point,
+# restored on exit) — interleaved or threaded parse/compile can't leak a
+# BASE across queries.  Subquery compiles leave it untouched (their base
+# is the enclosing query's).
+import contextvars
+
+_ACTIVE_BASE: "contextvars.ContextVar[Optional[str]]" = contextvars.ContextVar(
+    "sparql_active_base", default=None
+)
 
 
 def _stringish(c: F.Column, t: str) -> F.Column:
@@ -2466,13 +2481,25 @@ def _compile_select(
 
 
 def _parse_query(query: str, base: Optional[str]):
-    """Parse + record the query's (possibly BASE-updated) base IRI for
-    the IRI()/URI() builtins."""
-    global _ACTIVE_BASE
+    """Parse + record the query's (possibly BASE-updated) base IRI on the
+    AST for the IRI()/URI() builtins."""
     parser = SparqlParser(query, base)
     ast = parser.parse()
-    _ACTIVE_BASE = parser.resolver.base
+    ast.base = parser.resolver.base
     return ast
+
+
+class _with_base:
+    """Scope _ACTIVE_BASE to one query's compile (set/reset)."""
+
+    def __init__(self, q):
+        self.q = q
+
+    def __enter__(self):
+        self.token = _ACTIVE_BASE.set(self.q.base)
+
+    def __exit__(self, *exc):
+        _ACTIVE_BASE.reset(self.token)
 
 
 def sparql_select(triples: DataFrame, query: str, base: Optional[str] = None) -> DataFrame:
@@ -2482,14 +2509,16 @@ def sparql_select(triples: DataFrame, query: str, base: Optional[str] = None) ->
     q = _parse_query(query, base)
     if not isinstance(q, SelectQuery):
         raise RDFSyntaxError("not a SELECT query — use sparql_query()")
-    return _compile_select(triples, q)
+    with _with_base(q):
+        return _compile_select(triples, q)
 
 
 def sparql_ask(triples: DataFrame, query: str, base: Optional[str] = None) -> bool:
     q = _parse_query(query, base)
     if not isinstance(q, AskQuery):
         raise RDFSyntaxError("not an ASK query")
-    return not _compile_group(_apply_datasets(triples, q), q.where).isEmpty()
+    with _with_base(q):
+        return not _compile_group(_apply_datasets(triples, q), q.where).isEmpty()
 
 
 def sparql_construct(
@@ -2500,6 +2529,11 @@ def sparql_construct(
     q = _parse_query(query, base)
     if not isinstance(q, ConstructQuery):
         raise RDFSyntaxError("not a CONSTRUCT query")
+    with _with_base(q):
+        return _sparql_construct_body(triples, q)
+
+
+def _sparql_construct_body(triples: DataFrame, q: "ConstructQuery") -> DataFrame:
     sol = _compile_group(_apply_datasets(triples, q), q.where)
     # template triple-term constructions: realize each decomp var as the
     # composed encoded term (components from solution columns or consts)

@@ -18,23 +18,29 @@ OutputStream).
 from __future__ import annotations
 
 import json
+import re
 from typing import List, Optional, Tuple
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .terms import decode_term, RDF_LANGSTRING, RDFSyntaxError
+from .terms import decode_term, unescape_string, RDF_LANGSTRING, RDFSyntaxError
 
 XSD = "http://www.w3.org/2001/XMLSchema#"
+
+# RDF 1.2 triple-term component split: inner subject/predicate are
+# IRIs/bnodes (space-free), so the first two space splits are exact even
+# with a nested object (same decomposition as ops/sparql TermDecomp).
+_TT_RE = re.compile(r"^<<\((\S+) (\S+) ((?s:.*))\)>>$")
 
 
 def _term_parts(enc: str) -> Tuple[str, str, Optional[str], Optional[str]]:
     """encoded term → (kind, value, lang, datatype) for JSON/XML writers;
-    native Python values from aggregate outputs are typed literals."""
+    native Python values from aggregate outputs are typed literals.
+    RDF 1.2 triple terms return kind ``"triple"`` with the raw encoding
+    as value — callers recurse via ``_TT_RE`` (SPARQL 1.2 results)."""
     if enc.startswith("<<("):
-        # RDF 1.2 triple term: serialized in its NT form (writers for
-        # the full nested JSON "triple" value can build on _term_parts)
-        return "literal", enc, None, None
+        return "triple", enc, None, None
     t = decode_term(enc)
     if t.kind == "iri":
         return "uri", t.lex, None, None
@@ -62,6 +68,33 @@ def _encode_cell(v) -> Optional[str]:
     return json.dumps(s)  # plain string → quoted literal
 
 
+def _json_term(enc: str) -> dict:
+    """Encoded term → SPARQL 1.1/1.2 JSON results term object (recursive
+    for RDF 1.2 triple terms: {"type":"triple","value":{subject,…}})."""
+    kind, val, lang, dt = _term_parts(enc)
+    if kind == "triple":
+        m = _TT_RE.match(val)
+        if not m:
+            raise RDFSyntaxError(f"malformed triple term: {val[:80]}")
+        return {
+            "type": "triple",
+            "value": {
+                "subject": _json_term(m.group(1)),
+                "predicate": _json_term(m.group(2)),
+                "object": _json_term(m.group(3)),
+            },
+        }
+    cell = {"type": kind, "value": val}
+    if lang:
+        if "--" in lang:
+            lang, _, d = lang.partition("--")
+            cell["its:dir"] = d
+        cell["xml:lang"] = lang
+    if dt:
+        cell["datatype"] = dt
+    return cell
+
+
 def results_to_json(df: DataFrame, limit: Optional[int] = None) -> str:
     """SPARQL 1.1 Query Results JSON — collects (single-document format).
     Set ``limit`` as a safety valve for accidentally huge results."""
@@ -73,18 +106,24 @@ def results_to_json(df: DataFrame, limit: Optional[int] = None) -> str:
             enc = _encode_cell(v)
             if enc is None:
                 continue
-            kind, val, lang, dt = _term_parts(enc)
-            cell = {"type": kind, "value": val}
-            if lang:
-                if "--" in lang:
-                    lang, _, d = lang.partition("--")
-                    cell["its:dir"] = d
-                cell["xml:lang"] = lang
-            if dt:
-                cell["datatype"] = dt
-            b[k] = cell
+            b[k] = _json_term(enc)
         out["results"]["bindings"].append(b)
     return json.dumps(out, ensure_ascii=False)
+
+
+def boolean_to_json(value: bool) -> str:
+    """SPARQL 1.1 Query Results JSON for an ASK result."""
+    return json.dumps({"head": {}, "boolean": bool(value)})
+
+
+def boolean_to_xml(value: bool) -> str:
+    """SPARQL Query Results XML for an ASK result."""
+    return (
+        '<?xml version="1.0"?>'
+        '<sparql xmlns="http://www.w3.org/2005/sparql-results#">'
+        "<head></head>"
+        f"<boolean>{'true' if value else 'false'}</boolean></sparql>"
+    )
 
 
 def results_to_xml(df: DataFrame, limit: Optional[int] = None) -> str:
@@ -100,37 +139,75 @@ def results_to_xml(df: DataFrame, limit: Optional[int] = None) -> str:
     for c in df.columns:
         parts.append(f"<variable name={quoteattr(c)}/>")
     parts.append("</head><results>")
+    def term_xml(enc: str) -> str:
+        kind, val, lang, dt = _term_parts(enc)
+        if kind == "triple":
+            m = _TT_RE.match(val)
+            if not m:
+                raise RDFSyntaxError(f"malformed triple term: {val[:80]}")
+            return (
+                "<triple>"
+                f"<subject>{term_xml(m.group(1))}</subject>"
+                f"<predicate>{term_xml(m.group(2))}</predicate>"
+                f"<object>{term_xml(m.group(3))}</object>"
+                "</triple>"
+            )
+        if kind == "uri":
+            return f"<uri>{escape(val)}</uri>"
+        if kind == "bnode":
+            return f"<bnode>{escape(val)}</bnode>"
+        if lang:
+            return f"<literal xml:lang={quoteattr(lang)}>{escape(val)}</literal>"
+        if dt:
+            return f"<literal datatype={quoteattr(dt)}>{escape(val)}</literal>"
+        return f"<literal>{escape(val)}</literal>"
+
     for r in rows:
         parts.append("<result>")
         for k, v in r.asDict().items():
             enc = _encode_cell(v)
             if enc is None:
                 continue
-            kind, val, lang, dt = _term_parts(enc)
-            if kind == "uri":
-                body = f"<uri>{escape(val)}</uri>"
-            elif kind == "bnode":
-                body = f"<bnode>{escape(val)}</bnode>"
-            elif lang:
-                body = f'<literal xml:lang={quoteattr(lang)}>{escape(val)}</literal>'
-            elif dt:
-                body = f"<literal datatype={quoteattr(dt)}>{escape(val)}</literal>"
-            else:
-                body = f"<literal>{escape(val)}</literal>"
-            parts.append(f"<binding name={quoteattr(k)}>{body}</binding>")
+            parts.append(f"<binding name={quoteattr(k)}>{term_xml(enc)}</binding>")
         parts.append("</result>")
     parts.append("</results></sparql>")
     return "".join(parts)
 
 
+def _unescape_col(lex: F.Column) -> F.Column:
+    """Decode NT/Turtle escape sequences (\\n \\" \\\\ \\uXXXX …) in a
+    lexical-form column.  The hot path stays JVM-side: only cells that
+    actually contain a backslash cross the Arrow boundary (Pandas UDF
+    mirroring terms.unescape_string); everything else passes through."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _un(s):
+        def one(v):
+            if v is None or "\\" not in v:
+                return v
+            try:
+                return unescape_string(v)
+            except RDFSyntaxError:
+                return v  # not an escape-bearing RDF lexical: verbatim
+        return s.map(one)
+
+    return F.when(~lex.contains("\\"), lex).otherwise(_un(lex))
+
+
 def _csv_plain(col: F.Column) -> F.Column:
-    """CSV cell: the plain value (lexical form / IRI string / _:label)."""
+    """CSV cell: the plain value (lexical form / IRI string / _:label).
+    Escape sequences in the encoded lexical form are decoded to raw
+    characters (SPARQL 1.1 CSV carries raw strings) and the RFC 4180
+    quoting decision is made on the decoded text."""
     c = col.cast("string")
     lex = (
         F.when(c.startswith("<"), F.regexp_extract(c, r"^<(.*)>$", 1))
         .when(
             c.startswith('"'),
-            F.regexp_extract(c, r'^"((?s:.*))"(?:@[^"]*|\^\^<[^>]*>)?$', 1),
+            _unescape_col(
+                F.regexp_extract(c, r'^"((?s:.*))"(?:@[^"]*|\^\^<[^>]*>)?$', 1)
+            ),
         )
         .otherwise(c)
     )

@@ -42,7 +42,7 @@ from typing import Dict, List, Optional, Tuple
 from .skolem import BNodeAllocator, doc_seed
 from .parsers.turtle import parse_turtle
 from .parsers.ntriples import parse_ntriples
-from .terms import RDFSyntaxError, mk_iri, mk_literal
+from .terms import RDFSyntaxError, mk_iri, mk_literal, unescape_string
 from .w3c import isomorphic
 
 SPARQL11_DIR = "/root/reference/jena-arq/testing/rdf-tests-cg/sparql/sparql11"
@@ -83,7 +83,10 @@ def _path(iri_term: str) -> str:
     raise ValueError(f"non-local test IRI {iri}")
 
 
-def load_sparql_manifest(manifest_path: str) -> List[SparqlTest]:
+def load_sparql_manifest(
+    manifest_path: str,
+    test_types: Tuple[str, ...] = (f"<{MF}QueryEvaluationTest>",),
+) -> List[SparqlTest]:
     with open(manifest_path, encoding="utf-8", newline="") as f:
         text = f.read()
     base = "file://" + os.path.abspath(manifest_path)
@@ -103,7 +106,7 @@ def load_sparql_manifest(manifest_path: str) -> List[SparqlTest]:
     tests: List[SparqlTest] = []
     for s, props in by_s.items():
         types = props.get(f"<{RDF_NS}type>", [])
-        if f"<{MF}QueryEvaluationTest>" not in types:
+        if not any(tt in types for tt in test_types):
             continue
         action = get1(s, MF + "action")
         if action is None or not action.startswith("_:"):
@@ -187,7 +190,10 @@ def read_srx(path: str):
 
 def read_srj(path: str):
     with open(path, encoding="utf-8") as f:
-        doc = json.load(f)
+        return srj_doc(json.load(f))
+
+
+def srj_doc(doc: dict):
     if "boolean" in doc:
         return "bool", bool(doc["boolean"])
     vars_ = doc.get("head", {}).get("vars", [])
@@ -594,6 +600,199 @@ def run_sparql_dir(spark, d: str, exclude: Optional[set] = None):
             continue
         try:
             outcome, detail = run_sparql_test(spark, t)
+        except Exception as e:
+            outcome, detail = "fail", f"harness error: {type(e).__name__}: {e}"
+        if outcome == "pass":
+            p += 1
+        elif outcome == "fail":
+            f += 1
+        else:
+            s += 1
+        details.append((t.name, outcome, detail))
+    spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return p, f, s, details
+
+
+# ---------------------------------------------------------------------------
+# SPARQL result-format conformance (csv-tsv-res, json-res): the engine
+# runs the query, jena_spark.results SERIALIZES, and both our output and
+# the W3C golden are parsed back with the same reader and compared as
+# result sets — the reference's approach (ResultSetCompare over parsed
+# sets, jena-arq src/test junit result-format runners), not byte-equality
+# (goldens use writer-specific numeric abbreviations like 1.0e6).
+# ---------------------------------------------------------------------------
+
+_INT_RE = re.compile(r"^[+-]?\d+$")
+_DEC_RE = re.compile(r"^[+-]?(\d+\.\d*|\.\d+)$")
+_DBL_RE = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)[eE][+-]?\d+$")
+
+
+def _tsv_term(cell: str) -> str:
+    """One SPARQL 1.1 TSV cell → canonical encoded term (the TSV format
+    is Turtle terms with numeric/boolean abbreviation allowed)."""
+    if cell.startswith("<") or cell.startswith("_:"):
+        return cell
+    if cell.startswith('"') or cell.startswith("'"):
+        q = cell[0]
+        i = 1
+        n = len(cell)
+        while i < n:
+            if cell[i] == "\\":
+                i += 2
+                continue
+            if cell[i] == q:
+                break
+            i += 1
+        if i >= n:
+            raise RDFSyntaxError(f"unterminated TSV literal: {cell!r}")
+        lex = unescape_string(cell[1:i])
+        rest = cell[i + 1:]
+        if rest.startswith("@"):
+            return mk_literal(lex, lang=rest[1:]).nt()
+        if rest.startswith("^^<") and rest.endswith(">"):
+            return mk_literal(lex, datatype=rest[3:-1]).nt()
+        if rest:
+            raise RDFSyntaxError(f"bad TSV literal suffix: {rest!r}")
+        return mk_literal(lex).nt()
+    if cell in ("true", "false"):
+        return mk_literal(cell, datatype=XSD + "boolean").nt()
+    if _INT_RE.match(cell):
+        return mk_literal(cell, datatype=XSD + "integer").nt()
+    if _DEC_RE.match(cell):
+        return mk_literal(cell, datatype=XSD + "decimal").nt()
+    if _DBL_RE.match(cell):
+        return mk_literal(cell, datatype=XSD + "double").nt()
+    raise RDFSyntaxError(f"unparseable TSV term: {cell!r}")
+
+
+def read_tsv_results(text: str):
+    """SPARQL 1.1 TSV results text → (vars, rows) with encoded terms."""
+    lines = text.split("\n")
+    while lines and lines[-1] == "":
+        lines.pop()
+    header = lines[0].rstrip("\r").split("\t")
+    vars_ = [h[1:] if h.startswith("?") else h for h in header]
+    rows = []
+    for ln in lines[1:]:
+        cells = ln.rstrip("\r").split("\t")
+        row = {}
+        for var, cell in zip(vars_, cells):
+            if cell != "":
+                row[var] = _tsv_term(cell)
+        rows.append(row)
+    return vars_, rows
+
+
+def read_csv_results(text: str):
+    """SPARQL 1.1 CSV results text → (vars, rows).  CSV is lossy (plain
+    strings); cells are compared as plain literals except `_:` blank-node
+    labels, which keep bnode semantics so the bijection comparer applies."""
+    import csv
+    import io
+
+    recs = list(csv.reader(io.StringIO(text)))
+    vars_ = recs[0]
+    rows = []
+    for rec in recs[1:]:
+        row = {}
+        for var, cell in zip(vars_, rec):
+            if cell == "":
+                continue  # unbound and "" are indistinguishable in CSV
+            row[var] = cell if cell.startswith("_:") else mk_literal(cell).nt()
+        rows.append(row)
+    return vars_, rows
+
+
+def run_result_format_test(spark, t: SparqlTest) -> Tuple[str, str]:
+    """Execute the query, serialize through jena_spark.results in the
+    golden's format, re-read both sides, compare result sets."""
+    from .ops.sparql import SparqlParser, sparql_query, AskQuery
+    from . import results as rw
+
+    with open(t.query_path, encoding="utf-8", newline="") as f:
+        qtext = f.read()
+    base = "file://" + os.path.abspath(t.query_path)
+    try:
+        ast = SparqlParser(qtext, base).parse()
+    except RDFSyntaxError as e:
+        return "skip", f"unsupported syntax: {e}"
+    triples = _load_data(spark, t)
+    try:
+        result = sparql_query(triples, qtext, base)
+    except RDFSyntaxError as e:
+        return "skip", f"unsupported: {e}"
+    except Exception as e:
+        return "fail", f"engine error: {type(e).__name__}: {str(e)[:200]}"
+
+    ext = os.path.splitext(t.result_path)[1]
+    with open(t.result_path, encoding="utf-8", newline="") as f:
+        golden_text = f.read()
+
+    if ext == ".srj":
+        if isinstance(ast, AskQuery):
+            ours = rw.boolean_to_json(result)
+        else:
+            ours = rw.results_to_json(result)
+        gk, gp = srj_doc(json.loads(golden_text))
+        ok, op = srj_doc(json.loads(ours))
+        if gk != ok:
+            return "fail", f"kind mismatch: ours {ok} golden {gk}"
+        if gk == "bool":
+            return ("pass", "") if gp == op else (
+                "fail", f"ASK: ours {op} golden {gp}")
+        gvars, gr = gp
+        ovars, orows = op
+    elif ext in (".csv", ".tsv"):
+        if isinstance(ast, AskQuery):
+            return "fail", "ASK has no CSV/TSV result form in the suite"
+        if ext == ".csv":
+            header = ",".join(result.columns)
+            body = [r.value for r in rw.results_to_csv(result).collect()]
+            ours = "\n".join([header] + body) + "\n"
+            gvars, gr = read_csv_results(golden_text)
+            ovars, orows = read_csv_results(ours)
+        else:
+            header = "\t".join("?" + c for c in result.columns)
+            body = [r.value for r in rw.results_to_tsv(result).collect()]
+            ours = "\n".join([header] + body) + "\n"
+            gvars, gr = read_tsv_results(golden_text)
+            ovars, orows = read_tsv_results(ours)
+    else:
+        return "fail", f"unknown golden format {ext}"
+
+    if set(gvars) != set(ovars):
+        return "fail", f"vars differ: ours {sorted(ovars)} golden {sorted(gvars)}"
+    ordered = bool(_ORDERED_RE.search(qtext))
+    if results_equal(orows, gr, ordered):
+        return "pass", ""
+    gs = sorted(str(sorted(r.items())) for r in orows)[:4]
+    ws = sorted(str(sorted(r.items())) for r in gr)[:4]
+    return "fail", f"rows differ ({len(orows)} vs {len(gr)}): ours {gs} golden {ws}"
+
+
+def run_result_format_dir(spark, d: str, exclude: Optional[set] = None):
+    """Run every result-format test under d/manifest.ttl (the json-res
+    tests are typed mf:QueryEvaluationTest, the CSV ones
+    mf:CSVResultFormatTest).  Same return shape as run_sparql_dir."""
+    tests = load_sparql_manifest(
+        os.path.join(d, "manifest.ttl"),
+        test_types=(
+            f"<{MF}QueryEvaluationTest>",
+            f"<{MF}CSVResultFormatTest>",
+        ),
+    )
+    exclude = exclude or set()
+    p = f = s = 0
+    details = []
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    for t in tests:
+        if t.name in exclude:
+            s += 1
+            details.append((t.name, "skip", "excluded (documented)"))
+            continue
+        try:
+            outcome, detail = run_result_format_test(spark, t)
         except Exception as e:
             outcome, detail = "fail", f"harness error: {type(e).__name__}: {e}"
         if outcome == "pass":

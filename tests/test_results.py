@@ -88,3 +88,54 @@ def test_nquads_writer_default_and_named(spark):
         "<http://e/a> <http://e/p> <http://e/b> .",
         "<http://e/a> <http://e/p> <http://e/c> <http://e/g> .",
     ]
+
+
+def test_csv_unescapes_control_chars_roundtrip(spark):
+    """ADVICE r2: a literal containing a raw newline/quote/backslash must
+    serialize as the RAW characters (RFC 4180-quoted), not the two-char
+    NT escape sequences — verified through Python's csv reader."""
+    import csv as _csv
+    import io
+
+    df = spark.createDataFrame(
+        [('"line1\\nline2"', '"has \\"quote\\""', '"back\\\\slash"')],
+        ["a", "b", "c"],
+    )
+    text = "\n".join(
+        [",".join(df.columns)]
+        + [r.value for r in rw.results_to_csv(df).collect()]
+    )
+    rows = list(_csv.reader(io.StringIO(text)))
+    assert rows[0] == ["a", "b", "c"]
+    assert rows[1] == ["line1\nline2", 'has "quote"', "back\\slash"]
+
+
+def test_json_xml_triple_term_nested(spark):
+    """ADVICE r2: RDF 1.2 triple-term bindings serialize as the nested
+    'triple' object, not a fake string literal."""
+    df = spark.createDataFrame(
+        [('<<(<http://e/s> <http://e/p> "o")>>',)], ["t"]
+    )
+    doc = json.loads(rw.results_to_json(df))
+    cell = doc["results"]["bindings"][0]["t"]
+    assert cell["type"] == "triple"
+    assert cell["value"]["subject"] == {"type": "uri", "value": "http://e/s"}
+    assert cell["value"]["object"] == {"type": "literal", "value": "o"}
+    # XML: parses back through the harness SRX reader
+    from jena_spark.w3c_sparql import read_srx
+    import tempfile, os
+    xml = rw.results_to_xml(df)
+    with tempfile.NamedTemporaryFile("w", suffix=".srx", delete=False) as f:
+        f.write(xml)
+        p = f.name
+    try:
+        kind, (_, rows) = read_srx(p)
+    finally:
+        os.unlink(p)
+    assert kind == "rows"
+    assert rows[0]["t"] == '<<(<http://e/s> <http://e/p> "o")>>'
+
+
+def test_boolean_json_xml(spark):
+    assert json.loads(rw.boolean_to_json(True)) == {"head": {}, "boolean": True}
+    assert "<boolean>false</boolean>" in rw.boolean_to_xml(False)

@@ -86,3 +86,26 @@ def test_w3c_sparql_suite(spark, base, sub, min_pass):
     fails = [(n, d) for n, o, d in details if o == "fail"]
     assert not fails, f"{sub}: {len(fails)} failures: {fails[:3]}"
     assert p >= min_pass, f"{sub}: pass count dropped to {p} (< {min_pass})"
+
+
+# --- result-format suites: engine runs the query, jena_spark.results
+# serializes, both sides re-read with the same reader and compared -----------
+
+FORMAT_SUITES = [
+    ("csv-tsv-res", 6),
+    ("json-res", 4),
+]
+
+
+@pytest.mark.parametrize(
+    "sub,min_pass", FORMAT_SUITES, ids=[s[0] for s in FORMAT_SUITES]
+)
+def test_w3c_result_format_suite(spark, sub, min_pass):
+    from jena_spark.w3c_sparql import run_result_format_dir
+
+    p, f, s, details = run_result_format_dir(
+        spark, os.path.join(SPARQL11_DIR, sub)
+    )
+    fails = [(n, d) for n, o, d in details if o == "fail"]
+    assert not fails, f"{sub}: {len(fails)} failures: {fails[:3]}"
+    assert p >= min_pass, f"{sub}: pass count dropped to {p} (< {min_pass})"
