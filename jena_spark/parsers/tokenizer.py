@@ -101,6 +101,44 @@ _HEXDIGITS = set("0123456789abcdefABCDEF")
 _WS = " \t\r\n"
 _DIGITS = set("0123456789")
 
+# ---------------------------------------------------------------------------
+# Bulk fast scan (Turtle/TriG mode).  One alternation regex matches the
+# overwhelmingly common token shapes in a tight loop; every character
+# class is a strict SUBSET of the corresponding grammar production, and a
+# matched name token whose follow-character could extend it under the
+# full grammar ('.', ':', '%', '\\', non-ASCII) aborts the scan — the
+# document then re-tokenizes through the exact character scanner, so
+# acceptance and token streams are identical, only the speed differs.
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+# Alternation ordered by corpus frequency; branch identified by
+# m.lastindex (ints beat a string if/elif chain).  Group numbers:
+#  1 ws | 2 pname | 3 num | 4 punct (incl '.') | 5 iri | 6 dstring
+#  7 kw | 8 langtag | 9 sstring | 10 bnode | 11 rdf12/hathat
+_MASTER = _re.compile(
+    r"""(?:
+  ((?:[ \t\r\n]|\#[^\n]*)+)
+ |((?:[A-Za-z][A-Za-z0-9_\-]*)?:(?:[A-Za-z0-9_][A-Za-z0-9_\-]*)?)
+ |([+-]?(?:(?:\d+\.\d*|\.\d+|\d+)[eE][+-]?\d+|\d*\.\d+|\d+))
+ |([.;,\[\](]|\)(?!>>)|\{(?!\|)|\})
+ |(<[^\x00-\x20<>"{}|^`\\]*>)
+ |("[^"\\\n\r]*"(?!"))
+ |([A-Za-z][A-Za-z0-9_\-]*)
+ |(@[A-Za-z]+(?:-[A-Za-z0-9]+)*(?:--[A-Za-z]+)?)
+ |('[^'\\\n\r]*'(?!'))
+ |(_:[A-Za-z_0-9][A-Za-z_0-9\-]*)
+ |(<<\(|<<|\)>>|>>|\{\||\|\}|~|\^\^)
+)""",
+    _re.X,
+)
+
+_NAME_BAIL = frozenset(".:%\\")
+_ALPHA_RUN = _re.compile(r"[A-Za-z]+")
+_RDF12_TOK = {"<<(": T_LTT, "<<": T_LQT, ")>>": T_RTT, ">>": T_RQT,
+              "{|": T_LANN, "|}": T_RANN, "~": T_TILDE, "^^": T_HATHAT}
+
 
 class Tokenizer:
     """Character scanner.  ``strict_nt=True`` restricts to the N-Triples /
@@ -116,6 +154,83 @@ class Tokenizer:
         self.line = 1
         self.strict = strict_nt
         self.sparql = sparql
+        self._toks: Optional[list] = None  # bulk-scan result (Turtle/TriG)
+        self._tpos = 0
+        self._bulk_tried = False
+
+    # -- bulk fast scan -------------------------------------------------------
+
+    def _bulk_scan(self) -> Optional[list]:
+        """Tokenize the whole document with the master regex, or None if
+        any position falls outside the fast subset (the caller then uses
+        the exact character scanner — identical behavior, slower)."""
+        s, n = self.s, self.n
+        toks: list = []
+        append = toks.append
+        match = _MASTER.match
+        tok = Token
+        bail = _NAME_BAIL
+        pos = 0
+        line = 1
+        while pos < n:
+            m = match(s, pos)
+            if m is None:
+                return None
+            g = m.lastindex
+            v = m.group(g)
+            end = m.end()
+            if g == 1:  # whitespace / comments
+                if "\n" in v:
+                    line += v.count("\n")
+                pos = end
+                continue
+            if g == 2:  # prefixed name
+                nxt = s[end] if end < n else ""
+                if nxt and (nxt in bail or ord(nxt) >= 0x80):
+                    return None
+                pfx, _, loc = v.partition(":")
+                append(tok(T_PNAME, pfx, loc, line))
+            elif g == 4:  # punctuation (type IS the char, incl '.')
+                append(tok(v, "", "", line))
+            elif g == 5:  # IRIREF
+                append(tok(T_IRI, v[1:-1], "", line))
+            elif g == 6:  # double-quoted string, no escapes
+                append(tok(T_STRING, v[1:-1], '"', line))
+            elif g == 3:  # number
+                if "e" in v or "E" in v:
+                    tt = T_DOUBLE
+                elif "." in v:
+                    tt = T_DECIMAL
+                else:
+                    tt = T_INTEGER
+                append(tok(tt, v, "", line))
+            elif g == 7:  # bare keyword
+                nxt = s[end] if end < n else ""
+                if nxt and (nxt in bail or ord(nxt) >= 0x80):
+                    return None
+                append(tok(T_KEYWORD, v, "", line))
+            elif g == 8:  # langtag or @prefix/@base directive
+                w = v[1:]
+                run = _ALPHA_RUN.match(w).group()
+                if run in ("prefix", "base"):
+                    if w != run:
+                        return None  # '@prefix-…': directive-then-error shape
+                    append(tok(T_AT_PREFIX if w == "prefix" else T_AT_BASE,
+                               "", "", line))
+                else:
+                    append(tok(T_LANGTAG, w, "", line))
+            elif g == 9:  # single-quoted string
+                append(tok(T_STRING, v[1:-1], "'", line))
+            elif g == 10:  # blank node label
+                nxt = s[end] if end < n else ""
+                if nxt and (nxt in bail or ord(nxt) >= 0x80):
+                    return None
+                append(tok(T_BNODE, v[2:], "", line))
+            else:  # 11: RDF 1.2 multi-char tokens + '^^'
+                append(tok(_RDF12_TOK[v], "", "", line))
+            pos = end
+        append(tok(T_EOF, line=line))
+        return toks
 
     # -- low-level helpers --------------------------------------------------
 
@@ -144,6 +259,19 @@ class Tokenizer:
                 return
 
     def next_token(self) -> Token:
+        toks = self._toks
+        if toks is not None:
+            t = toks[self._tpos]
+            if self._tpos < len(toks) - 1:
+                self._tpos += 1
+            return t
+        if not self._bulk_tried:
+            self._bulk_tried = True
+            if not self.strict and not self.sparql and self.i == 0:
+                scanned = self._bulk_scan()
+                if scanned is not None:
+                    self._toks = scanned
+                    return self.next_token()
         self._skip_ws_comments()
         if self.i >= self.n:
             return Token(T_EOF, line=self.line)

@@ -101,6 +101,11 @@ class TurtleParser:
         self.prefixes: dict[str, str] = {}
         self.out: List[Quad] = []
         self._enc_cache: dict = {}
+        # token-text → Term caches: IRIs repeat (same base resolution) and
+        # prefixed names repeat massively; cleared when @base/@prefix
+        # changes the mapping mid-document
+        self._iri_cache: dict = {}
+        self._pn_cache: dict = {}
         self.graph: Optional[str] = None  # current graph term (encoded) or None
         self.tok: Token = self.tz.next_token()
 
@@ -200,6 +205,7 @@ class TurtleParser:
             raise RDFSyntaxError(f"line {t.line}: bad prefix declaration")
         iri_tok = self._expect(T_IRI)
         self.prefixes[t.value] = self.resolver.resolve(iri_tok.value)
+        self._pn_cache.clear()  # mapping changed: cached pname Terms stale
         if at_form:
             self._expect(T_DOT)
         elif self.tok.type == T_DOT:
@@ -208,6 +214,7 @@ class TurtleParser:
     def _directive_base(self, at_form: bool) -> None:
         iri_tok = self._expect(T_IRI)
         self.resolver.set_base(iri_tok.value)
+        self._iri_cache.clear()  # base changed: cached resolutions stale
         if at_form:
             self._expect(T_DOT)
         elif self.tok.type == T_DOT:
@@ -497,12 +504,21 @@ class TurtleParser:
     def _iri_node(self) -> Term:
         t = self._advance()
         if t.type == T_IRI:
-            return mk_iri(self.resolver.resolve(t.value))
+            term = self._iri_cache.get(t.value)
+            if term is None:
+                term = mk_iri(self.resolver.resolve(t.value))
+                self._iri_cache[t.value] = term
+            return term
         # PNAME
-        ns = self.prefixes.get(t.value)
-        if ns is None:
-            raise RDFSyntaxError(f"line {t.line}: undefined prefix {t.value!r}:")
-        return mk_iri(ns + t.value2)
+        key = (t.value, t.value2)
+        term = self._pn_cache.get(key)
+        if term is None:
+            ns = self.prefixes.get(t.value)
+            if ns is None:
+                raise RDFSyntaxError(f"line {t.line}: undefined prefix {t.value!r}:")
+            term = mk_iri(ns + t.value2)
+            self._pn_cache[key] = term
+        return term
 
     def _blank_node_property_list_or_anon(self) -> Term:
         self._expect(T_LBRACKET)
