@@ -889,11 +889,14 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT doc_id, CAST({fp_expr} AS BIGINT) AS simhash FROM bits"
     )
 
-    # text analysis oracles — mirror textstats.py formulas exactly
-    def occ(needle: str) -> str:
-        pad = "' ' || lower(text) || ' '"
+    # text analysis oracles — mirror textstats.py formulas exactly:
+    # ONE whitespace split of the lowercased text, marker hits = tokens
+    # in the word set (len(list_filter(...)) ≡ Spark size(filter(...)))
+    def hits(words: list) -> str:
+        wl = ", ".join(f"'{w}'" for w in words)
         return (
-            f"(length({pad}) - length(replace({pad}, ' {needle} ', ''))) / {len(needle) + 2}.0"
+            "len(list_filter(regexp_split_to_array(lower(text), '\\s+'), "
+            f"x -> x IN ({wl})))"
         )
 
     from jena_spark.pipelines.textstats import LANG_MARKERS
@@ -905,7 +908,7 @@ def oracle_sql() -> dict[str, str]:
                 "CAST(length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS DOUBLE)"
             )
         else:
-            score_sqls[lang] = "CAST(" + " + ".join(occ(w) for w in words) + " AS DOUBLE)"
+            score_sqls[lang] = f"CAST({hits(words)} AS DOUBLE)"
     # deterministic argmax: max by (score, lang) — same struct ordering as Spark
     pairs = ", ".join(f"({s}, '{l}')" for l, s in sorted(score_sqls.items()))
     o["text_langid"] = (
@@ -914,7 +917,7 @@ def oracle_sql() -> dict[str, str]:
         "FROM scored"
     )
 
-    stop = " + ".join(occ(w) for w in LANG_MARKERS["en"])
+    stop = hits(LANG_MARKERS["en"])
     o["text_quality"] = (
         "SELECT doc_id, CAST(length(text) AS INT) AS n_chars_m, "
         "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
@@ -956,16 +959,11 @@ def oracle_sql() -> dict[str, str]:
         "GROUP BY mention ORDER BY n DESC, mention ASC LIMIT 50"
     )
 
-    def _occ_sql(w: str) -> str:
-        pad = "' ' || lower(text) || ' '"
-        return (
-            f"(length({pad}) - length(replace({pad}, ' {w} ', ''))) / {len(w) + 2}.0"
-        )
-
+    _search = hits(["table", "index"])
     o["text_search_rank"] = (
-        f"SELECT doc_id, CAST({_occ_sql('table')} + {_occ_sql('index')} AS BIGINT) AS score "
+        f"SELECT doc_id, CAST({_search} AS BIGINT) AS score "
         "FROM documents "
-        f"WHERE CAST({_occ_sql('table')} + {_occ_sql('index')} AS BIGINT) > 0 "
+        f"WHERE CAST({_search} AS BIGINT) > 0 "
         "ORDER BY score DESC, doc_id ASC LIMIT 20"
     )
 

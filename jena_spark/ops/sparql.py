@@ -248,6 +248,19 @@ class AskQuery:
     base: Optional[str] = None
 
 
+@dataclass
+class DescribeQuery:
+    """DESCRIBE VarOrIri+ [WHERE …] | DESCRIBE * WHERE … — description
+    semantics are Jena's default handler (DescribeBNodeClosureImpl):
+    the concise bounded description, i.e. all triples with the node as
+    subject plus the recursive closure over blank-node objects."""
+    nodes: List[str]        # '?var' entries and/or encoded IRI terms
+    where: Optional[Group]  # None = no pattern (plain DESCRIBE <iri>)
+    star: bool = False      # DESCRIBE * — every visible variable
+    datasets: Optional[Tuple[List[str], List[str]]] = None
+    base: Optional[str] = None
+
+
 # ---------------------------------------------------------------------------
 # Parser
 # ---------------------------------------------------------------------------
@@ -339,6 +352,30 @@ class SparqlParser:
             template = [el for el in tmpl_group.elements if isinstance(el, TriplePat)]
             decomps = [el for el in tmpl_group.elements if isinstance(el, TermDecomp)]
             return ConstructQuery(template, where, datasets=ds, decomps=decomps)
+        if kw0 == "describe":
+            self._advance()
+            nodes: List[str] = []
+            star = False
+            if self.tok.type == T_OP and self.tok.value == "*":
+                star = True
+                self._advance()
+            else:
+                while self.tok.type in (T_VAR, T_IRI, T_PNAME):
+                    nodes.append(self._term_or_var())
+                if not nodes:
+                    raise RDFSyntaxError("DESCRIBE needs variables/IRIs or *")
+            ds = self._dataset_clauses()
+            where = None
+            if self._kw() == "where":
+                self._advance()
+                where = self._group()
+            elif self.tok.type == T_LBRACE:
+                where = self._group()
+            if star and where is None:
+                raise RDFSyntaxError("DESCRIBE * requires a WHERE pattern")
+            if self.tok.type != T_EOF:
+                raise RDFSyntaxError(f"trailing tokens at line {self.tok.line}")
+            return DescribeQuery(nodes, where, star=star, datasets=ds)
         q = self._select_query()
         if self.tok.type != T_EOF:
             raise RDFSyntaxError(f"trailing tokens at line {self.tok.line}")
@@ -992,7 +1029,7 @@ class SparqlParser:
             "HOURS", "MINUTES", "SECONDS", "TZ", "TIMEZONE", "NOW", "RAND",
             "UUID", "STRUUID", "LANGDIR", "HASLANG", "HASLANGDIR",
             "STRLANGDIR", "TRIPLE", "SUBJECT", "PREDICATE", "OBJECT",
-            "ISTRIPLE",
+            "ISTRIPLE", "BNODE",
         ):
             name = self._advance().value.upper()
             self._expect(T_LPAREN)
@@ -1115,6 +1152,25 @@ def _typed(e: Expr, avail: Optional[set] = None) -> Tuple[F.Column, str]:
 
         if name == "BOUND":
             return targs[0][0].isNotNull(), "bool"
+        if name == "BNODE":
+            rid = _BNODE_ROWID.get()
+            if rid is None:
+                raise RDFSyntaxError(
+                    "BNODE() supported in BIND / SELECT expressions only"
+                )
+            if targs:
+                # arg must be a string literal; otherwise error → unbound
+                seed = F.when(
+                    _stringish(targs[0][0], targs[0][1]), plain(0)
+                )
+            else:
+                seed = F.lit(f"fresh:{next(_BNODE_SALT)}")  # fresh per call
+            label = F.md5(
+                F.concat_ws("\x1f", F.col(rid).cast("string"), seed)
+            )
+            return F.when(
+                seed.isNotNull(), F.concat(F.lit("_:BN"), label)
+            ), "term"
         if name == "REGEX":
             if e.args[1].kind != "const":
                 raise RDFSyntaxError("REGEX pattern must be a literal")
@@ -1467,6 +1523,47 @@ import contextvars
 _ACTIVE_BASE: "contextvars.ContextVar[Optional[str]]" = contextvars.ContextVar(
     "sparql_active_base", default=None
 )
+
+# BNODE()/BNODE(str) support (E_BNode.java semantics: same row + same arg
+# → same bnode; distinct rows → distinct bnodes; no-arg → fresh per call).
+# The compile site injects a per-row id column and scopes its name here;
+# labels are md5(rowid, arg-or-call-salt).
+import itertools as _it
+
+_BNODE_ROWID: "contextvars.ContextVar[Optional[str]]" = contextvars.ContextVar(
+    "sparql_bnode_rowid", default=None
+)
+_BNODE_SALT = _it.count()
+
+
+def _contains_call(e: "Expr", fname: str) -> bool:
+    if not isinstance(e, Expr):
+        return False
+    if e.kind == "call" and e.value == fname:
+        return True
+    return any(_contains_call(a, fname) for a in e.args)
+
+
+class _bnode_scope:
+    """Inject a per-row id column for BNODE() compilation if any of the
+    expressions needs one; restores the ContextVar and drops the column
+    via ``finish``."""
+
+    def __init__(self, df: DataFrame, exprs) -> None:
+        self.rid = None
+        self.token = None
+        self.df = df
+        if any(_contains_call(e, "BNODE") for e in exprs):
+            self.rid = f"__bnrow{next(_BNODE_SALT)}"
+            self.df = df.withColumn(self.rid, F.monotonically_increasing_id())
+            self.token = _BNODE_ROWID.set(self.rid)
+
+    def finish(self, df: DataFrame) -> DataFrame:
+        if self.token is not None:
+            _BNODE_ROWID.reset(self.token)
+        if self.rid is not None:
+            df = df.drop(self.rid)
+        return df
 
 
 def _stringish(c: F.Column, t: str) -> F.Column:
@@ -2087,15 +2184,15 @@ def _compile_group_n(
             else:
                 df, nullable = _join_compat(df, nullable, sub, snull, "inner")
         elif isinstance(el, BindPat):
-            if df is None:
-                # BIND over the unit table (one empty solution)
-                col, kind = _typed(el.expr, set())
-                df = triples.sparkSession.range(1).select(
-                    _term_of(col, kind).alias(el.var)
-                )
-            else:
-                col, kind = _typed(el.expr, set(df.columns))
-                df = df.withColumn(el.var, _term_of(col, kind))
+            base = (
+                df if df is not None
+                else triples.sparkSession.range(1).drop("id")
+            )
+            scope = _bnode_scope(base, [el.expr])
+            base = scope.df
+            col, kind = _typed(el.expr, set(base.columns))
+            base = base.withColumn(el.var, _term_of(col, kind))
+            df = scope.finish(base)
             nullable.add(el.var)  # expression errors bind to unbound (null)
     flush()
     drain_decomps()
@@ -2358,21 +2455,40 @@ def _subst_native(e: Expr, native: set) -> Expr:
     return Expr(e.kind, e.value, [_subst_native(a, native) for a in e.args])
 
 
+def _fresh_bnodes(col: F.Column, suffix: str) -> F.Column:
+    """Consistently relabel blank nodes in a term column (plain bnodes
+    and bnodes inside RDF 1.2 triple terms) by appending ``suffix``."""
+    return (
+        F.when(col.startswith("_:"), F.concat(col, F.lit(suffix)))
+        .when(
+            col.startswith("<<("),
+            F.regexp_replace(col, r"(_:[A-Za-z0-9_\-]+)", f"$1{suffix}"),
+        )
+        .otherwise(col)
+    )
+
+
 def _apply_datasets(triples: DataFrame, q) -> DataFrame:
     """FROM / FROM NAMED dataset construction over a quads input: the
-    default graph becomes the union of the FROM graphs (their names are
-    erased), and only FROM NAMED graphs stay addressable by GRAPH."""
+    default graph becomes the union (RDF *merge*) of the FROM graphs —
+    their names are erased and their blank nodes are re-instantiated, so
+    a document loaded both as FROM and FROM NAMED contributes DISTINCT
+    bnodes to each role (SPARQL §13.2 'fresh RDF merge';
+    DynamicDatasets/DatasetDescription in the reference; DAWG
+    dataset-09/10/12).  Only FROM NAMED graphs stay addressable."""
     ds = getattr(q, "datasets", None)
     if not ds or "graph" not in triples.columns:
         return triples
     frm, named = ds
     parts = []
     if frm:
-        parts.append(
-            triples.filter(F.col("graph").isin(frm)).withColumn(
-                "graph", F.lit(None).cast("string")
-            )
+        dflt = triples.filter(F.col("graph").isin(frm)).select(
+            F.lit(None).cast("string").alias("graph"),
+            _fresh_bnodes(F.col("subj"), "F").alias("subj"),
+            F.col("pred"),
+            _fresh_bnodes(F.col("obj"), "F").alias("obj"),
         )
+        parts.append(dflt)
     if named:
         parts.append(triples.filter(F.col("graph").isin(named)))
     out = parts[0]
@@ -2420,16 +2536,22 @@ def _compile_select(
         if q.having is not None:
             gdf = gdf.filter(_compile_expr(q.having, set(gdf.columns)))
         native = {i.alias for i in q.aggregates + q.having_aggs}
+        scope = _bnode_scope(gdf, [e for e, _ in q.proj_exprs])
+        gdf = scope.df
         for e, alias in q.proj_exprs:  # Extend after grouping (OpExtend)
             col, kind = _typed(_subst_native(e, native), set(gdf.columns))
             gdf = gdf.withColumn(alias, _term_of(col, kind))
+        gdf = scope.finish(gdf)
         df = gdf.select(
             *(q.variables + [i.alias for i in q.aggregates] + proj_aliases)
         )
     else:
+        scope = _bnode_scope(df, [e for e, _ in q.proj_exprs])
+        df = scope.df
         for e, alias in q.proj_exprs:
             col, kind = _typed(e, set(df.columns))
             df = df.withColumn(alias, _term_of(col, kind))
+        df = scope.finish(df)
 
     # SPARQL allows projecting a variable the pattern never binds —
     # it is simply unbound in every solution
@@ -2596,12 +2718,79 @@ def _sparql_construct_body(triples: DataFrame, q: "ConstructQuery") -> DataFrame
     ).dropDuplicates()
 
 
+def sparql_describe(
+    triples: DataFrame, query: str, base: Optional[str] = None
+) -> DataFrame:
+    """DESCRIBE → triples DataFrame (subj, pred, obj): the concise
+    bounded description of each solution/constant node — subject triples
+    plus the recursive closure over blank-node objects (the reference's
+    default handler, sparql/core/describe/DescribeBNodeClosure.java)."""
+    q = _parse_query(query, base)
+    if not isinstance(q, DescribeQuery):
+        raise RDFSyntaxError("not a DESCRIBE query")
+    with _with_base(q):
+        return _sparql_describe_body(triples, q)
+
+
+def _sparql_describe_body(triples: DataFrame, q: DescribeQuery) -> DataFrame:
+    spark = triples.sparkSession
+    data = _apply_datasets(triples, q)
+    # the description draws from the dataset's default graph
+    if "graph" in data.columns:
+        src = data.filter(F.col("graph").isNull()).select("subj", "pred", "obj")
+    else:
+        src = data.select("subj", "pred", "obj")
+    sol = _compile_group(data, q.where) if q.where is not None else None
+    node_dfs = []
+    vars_ = [t[1:] for t in q.nodes if t.startswith("?")]
+    consts = [t for t in q.nodes if not t.startswith("?")]
+    if q.star and sol is not None:
+        vars_ = [c for c in sol.columns if not c.startswith("__")]
+    for v in vars_:
+        if sol is not None and v in sol.columns:
+            node_dfs.append(sol.select(F.col(v).alias("node")))
+    if consts:
+        node_dfs.append(spark.createDataFrame([(c,) for c in consts], "node string"))
+    if not node_dfs:
+        return src.limit(0)
+    nodes = node_dfs[0]
+    for d in node_dfs[1:]:
+        nodes = nodes.unionAll(d)
+    nodes = nodes.filter(F.col("node").isNotNull()).distinct()
+
+    # CBD closure, semi-naive: frontier = newly-reached bnode objects
+    frontier = nodes.localCheckpoint(eager=True)
+    seen = frontier
+    out = None
+    for _ in range(64):
+        step = src.join(
+            frontier.withColumnRenamed("node", "subj"), "subj", "left_semi"
+        )
+        out = step if out is None else out.unionAll(step)
+        new = (
+            step.filter(F.col("obj").startswith("_:"))
+            .select(F.col("obj").alias("node"))
+            .distinct()
+            .join(seen, "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if new.isEmpty():
+            break
+        seen = seen.unionAll(new)
+        frontier = new
+    else:
+        raise RDFSyntaxError("DESCRIBE bnode closure did not converge (64 rounds)")
+    return out.dropDuplicates()
+
+
 def sparql_query(triples: DataFrame, query: str, base: Optional[str] = None):
     """Dispatch on query form: SELECT → DataFrame, ASK → bool,
-    CONSTRUCT → triples DataFrame."""
+    CONSTRUCT / DESCRIBE → triples DataFrame."""
     q = _parse_query(query, base)
     if isinstance(q, AskQuery):
         return not _compile_group(_apply_datasets(triples, q), q.where).isEmpty()
     if isinstance(q, ConstructQuery):
         return sparql_construct(triples, query, base)
+    if isinstance(q, DescribeQuery):
+        return sparql_describe(triples, query, base)
     return sparql_select(triples, query, base)

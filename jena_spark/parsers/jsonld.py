@@ -14,16 +14,29 @@ expansion/deserialization algorithms that cover common documents:
 - ``@reverse`` — both the node-object keyword and term definitions with
   ``{"@reverse": iri}``;
 - ``@context``: term→IRI strings, expanded term definitions with
-  ``@id`` / ``@type`` (incl. ``"@type": "@id"`` and ``"@vocab"`` IRI
-  coercion) / ``@container`` (``@list``/``@set``) / ``@language`` /
-  ``@reverse``; ``@vocab``, ``@base``, default ``@language``; arrays of
-  contexts applied in order; ``null`` context reset; keyword aliases
-  (``"id": "@id"`` etc.); compact IRIs (``prefix:suffix``).
+  ``@id`` / ``@type`` (incl. ``"@type": "@id"``/``"@vocab"`` coercion and
+  ``"@type": "@json"``) / ``@container`` (``@list``/``@set``/``@index``) /
+  ``@language`` / ``@direction`` / ``@reverse``; ``@vocab``, ``@base``,
+  default ``@language`` and default ``@direction``; arrays of contexts
+  applied in order; ``null`` context reset; keyword aliases
+  (``"id": "@id"`` etc.); compact IRIs (``prefix:suffix``);
+- **remote contexts by injection**: a string ``@context`` is looked up
+  in the ``context_documents`` mapping (IRI → parsed context document)
+  passed by the caller — the reference's injectable DocumentLoader
+  (Titanium ``DocumentLoader``; LangJSONLD11.java) without network;
+- ``@json`` literals (``rdf:JSON`` datatype; lexical = sorted-key
+  minimal-separator serialization, an RFC 8785 subset — integral floats
+  keep their ``.0``, a documented divergence);
+- ``@direction`` (context default / term def / value object): language +
+  direction → RDF 1.2 dir-lang literal (``"x"@en--rtl``); a direction
+  with no language is ignored (the serialization needs a langtag);
+- ``@index`` / ``@container: @index``: index keys are annotations only —
+  values flatten into the property (JSON-LD deserialization §4.6.1);
+- ``@nest``: nested property containers are transparent — properties of
+  the nest object are emitted on the enclosing node.
 
 Outside the subset (documented, raises RDFSyntaxError rather than
-mis-parsing): **remote contexts** (string ``@context`` values — no
-network in this engine), ``@nest``, ``@included``, ``@index`` /
-``@container: @index``, ``@json`` literals, ``@direction``.
+mis-parsing): ``@included``, remote contexts that are not preloaded.
 """
 
 from __future__ import annotations
@@ -53,14 +66,23 @@ RDF_NIL = RDF_NS + "nil"
 
 _KEYWORDS = {
     "@id", "@type", "@value", "@language", "@graph", "@context", "@list",
-    "@set", "@reverse", "@base", "@vocab",
+    "@set", "@reverse", "@base", "@vocab", "@index", "@nest", "@direction",
 }
 
-_UNSUPPORTED_KEYWORDS = {"@nest", "@included", "@index", "@json", "@direction"}
+_UNSUPPORTED_KEYWORDS = {"@included"}
+
+RDF_JSON = RDF_NS + "JSON"
+
+
+def _canonical_json(v: Any) -> str:
+    """rdf:JSON lexical form: sorted object keys, minimal separators,
+    raw unicode — an RFC 8785 (JCS) subset; integral floats keep the
+    Python ``.0`` form (documented divergence from full JCS numbers)."""
+    return json.dumps(v, sort_keys=True, separators=(",", ":"), ensure_ascii=False)
 
 
 class _TermDef:
-    __slots__ = ("iri", "type_", "container", "reverse", "language")
+    __slots__ = ("iri", "type_", "container", "reverse", "language", "direction")
 
     def __init__(
         self,
@@ -68,31 +90,35 @@ class _TermDef:
         type_: Optional[str] = None,
         container: Optional[str] = None,
         reverse: bool = False,
-        language=None,  # None = inherit; "" = no-language override
+        language=None,   # None = inherit; "" = no-language override
+        direction=None,  # None = inherit; "" = no-direction override
     ):
         self.iri = iri
         self.type_ = type_
         self.container = container
         self.reverse = reverse
         self.language = language
+        self.direction = direction
 
 
 class _JsonLdParser:
-    def __init__(self, alloc: BNodeAllocator):
+    def __init__(self, alloc: BNodeAllocator, context_documents=None):
         self.alloc = alloc
         self.out: List[Quad] = []
         self.vocab: Optional[str] = None
         self.base: Optional[str] = None
         self.language: Optional[str] = None
+        self.direction: Optional[str] = None  # default base direction
         self.terms: Dict[str, _TermDef] = {}
         self.aliases: Dict[str, str] = {}  # term → keyword
+        self.context_documents = context_documents or {}
 
     # -- context processing ---------------------------------------------------
 
     def _ctx(self, ctx: Any) -> None:
         if ctx is None:
             # null context: reset to initial state (JSON-LD API §4.1.8)
-            self.vocab = self.base = self.language = None
+            self.vocab = self.base = self.language = self.direction = None
             self.terms.clear()
             self.aliases.clear()
             return
@@ -101,9 +127,22 @@ class _JsonLdParser:
                 self._ctx(c)
             return
         if isinstance(ctx, str):
-            raise RDFSyntaxError(
-                "remote @context not supported (no network access)"
-            )
+            # remote context: resolved through the injected document map
+            # (no network) — the reference's DocumentLoader seam
+            url = ctx
+            if self.base and ":" not in url.split("/")[0]:
+                from ..iri import IRIResolver
+
+                url = IRIResolver(self.base).resolve(url)
+            doc = self.context_documents.get(url, self.context_documents.get(ctx))
+            if doc is None:
+                raise RDFSyntaxError(
+                    f"remote @context {ctx!r} not preloaded — pass it via "
+                    "context_documents (no network access in this engine)"
+                )
+            inner = doc.get("@context", doc) if isinstance(doc, dict) else doc
+            self._ctx(inner)
+            return
         if not isinstance(ctx, dict):
             raise RDFSyntaxError("unsupported @context form")
         for k, v in ctx.items():
@@ -117,6 +156,12 @@ class _JsonLdParser:
                 self.base = v
             elif k == "@language":
                 self.language = v
+            elif k == "@direction":
+                if v not in (None, "ltr", "rtl"):
+                    raise RDFSyntaxError("@direction must be 'ltr', 'rtl' or null")
+                self.direction = v
+            elif k in ("@version", "@propagate"):
+                continue  # processing-mode hints: accepted, no-op
             elif k.startswith("@"):
                 raise RDFSyntaxError(f"unsupported context keyword {k!r}")
             elif isinstance(v, str):
@@ -146,7 +191,7 @@ class _JsonLdParser:
         type_ = None
         if "@type" in d:
             t = d["@type"]
-            if t in ("@id", "@vocab"):
+            if t in ("@id", "@vocab", "@json"):
                 type_ = t
             elif isinstance(t, str):
                 type_ = self._expand_iri(t, vocab_ok=True)
@@ -157,19 +202,25 @@ class _JsonLdParser:
             c = d["@container"]
             if isinstance(c, list) and len(c) == 1:
                 c = c[0]
-            if c in ("@list", "@set"):
+            if c in ("@list", "@set", "@index"):
                 container = c
             else:
                 raise RDFSyntaxError(
-                    f"unsupported @container {c!r} (subset: @list/@set)"
+                    f"unsupported @container {c!r} (subset: @list/@set/@index)"
                 )
         language = None
         if "@language" in d:
             language = d["@language"] if d["@language"] is not None else ""
+        direction = None
+        if "@direction" in d:
+            dv = d["@direction"]
+            if dv not in (None, "ltr", "rtl"):
+                raise RDFSyntaxError("@direction must be 'ltr', 'rtl' or null")
+            direction = dv if dv is not None else ""
         for k in d:
             if k in _UNSUPPORTED_KEYWORDS:
                 raise RDFSyntaxError(f"unsupported keyword {k} in term def")
-        return _TermDef(iri, type_, container, reverse, language)
+        return _TermDef(iri, type_, container, reverse, language, direction)
 
     # -- IRI expansion ----------------------------------------------------------
 
@@ -252,6 +303,21 @@ class _JsonLdParser:
         lang_default = (
             td.language if (td and td.language is not None) else self.language
         )
+        dir_default = (
+            td.direction if (td and td.direction is not None) else self.direction
+        )
+
+        def langdir(lang: Optional[str], direction: Optional[str]) -> Optional[str]:
+            # language + direction → RDF 1.2 dir-lang tag "lang--dir";
+            # a direction with no language has no serialization → ignored
+            if not lang:
+                return lang
+            return f"{lang}--{direction}" if direction else lang
+
+        if coerce == "@json" and not (
+            isinstance(v, dict) and self._kw(v, "@value") is not None
+        ):
+            return mk_literal(_canonical_json(v), datatype=RDF_JSON)
         if isinstance(v, dict):
             for k in v:
                 if k in _UNSUPPORTED_KEYWORDS:
@@ -259,7 +325,16 @@ class _JsonLdParser:
             if "@value" in v or any(self._is_kw(k, "@value") for k in v):
                 val = self._kw(v, "@value")
                 lang = self._kw(v, "@language")
+                direction = self._kw(v, "@direction")
+                if direction is None:
+                    direction = dir_default
+                elif direction not in ("ltr", "rtl"):
+                    raise RDFSyntaxError("@direction must be 'ltr' or 'rtl'")
                 dt = self._kw(v, "@type")
+                if dt == "@json" or coerce == "@json":
+                    if lang is not None:
+                        raise RDFSyntaxError("@json literal cannot have @language")
+                    return mk_literal(_canonical_json(val), datatype=RDF_JSON)
                 # a @type on a native value is a term/compact IRI too —
                 # expand it exactly like the string-value branch does
                 xdt = self._expand_iri(dt, vocab_ok=True) if dt is not None else None
@@ -276,7 +351,7 @@ class _JsonLdParser:
                 if not isinstance(val, str):
                     raise RDFSyntaxError("unsupported @value type")
                 if lang is not None:
-                    return mk_literal(val, lang=lang)
+                    return mk_literal(val, lang=langdir(lang, direction))
                 if xdt is not None:
                     return mk_literal(val, datatype=xdt)
                 return mk_literal(val)
@@ -308,7 +383,7 @@ class _JsonLdParser:
             if coerce is not None:
                 return mk_literal(v, datatype=coerce)
             if lang_default:
-                return mk_literal(v, lang=lang_default)
+                return mk_literal(v, lang=langdir(lang_default, dir_default))
             return mk_literal(v)
         raise RDFSyntaxError(f"unsupported value {type(v).__name__}")
 
@@ -327,6 +402,14 @@ class _JsonLdParser:
             head = self._rdf_list(v, td, graph)
             self.out.append((graph, subj.nt(), pred.nt(), head.nt()))
             return
+        if td is not None and td.container == "@index" and isinstance(v, dict):
+            # index maps: keys are annotations only — values flatten into
+            # the property (deterministic key order for stable bnode ids)
+            flat: List[Any] = []
+            for _ik in sorted(v):
+                iv = v[_ik]
+                flat.extend(iv if isinstance(iv, list) else [iv])
+            v = flat
         vals = v if isinstance(v, list) else [v]
         for item in vals:
             obj = self._value_term(item, td, graph)
@@ -336,6 +419,28 @@ class _JsonLdParser:
                 self.out.append((graph, obj.nt(), pred.nt(), subj.nt()))
             else:
                 self.out.append((graph, subj.nt(), pred.nt(), obj.nt()))
+
+    def _nest(self, subj: Term, v: Any, graph: Optional[str]) -> None:
+        """@nest containers are transparent: the nest object's properties
+        (and @type) belong to the enclosing node (JSON-LD 1.1 §9.13)."""
+        items = v if isinstance(v, list) else [v]
+        for nd in items:
+            if not isinstance(nd, dict) or self._kw(nd, "@value") is not None:
+                raise RDFSyntaxError("@nest value must be node object(s)")
+            types = self._kw(nd, "@type") or []
+            if isinstance(types, str):
+                types = [types]
+            for t in types:
+                self.out.append(
+                    (graph, subj.nt(), mk_iri(RDF_TYPE).nt(),
+                     mk_iri(self._expand_iri(t, True)).nt())
+                )
+            for k, val in nd.items():
+                if k in _KEYWORDS or k in self.aliases:
+                    if self._is_kw(k, "@nest"):
+                        self._nest(subj, val, graph)
+                    continue
+                self._emit_property(subj, k, val, graph, reverse_ctx=False)
 
     def _node(
         self, node: dict, subj: Optional[Term] = None, graph: Optional[str] = None
@@ -364,6 +469,8 @@ class _JsonLdParser:
                 if self._is_kw(k, "@reverse") and isinstance(v, dict):
                     for rk, rv in v.items():
                         self._emit_property(subj, rk, rv, graph, reverse_ctx=True)
+                elif self._is_kw(k, "@nest"):
+                    self._nest(subj, v, graph)
                 continue
             self._emit_property(subj, k, v, graph, reverse_ctx=False)
         gval = self._kw(node, "@graph")
@@ -402,8 +509,16 @@ def _canonical_double(v: float) -> str:
     return f"{s}E0"
 
 
-def parse_jsonld(text: str, base: Optional[str], alloc: BNodeAllocator) -> List[Quad]:
-    p = _JsonLdParser(alloc)
+def parse_jsonld(
+    text: str,
+    base: Optional[str],
+    alloc: BNodeAllocator,
+    context_documents: Optional[Dict[str, Any]] = None,
+) -> List[Quad]:
+    """``context_documents`` maps remote-context IRIs to their parsed
+    documents (the whole document or the context object itself) — the
+    injectable no-network DocumentLoader seam."""
+    p = _JsonLdParser(alloc, context_documents)
     if base:
         p.base = base
     return p.parse(text)

@@ -18,14 +18,22 @@ LANG_MARKERS = {
 }
 
 
-def _count_occurrences(col, needle: str):
-    """occurrences of ``needle`` in col — (len(x) - len(replace(x, n, ''))) / len(n);
-    the same formula is emitted in the SQL oracle."""
-    return (F.length(col) - F.length(F.regexp_replace(col, F.lit(needle), F.lit("")))) / len(needle)
+def _lower_tokens(text_col) -> F.Column:
+    """ONE whitespace split of the lowercased text — all marker-word
+    counts below filter this array instead of rescanning the document
+    per word (the old form ran one full regexp_replace pass per marker:
+    ~20 scans of every document for langid alone)."""
+    return F.split(F.lower(text_col), r"\s+")
+
+
+def _token_hits(tokens, words: list) -> F.Column:
+    """count of tokens ∈ words, as a column over the token array.
+    Mirrored in SQL as len(list_filter(split(...), x -> x IN (...)))."""
+    return F.size(F.filter(tokens, lambda x: x.isin(*words))).cast("double")
 
 
 def lang_scores(text_col) -> dict:
-    padded = F.concat(F.lit(" "), F.lower(text_col), F.lit(" "))
+    tokens = _lower_tokens(text_col)
     scores = {}
     for lang, words in LANG_MARKERS.items():
         if lang == "zh":
@@ -34,11 +42,7 @@ def lang_scores(text_col) -> dict:
                 F.regexp_replace(text_col, r"[^一-鿿]", "")
             ).cast("double")
         else:
-            s = None
-            for w in words:
-                c = _count_occurrences(padded, f" {w} ")
-                s = c if s is None else s + c
-            scores[lang] = s.cast("double")
+            scores[lang] = _token_hits(tokens, words)
     return scores
 
 
@@ -77,11 +81,7 @@ def quality(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     n_chars = F.length(t)
     n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?'\"()\[\]{}-]", ""))
     n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
-    padded = F.concat(F.lit(" "), F.lower(t), F.lit(" "))
-    stop_hits = None
-    for w in LANG_MARKERS["en"]:
-        c = _count_occurrences(padded, f" {w} ")
-        stop_hits = c if stop_hits is None else stop_hits + c
+    stop_hits = _token_hits(_lower_tokens(t), LANG_MARKERS["en"])
     return docs.select(
         F.col(id_col),
         n_chars.alias("n_chars_m"),
@@ -128,11 +128,9 @@ def text_query(
     expressions — at scale this is a scan + TakeOrderedAndProject; a
     pre-built inverted index (explode tokens → (term, doc) table sorted
     by term) is the materialized variant of the same plan."""
-    padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
-    score = None
-    for w in keywords:
-        c = _count_occurrences(padded, f" {w.lower()} ")
-        score = c if score is None else score + c
+    score = _token_hits(
+        _lower_tokens(F.col(text_col)), [w.lower() for w in keywords]
+    )
     return (
         docs.select(F.col(id_col), score.cast("long").alias("score"))
         .filter(F.col("score") > 0)

@@ -224,3 +224,86 @@ def test_jsonld_base_resolves_relative_ids():
     trs = {(s, p, o) for _, s, p, o in out}
     assert ("<http://host/root/doc/1>", "<http://ex/p>",
             "<http://host/root/doc/2>") in trs
+
+
+# --- round 3: JSON-LD @json / @direction / @index / @nest / loader ----------
+
+
+def _jl_ctx(doc, ctxdocs):
+    import json as _json
+
+    return parse_jsonld(_json.dumps(doc), None, alloc(), context_documents=ctxdocs)
+
+
+def test_jsonld_remote_context_injected():
+    ctx = {"@context": {"name": "http://xmlns.com/foaf/0.1/name"}}
+    out = _jl_ctx(
+        {"@context": "http://example.org/ctx.jsonld",
+         "@id": "http://e/a", "name": "Alice"},
+        {"http://example.org/ctx.jsonld": ctx},
+    )
+    assert out == [(None, "<http://e/a>", "<http://xmlns.com/foaf/0.1/name>", '"Alice"')]
+
+
+def test_jsonld_remote_context_missing_still_raises():
+    import pytest as _pytest
+
+    with _pytest.raises(RDFSyntaxError, match="remote @context"):
+        _jl({"@context": "http://example.org/nope.jsonld", "@id": "http://e/a"})
+
+
+def test_jsonld_json_literal():
+    out = _jl({
+        "@context": {"cfg": {"@id": "http://e/cfg", "@type": "@json"}},
+        "@id": "http://e/a",
+        "cfg": {"b": [2, 1], "a": True},
+    })
+    assert out == [(
+        None, "<http://e/a>", "<http://e/cfg>",
+        '"{\\"a\\":true,\\"b\\":[2,1]}"^^<http://www.w3.org/1999/02/22-rdf-syntax-ns#JSON>',
+    )]
+
+
+def test_jsonld_direction_value_and_default():
+    out = _jl({
+        "@context": {"@direction": "rtl", "@language": "ar",
+                     "p": "http://e/p", "q": "http://e/q"},
+        "@id": "http://e/a",
+        "p": "x",
+        "q": {"@value": "y", "@language": "he", "@direction": "ltr"},
+    })
+    assert (None, "<http://e/a>", "<http://e/p>", '"x"@ar--rtl') in out
+    assert (None, "<http://e/a>", "<http://e/q>", '"y"@he--ltr') in out
+
+
+def test_jsonld_direction_without_language_ignored():
+    out = _jl({
+        "@context": {"@direction": "rtl", "p": "http://e/p"},
+        "@id": "http://e/a",
+        "p": "x",
+    })
+    assert out == [(None, "<http://e/a>", "<http://e/p>", '"x"')]
+
+
+def test_jsonld_index_container_flattens():
+    out = _jl({
+        "@context": {"p": {"@id": "http://e/p", "@container": "@index"}},
+        "@id": "http://e/a",
+        "p": {"k2": "b", "k1": ["a"]},
+    })
+    assert sorted(o for _, _, _, o in out) == ['"a"', '"b"']
+    # node-object @index is an ignored annotation
+    out2 = _jl({"@id": "http://e/a", "@index": "x",
+                "http://e/p": [{"@value": "v", "@index": "y"}]})
+    assert out2 == [(None, "<http://e/a>", "<http://e/p>", '"v"')]
+
+
+def test_jsonld_nest_transparent():
+    out = _jl({
+        "@context": {"meta": "@nest", "p": "http://e/p", "q": "http://e/q"},
+        "@id": "http://e/a",
+        "meta": {"p": "x", "@nest": {"q": "y"}},
+    })
+    assert (None, "<http://e/a>", "<http://e/p>", '"x"') in out
+    assert (None, "<http://e/a>", "<http://e/q>", '"y"') in out
+    assert len(out) == 2

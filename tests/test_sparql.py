@@ -491,3 +491,64 @@ def test_tt_pattern_nested(tt_tri, spark):
            SELECT ?r ?v WHERE { ?r rdf:reifies <<( :s :p <<( :a :b ?v )>> )>> }""",
     )
     assert rows(out) == [("<http://e/r9>", '"c"')]
+
+
+# --- round 3: DESCRIBE + BNODE() ---------------------------------------------
+
+def test_describe_iri_with_bnode_closure(spark):
+    from jena_spark.ops.sparql import sparql_query
+    rows = [
+        ("<http://e/a>", "<http://e/p>", "_:b1"),
+        ("_:b1", "<http://e/q>", "_:b2"),
+        ("_:b2", "<http://e/r>", '"leaf"'),
+        ("<http://e/z>", "<http://e/p>", '"other"'),
+        ("_:b9", "<http://e/p>", '"unreachable"'),
+    ]
+    tri = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    out = sparql_query(tri, "DESCRIBE <http://e/a>")
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == [
+        ("<http://e/a>", "<http://e/p>", "_:b1"),
+        ("_:b1", "<http://e/q>", "_:b2"),
+        ("_:b2", "<http://e/r>", '"leaf"'),
+    ]
+
+
+def test_describe_var_where(tri):
+    from jena_spark.ops.sparql import sparql_query
+    out = sparql_query(
+        tri,
+        """PREFIX e: <http://e/>
+           DESCRIBE ?p WHERE { ?p a e:Robot }""",
+    )
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == [("<http://e/c>",
+                    "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>",
+                    "<http://e/Person>".replace("Person", "Robot"))]
+
+
+def test_describe_star(tri):
+    from jena_spark.ops.sparql import sparql_query
+    out = sparql_query(
+        tri,
+        """PREFIX e: <http://e/>
+           DESCRIBE * WHERE { ?p e:knows ?q }""",
+    )
+    subs = {r["subj"] for r in out.collect()}
+    assert subs == {"<http://e/a>", "<http://e/b>"}
+
+
+def test_bnode_expr_semantics(tri):
+    out = sparql_select(
+        tri,
+        """PREFIX e: <http://e/>
+           SELECT (BNODE(?n) AS ?x) (BNODE(?n) AS ?y) (BNODE() AS ?z)
+           WHERE { ?p e:name ?n }""",
+    ).collect()
+    assert len(out) == 2
+    labels = set()
+    for r in out:
+        assert r["x"].startswith("_:") and r["x"] == r["y"]  # same row+arg
+        assert r["z"].startswith("_:") and r["z"] != r["x"]  # fresh call
+        labels.add(r["x"])
+    assert len(labels) == 2  # distinct across rows

@@ -25,7 +25,7 @@ SUITES = [
     (SPARQL11_DIR, "grouping", 3),
     (SPARQL11_DIR, "aggregates", 27),
     (SPARQL11_DIR, "project-expression", 7),
-    (SPARQL11_DIR, "functions", 68),
+    (SPARQL11_DIR, "functions", 70),
     (SPARQL11_DIR, "construct", 4),
     (SPARQL11_DIR, "property-path", 27),
     (DAWG_DIR, "basic", 23),
@@ -47,7 +47,7 @@ SUITES = [
     (DAWG_DIR, "type-promotion", 30),
     (DAWG_DIR, "i18n", 5),
     (DAWG_DIR, "solution-seq", 13),
-    (DAWG_DIR, "dataset", 12),
+    (DAWG_DIR, "dataset", 15),
     (SPARQL12_DIR, "lang-basedir", 6),
     (SPARQL12_DIR, "rdf11", 3),
     (SPARQL12_DIR, "grouping", 1),
@@ -64,15 +64,6 @@ EXCLUDE = {
     # without TransformSimplify.
     "dawg-optional-filter-005-simplified":
         "ambiguous by design; -not-simplified twin passes",
-    # These require FROM and FROM NAMED of the SAME document to mint
-    # DISTINCT blank nodes per load.  This engine's dataset construction
-    # is graph selection over one loaded quads store (a deliberate
-    # shared-store design: documents are parsed once, bnode labels are
-    # skolemized per document) — re-instantiating per FROM clause would
-    # re-parse per query.  12 of 15 dataset tests pass.
-    "dataset-09": "per-FROM bnode re-instantiation (shared-store design)",
-    "dataset-10": "per-FROM bnode re-instantiation (shared-store design)",
-    "dataset-12": "per-FROM bnode re-instantiation (shared-store design)",
 }
 
 
