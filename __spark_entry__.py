@@ -227,7 +227,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                }""",
         )
 
+    def kg_sparql_describe(spark, sf):
+        # DESCRIBE query form (round-3 feature): CBD of every shard-2
+        # document — subject triples (the corpus has no bnodes, so the
+        # closure stage is exercised but adds nothing here)
+        from jena_spark.ops.sparql import sparql_query
+
+        tri = _doc_triples(spark, sf)
+        return sparql_query(
+            tri,
+            """PREFIX ex: <http://example.org/>
+               DESCRIBE ?d WHERE { ?d ex:shard ex:shard2 }""",
+        )
+
     q.update(
+        kg_sparql_describe=kg_sparql_describe,
         kg_sparql_select=kg_sparql_select,
         kg_sparql_negation=kg_sparql_negation,
         kg_sparql_having=kg_sparql_having,
@@ -656,6 +670,13 @@ def oracle_sql() -> dict[str, str]:
     o["kg_sparql_subquery"] = (
         "SELECT '<http://example.org/doc' || doc_id || '>' AS doc, "
         "CAST(5 AS BIGINT) AS n FROM documents WHERE doc_id % 8 = 1"
+    )
+
+    o["kg_sparql_describe"] = (
+        f"WITH {_DOC_TRIPLES_CTE.strip()} "
+        "SELECT subj, pred, obj FROM doc_triples "
+        "WHERE subj IN (SELECT '<http://example.org/doc' || doc_id || '>' "
+        "FROM documents WHERE doc_id % 8 = 2)"
     )
 
     o["kg_sparql_graph"] = (
