@@ -482,6 +482,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def dedup_simhash(spark, sf):
         return dd.simhash(_spread(_read(spark, sf, "documents")), nbits=16)
 
+    def dedup_embedding_pairs(spark, sf):
+        # embedding-cosine near-dup: sign-bit LSH banding + exact verify
+        return sim.embedding_near_dup(
+            _read(spark, sf, "embeddings"), threshold=0.4
+        )
+
     def text_langid(spark, sf):
         return ts.langid(_read(spark, sf, "documents"))
 
@@ -560,6 +566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup_minhash_pairs=dedup_minhash_pairs,
         dedup_jaccard=dedup_jaccard,
         dedup_simhash=dedup_simhash,
+        dedup_embedding_pairs=dedup_embedding_pairs,
         text_langid=text_langid,
         text_quality=text_quality,
         text_token_counts=text_token_counts,
@@ -990,6 +997,37 @@ def oracle_sql() -> dict[str, str]:
 
     qv = [float((i * 37 % 19) - 9) / 10.0 for i in range(64)]
     qlist = "[" + ", ".join(str(x) for x in qv) + "]"
+    # embedding near-dup: EXACT mirror of the sign-bit LSH banding
+    # (same integer hyperplanes, same md5 band keys, same bucket cap)
+    from jena_spark.pipelines.similarity import hyperplane as _hp
+
+    def _hp_lit(i):
+        return "[" + ", ".join(str(x) for x in _hp(64, i)) + "]"
+
+    _nd_bands = []
+    for _b in range(4):
+        bits = " || ".join(
+            "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+            f"{_hp_lit(_b * 4 + _k)}) >= 0 THEN '1' ELSE '0' END)"
+            for _k in range(4)
+        )
+        _nd_bands.append(f"SELECT vec_id, {_b} AS band_idx, md5({bits}) AS band_key FROM embeddings")
+    _nd_long = " UNION ALL ".join(_nd_bands)
+    o["dedup_embedding_pairs"] = (
+        f"WITH long AS ({_nd_long}), "
+        "eligible AS (SELECT band_idx, band_key FROM long "
+        "GROUP BY 1, 2 HAVING COUNT(*) >= 2 AND COUNT(*) <= 1000), "
+        "pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b "
+        "FROM long a JOIN long b USING (band_idx, band_key) "
+        "JOIN eligible USING (band_idx, band_key) WHERE a.vec_id < b.vec_id), "
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) "
+        "SELECT id_a, id_b, round(list_dot_product(ea.v, eb.v) / "
+        "(sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cosine "
+        "FROM pairs JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b "
+        "WHERE round(list_dot_product(ea.v, eb.v) / "
+        "(sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) >= 0.4"
+    )
+
     o["ann_cosine_topk"] = (
         f"SELECT vec_id, round(list_dot_product(CAST(embedding AS DOUBLE[]), {qlist}) / "
         f"(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) * "

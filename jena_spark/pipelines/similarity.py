@@ -190,3 +190,86 @@ def ivf_topk(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-duplicate pairs (LSH-bucketed)
+# ---------------------------------------------------------------------------
+
+def hyperplane(dim: int, i: int) -> list:
+    """Deterministic pseudo-random hyperplane i — integer arithmetic so a
+    SQL oracle can reproduce every component exactly."""
+    return [(((i * 37 + j * 13) % 21) - 10) / 10.0 for j in range(dim)]
+
+
+def embedding_signatures(
+    embeddings: DataFrame,
+    nbits: int = 16,
+    bits_per_band: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane (sign-bit) LSH signatures, one ``mh_<b>`` string
+    column of ``bits_per_band`` sign bits per band — the SimHash-for-
+    vectors construction (Charikar), all JVM-side column expressions.
+    Chunk columns are named ``mh_*`` so ``dedup.minhash_candidates``
+    (rows_per_band=1) provides the capped single-join banding."""
+    v = F.col(vec_col).cast("array<double>")
+    bands = []
+    for b in range(nbits // bits_per_band):
+        bits = []
+        for k in range(bits_per_band):
+            h = F.array(
+                *[F.lit(x) for x in hyperplane(dim, b * bits_per_band + k)]
+            )
+            bits.append(F.when(_dot(v, h) >= 0, F.lit("1")).otherwise(F.lit("0")))
+        bands.append(F.concat(*bits).alias(f"mh_{b}"))
+    return embeddings.select(F.col(id_col), *bands)
+
+
+def embedding_near_dup(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    nbits: int = 16,
+    bits_per_band: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int = 1000,
+    log_fn=None,
+) -> DataFrame:
+    """Near-duplicate embedding pairs: sign-bit LSH banding → capped
+    single self-join candidates → exact cosine verification (candidates
+    only, never the cross product).  Returns (id_a, id_b, cosine).
+
+    Scale: same guards as text MinHash dedup — pre-counted buckets,
+    singleton pruning, over-cap buckets dropped with logged mass.
+    Recall is the usual banding trade-off (raise nbits / lower
+    bits_per_band for closer thresholds)."""
+    from .dedup import minhash_candidates
+
+    sigs = embedding_signatures(
+        embeddings, nbits, bits_per_band, dim, id_col, vec_col
+    )
+    cands = minhash_candidates(
+        sigs,
+        id_col=id_col,
+        bands=nbits // bits_per_band,
+        rows_per_band=1,
+        max_bucket_size=max_bucket_size,
+        log_fn=log_fn,
+    )
+    v = F.col(vec_col).cast("array<double>")
+    a = embeddings.select(F.col(id_col).alias("id_a"), v.alias("v_a"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), v.alias("v_b"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_col(F.col("v_a"), F.col("v_b")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -224,3 +224,43 @@ def test_lsh_bucket_cap_prevents_quadratic_blowup(spark):
     )
     sigs2 = dd.minhash_signatures(few, num_perm=8)
     assert dd.minhash_candidates(sigs2, max_bucket_size=100).count() == 45
+
+
+def test_embedding_near_dup_recall_and_verify(spark):
+    """True near-dup pairs (tiny perturbations, cosine ≥ 0.99) must all
+    survive LSH banding + exact verification; spread-out vectors must
+    not appear at a high threshold."""
+    import math
+
+    rows = []
+    for i in range(40):
+        base = [0.01 * ((i * 13 + j * 7) % 17 - 8) for j in range(8)]
+        n = math.sqrt(sum(x * x for x in base)) or 1.0
+        base = [x / n for x in base]
+        rows.append((2 * i, base))
+        # near-dup twin: tiny deterministic perturbation
+        twin = [x + 0.001 * ((j + i) % 3 - 1) for j, x in enumerate(base)]
+        rows.append((2 * i + 1, twin))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = sim.embedding_near_dup(emb, threshold=0.99, dim=8)
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    want = {(2 * i, 2 * i + 1) for i in range(40)}
+    missed = want - got
+    assert len(missed) <= 2, f"LSH recall too low, missed {missed}"
+    # anything extra the banding surfaced was verified by the exact
+    # cosine filter, so every returned pair genuinely qualifies
+    verified = {r["cosine"] for r in out.collect()}
+    assert all(c >= 0.99 for c in verified)
+
+
+def test_embedding_near_dup_bucket_cap(spark):
+    """Identical vectors (one degenerate bucket per band) are dropped by
+    the cap instead of emitting n^2 pairs."""
+    v = [1.0] + [0.0] * 7
+    emb = spark.createDataFrame([(i, v) for i in range(50)], ["vec_id", "embedding"])
+    msgs = []
+    out = sim.embedding_near_dup(
+        emb, threshold=0.5, dim=8, max_bucket_size=10, log_fn=msgs.append
+    )
+    assert out.count() == 0
+    assert msgs and "dropped" in msgs[0]
