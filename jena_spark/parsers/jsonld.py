@@ -36,7 +36,8 @@ expansion/deserialization algorithms that cover common documents:
   the nest object are emitted on the enclosing node.
 
 Outside the subset (documented, raises RDFSyntaxError rather than
-mis-parsing): ``@included``, remote contexts that are not preloaded.
+mis-parsing): remote contexts that are not preloaded.  ``@included``
+blocks are emitted as independent node objects in the same graph.
 """
 
 from __future__ import annotations
@@ -67,9 +68,11 @@ RDF_NIL = RDF_NS + "nil"
 _KEYWORDS = {
     "@id", "@type", "@value", "@language", "@graph", "@context", "@list",
     "@set", "@reverse", "@base", "@vocab", "@index", "@nest", "@direction",
+    "@included",
 }
 
-_UNSUPPORTED_KEYWORDS = {"@included"}
+# @value objects may not carry node-object keywords (checked in context)
+_UNSUPPORTED_KEYWORDS: frozenset = frozenset()
 
 RDF_JSON = RDF_NS + "JSON"
 
@@ -471,6 +474,15 @@ class _JsonLdParser:
                         self._emit_property(subj, rk, rv, graph, reverse_ctx=True)
                 elif self._is_kw(k, "@nest"):
                     self._nest(subj, v, graph)
+                elif self._is_kw(k, "@included"):
+                    # included blocks: independent node objects emitted
+                    # into the SAME graph (JSON-LD 1.1 §9.14)
+                    inc = v if isinstance(v, list) else [v]
+                    for nd in inc:
+                        if not isinstance(nd, dict):
+                            raise RDFSyntaxError(
+                                "@included entries must be node objects")
+                        self._node(nd, graph=graph)
                 continue
             self._emit_property(subj, k, v, graph, reverse_ctx=False)
         gval = self._kw(node, "@graph")

@@ -307,3 +307,19 @@ def test_jsonld_nest_transparent():
     assert (None, "<http://e/a>", "<http://e/p>", '"x"') in out
     assert (None, "<http://e/a>", "<http://e/q>", '"y"') in out
     assert len(out) == 2
+
+
+def test_jsonld_included():
+    out = _jl({
+        "@context": {"p": "http://e/p"},
+        "@id": "http://e/a",
+        "p": "x",
+        "@included": [
+            {"@id": "http://e/b", "p": "y"},
+            {"@id": "http://e/c", "p": "z"},
+        ],
+    })
+    assert (None, "<http://e/a>", "<http://e/p>", '"x"') in out
+    assert (None, "<http://e/b>", "<http://e/p>", '"y"') in out
+    assert (None, "<http://e/c>", "<http://e/p>", '"z"') in out
+    assert len(out) == 3
