@@ -814,7 +814,50 @@ class SparqlParser:
         if self.tok.type == T_OP and self.tok.value in ("+", "*", "?"):
             op = self._advance().value
             return ("mod", p, op)
+        if self.tok.type == T_LBRACE:
+            # Jena path extension {n}, {n,}, {n,m} (PathParser / ARQ
+            # P_FixedLength + P_Mod) — desugared to seq/alt/mod algebra
+            self._advance()
+            n = int(self._expect(T_INTEGER).value)
+            m = None  # None = exactly n
+            if self.tok.type == T_COMMA:
+                self._advance()
+                if self.tok.type == T_INTEGER:
+                    m = int(self._advance().value)
+                else:
+                    m = -1  # unbounded
+            self._expect(T_RBRACE)
+            return self._desugar_quantifier(p, n, m)
         return p
+
+    @staticmethod
+    def _desugar_quantifier(p: tuple, n: int, m) -> tuple:
+        """{n} / {n,} / {n,m} → existing path algebra.  Length-k path =
+        k-fold seq; ranges = alt of lengths; a 0 lower bound wraps the
+        alternation in '?' (zero-length ∪ 1..m); {0,} / {1,} are * / +."""
+        def seqk(k: int) -> tuple:
+            return p if k == 1 else ("seq", [p] * k)
+
+        if m is None:  # exactly n
+            if n == 0:
+                raise RDFSyntaxError("path{0} (zero-length only) not supported")
+            return seqk(n)
+        if m == -1:  # {n,}
+            if n == 0:
+                return ("mod", p, "*")
+            if n == 1:
+                return ("mod", p, "+")
+            return ("seq", [p] * (n - 1) + [("mod", p, "+")])
+        if m < n:
+            raise RDFSyntaxError(f"bad path quantifier {{{n},{m}}}")
+        if n == 0:
+            if m == 0:
+                raise RDFSyntaxError("path{0} (zero-length only) not supported")
+            inner = ("alt", [seqk(k) for k in range(1, m + 1)]) if m > 1 else p
+            return ("mod", inner, "?")
+        if n == m:
+            return seqk(n)
+        return ("alt", [seqk(k) for k in range(n, m + 1)])
 
     def _path_primary(self) -> tuple:
         if self.tok.type == T_OP and self.tok.value == "!":

@@ -552,3 +552,44 @@ def test_bnode_expr_semantics(tri):
         assert r["z"].startswith("_:") and r["z"] != r["x"]  # fresh call
         labels.add(r["x"])
     assert len(labels) == 2  # distinct across rows
+
+
+def test_path_quantifiers(chain):
+    # {2} fixed length
+    out = sparql_select(
+        chain,
+        "PREFIX e: <http://e/> SELECT ?x ?y WHERE { ?x e:knows{2} ?y }",
+    )
+    assert rows(out) == [
+        ("<http://e/a>", "<http://e/c>"),
+        ("<http://e/b>", "<http://e/d>"),
+    ]
+    # {1,2} range
+    out2 = sparql_select(
+        chain,
+        "PREFIX e: <http://e/> SELECT ?x ?y WHERE { ?x e:knows{1,2} ?y }",
+    )
+    got = set(rows(out2))
+    assert ("<http://e/a>", "<http://e/b>") in got
+    assert ("<http://e/a>", "<http://e/c>") in got
+    assert ("<http://e/a>", "<http://e/d>") not in got
+    assert len(got) == 5
+    # {2,} unbounded lower bound
+    out3 = sparql_select(
+        chain,
+        "PREFIX e: <http://e/> SELECT ?x ?y WHERE { ?x e:knows{2,} ?y }",
+    )
+    got3 = set(rows(out3))
+    assert got3 == {
+        ("<http://e/a>", "<http://e/c>"),
+        ("<http://e/a>", "<http://e/d>"),
+        ("<http://e/b>", "<http://e/d>"),
+    }
+    # {0,1} behaves like ?
+    out4 = sparql_select(
+        chain,
+        """PREFIX e: <http://e/>
+           SELECT ?y WHERE { e:a e:knows{0,1} ?y }""",
+    )
+    got4 = {r[0] for r in rows(out4)}
+    assert got4 == {"<http://e/a>", "<http://e/b>"}
