@@ -1084,12 +1084,137 @@ class SparqlParser:
                     args.append(self._expr())
             self._expect(T_RPAREN)
             return Expr("call", name, args)
-        return Expr("const", self._term_encoded())
+        term = self._term_encoded()
+        # XSD constructor function (§17.5 XPath casts): xsd:integer(?v) …
+        # — an IRI from the XSD namespace followed by '(' (iriOrFunction)
+        if (
+            self.tok.type == T_LPAREN
+            and term.startswith("<http://www.w3.org/2001/XMLSchema#")
+            and term[len("<http://www.w3.org/2001/XMLSchema#"):-1] in _CAST_TARGETS
+        ):
+            self._advance()
+            arg = self._expr()
+            self._expect(T_RPAREN)
+            return Expr(
+                "cast",
+                term[len("<http://www.w3.org/2001/XMLSchema#"):-1],
+                [arg],
+            )
+        return Expr("const", term)
 
 
 # ---------------------------------------------------------------------------
 # Compiler: AST → DataFrame
 # ---------------------------------------------------------------------------
+
+_CAST_TARGETS = {
+    "string", "boolean", "integer", "decimal", "float", "double", "dateTime",
+}
+
+# string-source validity per target (XPath §17.5 casting from xs:string)
+_CAST_INT_RE = r"^[+-]?\d+$"
+_CAST_DEC_RE = r"^[+-]?(\d+\.?\d*|\.\d+)$"
+_CAST_DBL_RE = r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$"
+_CAST_DT_RE = (
+    r"^-?\d{4,}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})?$"
+)
+
+
+def _compile_cast(target: str, c: F.Column) -> F.Column:
+    """XSD constructor cast (E_Cast / XPath §17.5 casting table) over an
+    encoded term column → encoded literal of the target datatype, null
+    (= expression error → unbound) when the cast is not allowed."""
+    dt = tf.datatype(c)
+    lexc = tf.lex(c)
+    is_lit = tf.is_literal(c)
+    is_plain = is_lit & (dt == tf.XSD + "string")
+    is_bool = is_lit & (dt == tf.XSD + "boolean")
+    is_num = tf.is_numeric(c)
+    is_date = is_lit & dt.isin(tf.XSD + "dateTime", tf.XSD + "dateTimeStamp")
+    num_v = tf.numeric_value(c)
+    bool_v = F.when(is_bool, lexc.isin("true", "1"))
+    inf = float("inf")
+    finite = (
+        num_v.isNotNull() & ~F.isnan(num_v)
+        & (num_v != F.lit(inf)) & (num_v != F.lit(-inf))
+    )
+
+    def plain_lit(s: F.Column) -> F.Column:
+        return F.concat(F.lit('"'), s, F.lit('"'))
+
+    def typed_lit(s, name: str) -> F.Column:
+        return F.concat(F.lit('"'), s, F.lit(f'"^^<{tf.XSD}{name}>'))
+
+    # canonical value string of a numeric (integral → no decimal point)
+    num_str = F.when(
+        finite & (num_v == F.floor(num_v))
+        & (F.abs(num_v) < F.lit(9.007199254740992e15)),
+        num_v.try_cast("long").cast("string"),
+    ).otherwise(num_v.cast("string"))
+
+    if target == "string":
+        return (
+            F.when(tf.is_iri(c), plain_lit(lexc))
+            .when(is_plain, plain_lit(lexc))
+            .when(is_bool, plain_lit(F.when(bool_v, "true").otherwise("false")))
+            .when(is_num & num_v.isNotNull(), plain_lit(num_str))
+            .when(is_lit & (dt != tf.RDF_LANGSTRING), plain_lit(lexc))
+        )
+    if target == "boolean":
+        truth = F.when(F.isnan(num_v) | (num_v == 0), "false").otherwise("true")
+        return (
+            F.when(
+                is_plain & lexc.isin("true", "false", "1", "0"),
+                typed_lit(F.when(lexc.isin("true", "1"), "true")
+                          .otherwise("false"), "boolean"),
+            )
+            .when(is_bool, typed_lit(F.when(bool_v, "true").otherwise("false"),
+                                     "boolean"))
+            .when(is_num & num_v.isNotNull(), typed_lit(truth, "boolean"))
+        )
+    if target == "integer":
+        trunc = F.when(num_v >= 0, F.floor(num_v)).otherwise(F.ceil(num_v))
+        return (
+            F.when(
+                is_plain & lexc.rlike(_CAST_INT_RE),
+                typed_lit(lexc.try_cast("long").cast("string"), "integer"),
+            )
+            .when(is_bool, typed_lit(F.when(bool_v, "1").otherwise("0"),
+                                     "integer"))
+            .when(is_num & finite,
+                  typed_lit(trunc.try_cast("long").cast("string"), "integer"))
+        )
+    if target == "decimal":
+        return (
+            F.when(
+                is_plain & lexc.rlike(_CAST_DEC_RE),
+                typed_lit(lexc.try_cast("double").cast("string"), "decimal"),
+            )
+            .when(is_bool, typed_lit(F.when(bool_v, "1.0").otherwise("0.0"),
+                                     "decimal"))
+            .when(is_num & finite, typed_lit(num_v.cast("string"), "decimal"))
+        )
+    if target in ("float", "double"):
+        special = lexc.isin("INF", "+INF", "-INF", "NaN")
+        sval = F.when(lexc.isin("INF", "+INF"), "INF").when(
+            lexc == "-INF", "-INF").otherwise("NaN")
+        return (
+            F.when(is_plain & special, typed_lit(sval, target))
+            .when(
+                is_plain & lexc.rlike(_CAST_DBL_RE),
+                typed_lit(lexc.try_cast("double").cast("string"), target),
+            )
+            .when(is_bool, typed_lit(F.when(bool_v, "1.0").otherwise("0.0"),
+                                     target))
+            .when(is_num & num_v.isNotNull(),
+                  typed_lit(num_v.cast("string"), target))
+        )
+    # dateTime
+    return (
+        F.when(is_plain & lexc.rlike(_CAST_DT_RE), typed_lit(lexc, "dateTime"))
+        .when(is_date, typed_lit(lexc, "dateTime"))
+    )
+
 
 def _typed(e: Expr, avail: Optional[set] = None) -> Tuple[F.Column, str]:
     """Compile to (column, value-kind): 'term' = encoded-term string,
@@ -1126,6 +1251,10 @@ def _typed(e: Expr, avail: Optional[set] = None) -> Tuple[F.Column, str]:
             return ~a, "bool"
         b = _as_bool(e.args[1], avail)
         return (a & b) if e.kind == "and" else (a | b), "bool"
+    if e.kind == "cast":
+        c, t = _typed(e.args[0], avail)
+        term = c if t in ("term", "iri") else _term_of(c, t)
+        return _compile_cast(e.value, term), "term"
     if e.kind == "cmp":
         return _compile_cmp(e, avail), "bool"
     if e.kind == "in":

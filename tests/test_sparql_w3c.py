@@ -26,6 +26,8 @@ SUITES = [
     (SPARQL11_DIR, "aggregates", 27),
     (SPARQL11_DIR, "project-expression", 7),
     (SPARQL11_DIR, "functions", 70),
+    (SPARQL11_DIR, "cast", 6),
+    (DAWG_DIR, "cast", 7),
     (SPARQL11_DIR, "construct", 4),
     (SPARQL11_DIR, "property-path", 27),
     (DAWG_DIR, "basic", 23),
