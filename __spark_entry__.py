@@ -240,7 +240,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                DESCRIBE ?d WHERE { ?d ex:shard ex:shard2 }""",
         )
 
+    def kg_sparql_update(spark, sf):
+        # SPARQL 1.1 Update over the extracted store (round-3 feature):
+        # rename ex:nchars to ex:size for shard-1 docs, insert one quad
+        from jena_spark.ops.update import sparql_update
+
+        tri = _doc_triples(spark, sf)
+        out = sparql_update(
+            tri,
+            """PREFIX ex: <http://example.org/>
+               DELETE { ?d ex:nchars ?n } INSERT { ?d ex:size ?n }
+               WHERE { ?d ex:nchars ?n . ?d ex:shard ex:shard1 } ;
+               INSERT DATA { ex:meta ex:updated "round3" }""",
+        )
+        return out.select("subj", "pred", "obj")
+
     q.update(
+        kg_sparql_update=kg_sparql_update,
         kg_sparql_describe=kg_sparql_describe,
         kg_sparql_select=kg_sparql_select,
         kg_sparql_negation=kg_sparql_negation,
@@ -677,6 +693,17 @@ def oracle_sql() -> dict[str, str]:
     o["kg_sparql_subquery"] = (
         "SELECT '<http://example.org/doc' || doc_id || '>' AS doc, "
         "CAST(5 AS BIGINT) AS n FROM documents WHERE doc_id % 8 = 1"
+    )
+
+    o["kg_sparql_update"] = (
+        f"WITH {_DOC_TRIPLES_CTE.strip()} "
+        "SELECT subj, "
+        "CASE WHEN pred = '<http://example.org/nchars>' AND subj IN "
+        "(SELECT '<http://example.org/doc' || doc_id || '>' FROM documents "
+        "WHERE doc_id % 8 = 1) THEN '<http://example.org/size>' ELSE pred END "
+        "AS pred, obj FROM doc_triples "
+        "UNION ALL SELECT '<http://example.org/meta>', "
+        "'<http://example.org/updated>', '\"round3\"'"
     )
 
     o["kg_sparql_describe"] = (

@@ -555,7 +555,13 @@ class SparqlParser:
         return self._group_body()
 
     def _group_body(self) -> Group:
-        """Group-graph-pattern body, '{' already consumed; eats the '}'."""
+        """Group-graph-pattern body, '{' already consumed; eats the '}'.
+        GroupGraphPattern ::= '{' (SubSelect | GroupGraphPatternSub) '}' —
+        a direct subquery is the whole group."""
+        if self._kw() == "select":
+            sub = self._select_query()
+            self._expect(T_RBRACE)
+            return Group([SubSelectPat(sub)])
         g = Group()
         while self.tok.type != T_RBRACE:
             kw = self._kw()

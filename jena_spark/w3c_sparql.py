@@ -804,3 +804,199 @@ def run_result_format_dir(spark, d: str, exclude: Optional[set] = None):
         details.append((t.name, outcome, detail))
     spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return p, f, s, details
+
+
+# ---------------------------------------------------------------------------
+# SPARQL 1.1 Update evaluation (mf:UpdateEvaluationTest; ut: vocabulary).
+# Reference wiring: jena-arq src/test junit update runners over the same
+# vendored manifests.  The store is a quads DataFrame; the updated store
+# is compared to the expected dataset by quad isomorphism.
+# ---------------------------------------------------------------------------
+
+UT = "http://www.w3.org/2009/sparql/tests/test-update#"
+RDFS_LABEL = "http://www.w3.org/2000/01/rdf-schema#label"
+
+
+@dataclass
+class UpdateTest:
+    name: str
+    request_path: str
+    data: List[Tuple[Optional[str], str]] = field(default_factory=list)
+    expected: List[Tuple[Optional[str], str]] = field(default_factory=list)
+
+
+def load_update_manifest(manifest_path: str) -> List[UpdateTest]:
+    with open(manifest_path, encoding="utf-8", newline="") as f:
+        text = f.read()
+    base = "file://" + os.path.abspath(manifest_path)
+    alloc = BNodeAllocator(doc_seed("w3c-update", manifest_path, "manifest"))
+    triples = parse_turtle(text, base, alloc)
+    by_s: Dict[str, Dict[str, List[str]]] = {}
+    for s, p, o in triples:
+        by_s.setdefault(s, {}).setdefault(p, []).append(o)
+
+    def get(s: str, p: str) -> List[str]:
+        return by_s.get(s, {}).get(f"<{p}>", [])
+
+    def get1(s: str, p: str) -> Optional[str]:
+        v = get(s, p)
+        return v[0] if v else None
+
+    def dataset_of(node: Optional[str]) -> List[Tuple[Optional[str], str]]:
+        out: List[Tuple[Optional[str], str]] = []
+        if node is None:
+            return out
+        for d in get(node, UT + "data"):
+            out.append((None, _path(d)))
+        for gd in get(node, UT + "graphData"):
+            gfile = get1(gd, UT + "graph")
+            label = get1(gd, RDFS_LABEL)
+            if gfile is None or label is None:
+                continue
+            out.append((f"<{label.strip(chr(34))}>", _path(gfile)))
+        return out
+
+    tests: List[UpdateTest] = []
+    for s, props in by_s.items():
+        if f"<{MF}UpdateEvaluationTest>" not in props.get(f"<{RDF_NS}type>", []):
+            continue
+        action = get1(s, MF + "action")
+        if action is None:
+            continue
+        req = get1(action, UT + "request")
+        if req is None:
+            continue
+        result = get1(s, MF + "result")
+        name = (get1(s, MF + "name") or s).strip('"')
+        tests.append(
+            UpdateTest(
+                name=name,
+                request_path=_path(req),
+                data=dataset_of(action),
+                expected=dataset_of(result),
+            )
+        )
+    tests.sort(key=lambda t: (t.request_path, t.name))
+    return tests
+
+
+def _load_dataset_quads(files: List[Tuple[Optional[str], str]]):
+    quads = []
+    for graph, path in files:
+        with open(path, encoding="utf-8", newline="") as f:
+            text = f.read()
+        alloc = BNodeAllocator(doc_seed("w3c-update", path, graph or "default"))
+        base = "file://" + os.path.abspath(path)
+        if path.endswith(".nt"):
+            trs = parse_ntriples(text, alloc)
+        else:
+            trs = parse_turtle(text, base, alloc)
+        for s, p, o in trs:
+            quads.append((graph, s, p, o))
+    return list(dict.fromkeys(quads))
+
+
+def run_update_test(spark, t: UpdateTest) -> Tuple[str, str]:
+    from .ops.update import sparql_update, UpdateFailure
+
+    with open(t.request_path, encoding="utf-8", newline="") as f:
+        req = f.read()
+    base = "file://" + os.path.abspath(t.request_path)
+    quads = _load_dataset_quads(t.data)
+    store = spark.createDataFrame(
+        quads, "graph string, subj string, pred string, obj string"
+    )
+    try:
+        out = sparql_update(store, req, base)
+        got = [(r["graph"], r["subj"], r["pred"], r["obj"]) for r in out.collect()]
+    except RDFSyntaxError as e:
+        return "skip", f"unsupported: {e}"
+    except UpdateFailure as e:
+        return "fail", f"update aborted: {e}"
+    except Exception as e:
+        return "fail", f"engine error: {type(e).__name__}: {str(e)[:200]}"
+    want = _load_dataset_quads(t.expected)
+    if isomorphic(got, want):
+        return "pass", ""
+    gs = sorted(str(q) for q in got)[:4]
+    ws = sorted(str(q) for q in want)[:4]
+    return "fail", f"stores differ ({len(got)} vs {len(want)}): got {gs} want {ws}"
+
+
+def run_update_dir(spark, d: str, exclude: Optional[set] = None):
+    tests = load_update_manifest(os.path.join(d, "manifest.ttl"))
+    exclude = exclude or set()
+    p = f = s = 0
+    details = []
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    for t in tests:
+        if t.name in exclude:
+            s += 1
+            details.append((t.name, "skip", "excluded (documented)"))
+            continue
+        try:
+            outcome, detail = run_update_test(spark, t)
+        except Exception as e:
+            outcome, detail = "fail", f"harness error: {type(e).__name__}: {e}"
+        if outcome == "pass":
+            p += 1
+        elif outcome == "fail":
+            f += 1
+        else:
+            s += 1
+        details.append((t.name, outcome, detail))
+    spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return p, f, s, details
+
+
+def run_update_syntax_dir(spark, d: str, exclude: Optional[set] = None):
+    """mf:PositiveUpdateSyntaxTest11 / mf:NegativeUpdateSyntaxTest11:
+    the request must parse / must be rejected (no evaluation)."""
+    from .ops.update import UpdateParser
+
+    with open(os.path.join(d, "manifest.ttl"), encoding="utf-8", newline="") as f:
+        text = f.read()
+    base = "file://" + os.path.abspath(os.path.join(d, "manifest.ttl"))
+    alloc = BNodeAllocator(doc_seed("w3c-update", d, "syntax-manifest"))
+    triples = parse_turtle(text, base, alloc)
+    by_s: Dict[str, Dict[str, List[str]]] = {}
+    for s, p, o in triples:
+        by_s.setdefault(s, {}).setdefault(p, []).append(o)
+    exclude = exclude or set()
+    p_ = f_ = s_ = 0
+    details = []
+    for s, props in sorted(by_s.items()):
+        types = props.get(f"<{RDF_NS}type>", [])
+        pos = f"<{MF}PositiveUpdateSyntaxTest11>" in types
+        neg = f"<{MF}NegativeUpdateSyntaxTest11>" in types
+        if not (pos or neg):
+            continue
+        name = (props.get(f"<{MF}name>", [s])[0]).strip('"')
+        action = props.get(f"<{MF}action>", [None])[0]
+        if action is None:
+            continue
+        if name in exclude:
+            s_ += 1
+            details.append((name, "skip", "excluded (documented)"))
+            continue
+        path = _path(action)
+        with open(path, encoding="utf-8", newline="") as f:
+            req = f.read()
+        try:
+            UpdateParser(req, "file://" + os.path.abspath(path)).parse_update()
+            ok = pos
+            why = "" if pos else "negative request parsed without error"
+        except RDFSyntaxError as e:
+            ok = neg
+            why = "" if neg else f"positive request rejected: {e}"
+        except RecursionError:
+            ok = neg
+            why = "" if neg else "positive request rejected: recursion"
+        if ok:
+            p_ += 1
+            details.append((name, "pass", ""))
+        else:
+            f_ += 1
+            details.append((name, "fail", why))
+    return p_, f_, s_, details

@@ -102,3 +102,43 @@ def test_w3c_result_format_suite(spark, sub, min_pass):
     fails = [(n, d) for n, o, d in details if o == "fail"]
     assert not fails, f"{sub}: {len(fails)} failures: {fails[:3]}"
     assert p >= min_pass, f"{sub}: pass count dropped to {p} (< {min_pass})"
+
+
+# --- SPARQL 1.1 Update suites (quads-DataFrame graph store) -----------------
+
+UPDATE_SUITES = [
+    ("basic-update", 13),
+    ("delete-data", 6),
+    ("delete-where", 6),
+    ("delete-insert", 9),
+    ("delete", 19),
+    ("add", 8),
+    ("clear", 4),
+    ("copy", 6),
+    ("move", 6),
+    ("drop", 4),
+    ("update-silent", 13),
+]
+
+
+@pytest.mark.parametrize(
+    "sub,min_pass", UPDATE_SUITES, ids=[s[0] for s in UPDATE_SUITES]
+)
+def test_w3c_update_suite(spark, sub, min_pass):
+    from jena_spark.w3c_sparql import run_update_dir
+
+    p, f, s, details = run_update_dir(spark, os.path.join(SPARQL11_DIR, sub))
+    fails = [(n, d) for n, o, d in details if o == "fail"]
+    assert not fails, f"{sub}: {len(fails)} failures: {fails[:3]}"
+    assert p >= min_pass, f"{sub}: pass count dropped to {p} (< {min_pass})"
+
+
+def test_w3c_update_syntax_suite(spark):
+    from jena_spark.w3c_sparql import run_update_syntax_dir
+
+    p, f, s, details = run_update_syntax_dir(
+        spark, os.path.join(SPARQL11_DIR, "syntax-update-1")
+    )
+    fails = [(n, d) for n, o, d in details if o == "fail"]
+    assert not fails, f"syntax-update-1: {fails[:5]}"
+    assert p >= 54

@@ -1,0 +1,122 @@
+"""SPARQL 1.1 Update API tests (the W3C suites live in
+test_sparql_w3c.py; these cover the DataFrame API surface and LOAD)."""
+
+import pytest
+
+from jena_spark.ops.update import sparql_update, UpdateFailure
+from jena_spark.terms import RDFSyntaxError
+
+
+def quads(df):
+    return sorted(
+        (tuple(r) for r in df.collect()),
+        key=lambda t: tuple("" if x is None else x for x in t),
+    )
+
+
+@pytest.fixture()
+def store(spark):
+    rows = [
+        (None, "<http://e/a>", "<http://e/p>", '"x"'),
+        ("<http://e/g1>", "<http://e/b>", "<http://e/p>", '"y"'),
+    ]
+    return spark.createDataFrame(
+        rows, "graph string, subj string, pred string, obj string"
+    )
+
+
+def test_insert_delete_data(store):
+    out = sparql_update(
+        store,
+        """PREFIX : <http://e/>
+           INSERT DATA { :c :p "z" . GRAPH :g1 { :d :p "w" } } ;
+           DELETE DATA { :a :p "x" }""",
+    )
+    got = quads(out)
+    assert (None, "<http://e/c>", "<http://e/p>", '"z"') in got
+    assert ("<http://e/g1>", "<http://e/d>", "<http://e/p>", '"w"') in got
+    assert all(s != "<http://e/a>" for _, s, _, _ in got)
+    assert len(got) == 3
+
+
+def test_modify_with_where(store):
+    out = sparql_update(
+        store,
+        """PREFIX : <http://e/>
+           WITH :g1 DELETE { ?s :p ?o } INSERT { ?s :q ?o }
+           WHERE { ?s :p ?o }""",
+    )
+    got = quads(out)
+    assert ("<http://e/g1>", "<http://e/b>", "<http://e/q>", '"y"') in got
+    assert (None, "<http://e/a>", "<http://e/p>", '"x"') in got  # untouched
+    assert len(got) == 2
+
+
+def test_graph_management(store):
+    out = sparql_update(
+        store,
+        """PREFIX : <http://e/>
+           COPY :g1 TO :g2 ; ADD :g1 TO DEFAULT ; DROP GRAPH :g1""",
+    )
+    got = quads(out)
+    assert ("<http://e/g2>", "<http://e/b>", "<http://e/p>", '"y"') in got
+    assert (None, "<http://e/b>", "<http://e/p>", '"y"') in got
+    assert all(g != "<http://e/g1>" for g, _, _, _ in got)
+
+
+def test_drop_missing_graph_fails_unless_silent(store):
+    with pytest.raises(UpdateFailure):
+        sparql_update(store, "DROP GRAPH <http://e/nope>").collect()
+    out = sparql_update(store, "DROP SILENT GRAPH <http://e/nope>")
+    assert len(quads(out)) == 2
+
+
+def test_load_local_file(store, tmp_path):
+    p = tmp_path / "extra.ttl"
+    p.write_text("@prefix : <http://e/> . :l :p :o .", encoding="utf-8")
+    out = sparql_update(
+        store, f"LOAD <file://{p}> INTO GRAPH <http://e/gl>"
+    )
+    assert ("<http://e/gl>", "<http://e/l>", "<http://e/p>", "<http://e/o>") in quads(out)
+    with pytest.raises(UpdateFailure):
+        sparql_update(store, "LOAD <file:///nope/missing.ttl>").collect()
+    assert len(quads(sparql_update(store, "LOAD SILENT <file:///nope/missing.ttl>"))) == 2
+
+
+def test_triples_input_gets_graph_column(spark):
+    tri = spark.createDataFrame(
+        [("<http://e/a>", "<http://e/p>", '"x"')], ["subj", "pred", "obj"]
+    )
+    out = sparql_update(tri, 'INSERT DATA { <http://e/b> <http://e/p> "y" }')
+    assert out.columns == ["graph", "subj", "pred", "obj"]
+    assert len(quads(out)) == 2
+
+
+def test_halloween_problem(spark):
+    # DELETE+INSERT must evaluate WHERE against the pre-update store
+    tri = spark.createDataFrame(
+        [(None, "<http://e/a>", "<http://e/knows>", "<http://e/b>")],
+        "graph string, subj string, pred string, obj string",
+    )
+    out = sparql_update(
+        tri,
+        """PREFIX f: <http://e/>
+           DELETE { ?a f:knows ?b } INSERT { ?b f:knows ?a }
+           WHERE { ?a f:knows ?b }""",
+    )
+    assert quads(out) == [(None, "<http://e/b>", "<http://e/knows>", "<http://e/a>")]
+
+
+def test_syntax_validation():
+    import pyspark.sql  # noqa: F401
+    from jena_spark.ops.update import UpdateParser
+
+    with pytest.raises(RDFSyntaxError):
+        UpdateParser('DELETE DATA { ?s <http://e/p> <http://e/o> }').parse_update()
+    with pytest.raises(RDFSyntaxError):
+        UpdateParser('DELETE DATA { _:b <http://e/p> <http://e/o> }').parse_update()
+    with pytest.raises(RDFSyntaxError):
+        UpdateParser(
+            'INSERT DATA { _:b <http://e/p> "1" } ; '
+            'INSERT DATA { _:b <http://e/p> "2" }'
+        ).parse_update()
