@@ -84,7 +84,8 @@ from ..parsers.tokenizer import (
 from . import functions as tf
 from .algebra import bgp
 
-RDF_NS_REIFIES = "http://www.w3.org/1999/02/22-rdf-syntax-ns#reifies"
+RDF_NS_BASE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+RDF_NS_REIFIES = RDF_NS_BASE + "reifies"
 
 
 # ---------------------------------------------------------------------------
@@ -116,8 +117,10 @@ class UnionPat:
 
 @dataclass
 class ValuesPat:
-    var: str
-    values: List[str]
+    """Inline data (VALUES): vars are bare names; a ``None`` cell is
+    UNDEF (unbound, compatible with anything in the join)."""
+    vars: List[str]
+    rows: List[List[Optional[str]]]
 
 
 @dataclass
@@ -271,6 +274,43 @@ _KEYWORDS = {
 }
 
 
+def _inscope_vars(elements) -> set:
+    """Variables in scope after the listed group elements (§18.2.1) —
+    used for the BIND / projection-alias scope rules.  MINUS and FILTER
+    do not bind; OPTIONAL/UNION/GRAPH/subgroups/subqueries do."""
+    out: set = set()
+    for el in elements:
+        if isinstance(el, TriplePat):
+            for t in (el.s, el.p, el.o):
+                if t.startswith("?"):
+                    out.add(t[1:])
+        elif isinstance(el, PathPat):
+            for t in (el.s, el.o):
+                if t.startswith("?"):
+                    out.add(t[1:])
+        elif isinstance(el, GraphPat):
+            if el.graph.startswith("?"):
+                out.add(el.graph[1:])
+            out |= _inscope_vars(el.pattern.elements)
+        elif isinstance(el, (SubGroupPat, OptionalPat)):
+            out |= _inscope_vars(el.pattern.elements)
+        elif isinstance(el, UnionPat):
+            out |= _inscope_vars(el.left.elements)
+            out |= _inscope_vars(el.right.elements)
+        elif isinstance(el, BindPat):
+            out.add(el.var)
+        elif isinstance(el, ValuesPat):
+            out |= set(el.vars)
+        elif isinstance(el, SubSelectPat):
+            q = el.query
+            out |= set(q.variables)
+            out |= {a for _, a in q.proj_exprs}
+            out |= {i.alias for i in q.aggregates}
+            if not (q.variables or q.proj_exprs or q.aggregates):
+                out |= _inscope_vars(q.where.elements)  # SELECT *
+    return out
+
+
 class SparqlParser:
     def __init__(self, text: str, base: Optional[str] = None):
         self.tz = Tokenizer(text, sparql=True)
@@ -306,6 +346,11 @@ class SparqlParser:
             if self._kw() == "prefix":
                 self._advance()
                 ns = self._expect(T_PNAME)
+                if ns.value2 != "":
+                    # 'PREFIX ex:ex:' — PNAME_NS only (syn-bad-pname-*)
+                    raise RDFSyntaxError(
+                        f"bad prefix declaration {ns.value}:{ns.value2}"
+                    )
                 iri = self._expect(T_IRI)
                 self.prefixes[ns.value] = self.resolver.resolve(iri.value)
             else:
@@ -483,6 +528,26 @@ class SparqlParser:
                 offset = int(self._expect(T_INTEGER).value)
             else:
                 break
+        if self._kw() == "values":
+            # ValuesClause (§19.8: joined with the query pattern)
+            self._advance()
+            where.elements.append(self._values_clause())
+        if group_by and not variables and not aggregates and not proj_exprs:
+            raise RDFSyntaxError("SELECT * is not allowed with GROUP BY")
+        # projected names must be unique and expression aliases must not
+        # already be in scope (syntax-SELECTscope2, syn-bad-03)
+        names = list(variables) + [a for _, a in proj_exprs] + [
+            i.alias for i in aggregates
+        ]
+        if len(set(names)) != len(names):
+            raise RDFSyntaxError("duplicate variable in SELECT projection")
+        if proj_exprs:
+            scope = _inscope_vars(where.elements)
+            clash = [a for _, a in proj_exprs if a in scope]
+            if clash:
+                raise RDFSyntaxError(
+                    f"projection alias already in scope: {clash}"
+                )
         if aggregates or group_by or self._agg_hoist:
             missing = [v for v in variables if v not in group_by]
             if missing:
@@ -595,6 +660,11 @@ class SparqlParser:
                 self._expect(T_KEYWORD, "as")
                 v = self._expect(T_VAR).value
                 self._expect(T_RPAREN)
+                if v in _inscope_vars(g.elements):
+                    # §18.2.1 in-scope rule (syntax-BINDscope5..8)
+                    raise RDFSyntaxError(
+                        f"BIND target ?{v} already in scope in this group"
+                    )
                 g.elements.append(BindPat(e, v))
             elif kw == "graph":
                 self._advance()
@@ -602,25 +672,15 @@ class SparqlParser:
                 g.elements.append(GraphPat(gterm, self._group()))
             elif kw == "values":
                 self._advance()
-                var = self._expect(T_VAR).value
-                self._expect(T_LBRACE)
-                vals = []
-                while self.tok.type != T_RBRACE:
-                    vals.append(self._term_encoded())
-                self._advance()
-                g.elements.append(ValuesPat(var, vals))
+                g.elements.append(self._values_clause())
             elif self.tok.type == T_LBRACE:
                 self._advance()
                 if self._kw() == "select":
                     sub = self._select_query()
                     self._expect(T_RBRACE)
-                    if self._kw() == "union":
-                        raise RDFSyntaxError("UNION over a subquery not supported")
-                    g.elements.append(SubSelectPat(sub))
-                    while self.tok.type == T_DOT:
-                        self._advance()
-                    continue
-                node = self._group_body()
+                    node = Group([SubSelectPat(sub)])
+                else:
+                    node = self._group_body()
                 while self._kw() == "union":
                     self._advance()
                     node = Group([UnionPat(node, self._group())])
@@ -639,11 +699,49 @@ class SparqlParser:
         self._advance()  # '}'
         return g
 
+    def _collection_pat(self, g: Group) -> str:
+        """Pattern collection '( item… )' → rdf:first/rest chain over
+        fresh anonymous variables (Grammar CollectionPath; items may be
+        terms, vars, [ ] property lists or nested collections)."""
+        self._advance()  # '('
+        if self.tok.type == T_RPAREN:
+            self._advance()
+            return f"<{RDF_NS_BASE}nil>"
+        head = self._fresh_anon()
+        cur = head
+        first = True
+        while self.tok.type != T_RPAREN:
+            if not first:
+                nxt = self._fresh_anon()
+                g.elements.append(
+                    TriplePat(cur, f"<{RDF_NS_BASE}rest>", nxt)
+                )
+                cur = nxt
+            if self.tok.type == T_LBRACKET:
+                item = self._bnode_prop_list(g)
+            elif self.tok.type == T_LPAREN:
+                item = self._collection_pat(g)
+            elif self.tok.type == T_LQT:
+                item = self._reif_pat(g)
+            else:
+                item = self._term_or_var()
+            g.elements.append(TriplePat(cur, f"<{RDF_NS_BASE}first>", item))
+            first = False
+        self._advance()  # ')'
+        g.elements.append(
+            TriplePat(cur, f"<{RDF_NS_BASE}rest>", f"<{RDF_NS_BASE}nil>")
+        )
+        return head
+
     def _triples_block(self, g: Group) -> None:
         if self.tok.type == T_LBRACKET:
             s = self._bnode_prop_list(g)
             if self.tok.type in (T_DOT, T_RBRACE):
                 return  # bare "[ … ] ." — property list as whole statement
+        elif self.tok.type == T_LPAREN:
+            s = self._collection_pat(g)
+            if self.tok.type in (T_DOT, T_RBRACE):
+                return
         elif self.tok.type == T_LQT:
             s = self._reif_pat(g)
             if self.tok.type in (T_DOT, T_RBRACE):
@@ -722,6 +820,8 @@ class SparqlParser:
             while True:
                 if self.tok.type == T_LBRACKET:
                     o = self._bnode_prop_list(g)
+                elif self.tok.type == T_LPAREN:
+                    o = self._collection_pat(g)
                 elif self.tok.type == T_LQT:
                     o = self._reif_pat(g)
                 elif self.tok.type == T_LTT:
@@ -905,6 +1005,47 @@ class SparqlParser:
             self._advance()
             return ("link", f"<{RDF_TYPE}>")
         return ("link", self._term_encoded())
+
+    def _values_clause(self) -> ValuesPat:
+        """DataBlock after the VALUES keyword: one-var shorthand
+        ``VALUES ?x { v… }`` or full form ``VALUES (?x ?y) { (v v)… }``
+        with UNDEF cells (§10.2)."""
+        def data_value() -> Optional[str]:
+            if self.tok.type == T_KEYWORD and self.tok.value.lower() == "undef":
+                self._advance()
+                return None
+            return self._term_encoded()
+
+        if self.tok.type == T_VAR:
+            vars_ = [self._advance().value]
+            self._expect(T_LBRACE)
+            rows = []
+            while self.tok.type != T_RBRACE:
+                rows.append([data_value()])
+            self._advance()
+            return ValuesPat(vars_, rows)
+        self._expect(T_LPAREN)
+        vars_ = []
+        while self.tok.type == T_VAR:
+            vars_.append(self._advance().value)
+        self._expect(T_RPAREN)
+        if len(set(vars_)) != len(vars_):
+            raise RDFSyntaxError("duplicate variable in VALUES")
+        self._expect(T_LBRACE)
+        rows = []
+        while self.tok.type != T_RBRACE:
+            self._expect(T_LPAREN)
+            row = []
+            while self.tok.type != T_RPAREN:
+                row.append(data_value())
+            self._advance()
+            if len(row) != len(vars_):
+                raise RDFSyntaxError(
+                    f"VALUES row has {len(row)} cells for {len(vars_)} variables"
+                )
+            rows.append(row)
+        self._advance()
+        return ValuesPat(vars_, rows)
 
     def _term_or_var(self, subject: bool = False) -> str:
         t = self.tok
@@ -1091,21 +1232,26 @@ class SparqlParser:
             self._expect(T_RPAREN)
             return Expr("call", name, args)
         term = self._term_encoded()
-        # XSD constructor function (§17.5 XPath casts): xsd:integer(?v) …
-        # — an IRI from the XSD namespace followed by '(' (iriOrFunction)
-        if (
-            self.tok.type == T_LPAREN
-            and term.startswith("<http://www.w3.org/2001/XMLSchema#")
-            and term[len("<http://www.w3.org/2001/XMLSchema#"):-1] in _CAST_TARGETS
-        ):
+        if self.tok.type == T_LPAREN and term.startswith("<"):
+            # iriOrFunction: any IRI followed by '(' is a function call.
+            # XSD constructors compile as §17.5 casts; other IRIs parse
+            # (syntax conformance) and error at compile unless registered.
             self._advance()
-            arg = self._expr()
+            args = []
+            if self._kw() == "distinct":
+                self._advance()  # custom-aggregate form: accepted, ignored
+            if self.tok.type != T_RPAREN:
+                args.append(self._expr())
+                while self.tok.type == T_COMMA:
+                    self._advance()
+                    args.append(self._expr())
             self._expect(T_RPAREN)
-            return Expr(
-                "cast",
-                term[len("<http://www.w3.org/2001/XMLSchema#"):-1],
-                [arg],
-            )
+            xsd_ns = "<http://www.w3.org/2001/XMLSchema#"
+            if term.startswith(xsd_ns) and term[len(xsd_ns):-1] in _CAST_TARGETS:
+                if len(args) != 1:
+                    raise RDFSyntaxError("XSD casts take exactly one argument")
+                return Expr("cast", term[len(xsd_ns):-1], args)
+            return Expr("fncall", term, args)
         return Expr("const", term)
 
 
@@ -1261,6 +1407,10 @@ def _typed(e: Expr, avail: Optional[set] = None) -> Tuple[F.Column, str]:
         c, t = _typed(e.args[0], avail)
         term = c if t in ("term", "iri") else _term_of(c, t)
         return _compile_cast(e.value, term), "term"
+    if e.kind == "fncall":
+        # custom function IRIs parse (syntax conformance) but have no
+        # registered implementation in this engine
+        raise RDFSyntaxError(f"unknown function {e.value}")
     if e.kind == "cmp":
         return _compile_cmp(e, avail), "bool"
     if e.kind == "in":
@@ -2253,13 +2403,27 @@ def _compile_group_n(
             else:
                 df, nullable = _join_compat(df, nullable, sub, set(), "inner")
         elif isinstance(el, ValuesPat):
-            vals = triples.sparkSession.createDataFrame(
-                [(v,) for v in el.values], [el.var[1:] if el.var.startswith("?") else el.var]
+            spark_ = triples.sparkSession
+            if not el.vars:
+                # VALUES () { () … } — n empty solutions: join is a no-op
+                # when n ≥ 1, annihilates everything when n = 0
+                if df is None:
+                    df = spark_.range(1).drop("id")
+                if not el.rows:
+                    df = df.limit(0)
+                continue
+            schema = ", ".join(f"`{v}` string" for v in el.vars)
+            vals = spark_.createDataFrame(
+                [tuple(r) for r in el.rows], schema
             )
+            vnull = {
+                v for i, v in enumerate(el.vars)
+                if any(r[i] is None for r in el.rows)
+            }
             if df is None:
-                df = vals
+                df, nullable = vals, set(vnull)
             else:
-                df, nullable = _join_compat(df, nullable, vals, set(), "inner")
+                df, nullable = _join_compat(df, nullable, vals, vnull, "inner")
         elif isinstance(el, UnionPat):
             left, lnull = _compile_group_n(triples, el.left, graph_term, graph_var)
             right, rnull = _compile_group_n(triples, el.right, graph_term, graph_var)

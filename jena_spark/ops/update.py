@@ -164,6 +164,10 @@ class UpdateParser(SparqlParser):
             if self._kw() == "prefix":
                 self._advance()
                 ns = self._expect("PNAME")
+                if ns.value2 != "":
+                    raise RDFSyntaxError(
+                        f"bad prefix declaration {ns.value}:{ns.value2}"
+                    )
                 iri = self._expect("IRI")
                 self.prefixes[ns.value] = self.resolver.resolve(iri.value)
             else:

@@ -1000,3 +1000,55 @@ def run_update_syntax_dir(spark, d: str, exclude: Optional[set] = None):
             f_ += 1
             details.append((name, "fail", why))
     return p_, f_, s_, details
+
+
+def run_query_syntax_dir(spark, d: str, exclude: Optional[set] = None):
+    """mf:PositiveSyntaxTest11 / mf:NegativeSyntaxTest11 over query
+    strings: must parse / must be rejected (no evaluation)."""
+    from .ops.sparql import SparqlParser
+
+    with open(os.path.join(d, "manifest.ttl"), encoding="utf-8", newline="") as f:
+        text = f.read()
+    base = "file://" + os.path.abspath(os.path.join(d, "manifest.ttl"))
+    alloc = BNodeAllocator(doc_seed("w3c-sparql", d, "syntax-manifest"))
+    triples = parse_turtle(text, base, alloc)
+    by_s: Dict[str, Dict[str, List[str]]] = {}
+    for s, p, o in triples:
+        by_s.setdefault(s, {}).setdefault(p, []).append(o)
+    exclude = exclude or set()
+    p_ = f_ = s_ = 0
+    details = []
+    for s, props in sorted(by_s.items()):
+        types = props.get(f"<{RDF_NS}type>", [])
+        pos = f"<{MF}PositiveSyntaxTest11>" in types
+        neg = f"<{MF}NegativeSyntaxTest11>" in types
+        if not (pos or neg):
+            continue
+        name = (props.get(f"<{MF}name>", [s])[0]).strip('"')
+        action = props.get(f"<{MF}action>", [None])[0]
+        if action is None:
+            continue
+        if name in exclude:
+            s_ += 1
+            details.append((name, "skip", "excluded (documented)"))
+            continue
+        path = _path(action)
+        with open(path, encoding="utf-8", newline="") as f:
+            q = f.read()
+        why = ""
+        try:
+            SparqlParser(q, "file://" + os.path.abspath(path)).parse()
+            ok = pos
+            if not ok:
+                why = "negative query parsed without error"
+        except (RDFSyntaxError, RecursionError) as e:
+            ok = neg
+            if not ok:
+                why = f"positive query rejected: {str(e)[:120]}"
+        if ok:
+            p_ += 1
+            details.append((name, "pass", ""))
+        else:
+            f_ += 1
+            details.append((name, "fail", why))
+    return p_, f_, s_, details

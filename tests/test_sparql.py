@@ -593,3 +593,80 @@ def test_path_quantifiers(chain):
     )
     got4 = {r[0] for r in rows(out4)}
     assert got4 == {"<http://e/a>", "<http://e/b>"}
+
+
+# --- round 3: multi-var VALUES / collections / scope rules ------------------
+
+def test_values_multi_var_undef(tri):
+    out = sparql_select(
+        tri,
+        """PREFIX e: <http://e/>
+           SELECT ?p ?n ?t WHERE {
+             ?p e:name ?n . ?p a ?t .
+             VALUES (?n ?t) { ("alice" UNDEF) (UNDEF e:Robot) }
+           }""",
+    )
+    assert rows(out) == [("<http://e/a>", '"alice"', "<http://e/Person>")]
+
+
+def test_values_postfix_clause(tri):
+    out = sparql_select(
+        tri,
+        """PREFIX e: <http://e/>
+           SELECT ?p ?n WHERE { ?p e:name ?n }
+           VALUES ?n { "bob" }""",
+    )
+    assert rows(out) == [("<http://e/b>", '"bob"')]
+
+
+def test_collection_pattern(spark):
+    # data: :l is the rdf:List (1 2)
+    RDF = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    rows_ = [
+        ("<http://e/s>", "<http://e/p>", "_:c1"),
+        ("_:c1", RDF + "first>", '"1"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+        ("_:c1", RDF + "rest>", "_:c2"),
+        ("_:c2", RDF + "first>", '"2"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+        ("_:c2", RDF + "rest>", RDF + "nil>"),
+    ]
+    tri2 = spark.createDataFrame(rows_, ["subj", "pred", "obj"])
+    out = sparql_select(
+        tri2,
+        "PREFIX e: <http://e/> SELECT ?s WHERE { ?s e:p (1 2) }",
+    )
+    assert rows(out) == [("<http://e/s>",)]
+
+
+def test_union_over_subqueries(tri):
+    out = sparql_select(
+        tri,
+        """SELECT ?x WHERE {
+             { SELECT (1 AS ?x) WHERE {} } UNION { SELECT (2 AS ?x) WHERE {} }
+           }""",
+    )
+    xs = sorted(r["x"] for r in out.collect())
+    assert xs == [
+        '"1"^^<http://www.w3.org/2001/XMLSchema#integer>',
+        '"2"^^<http://www.w3.org/2001/XMLSchema#integer>',
+    ]
+
+
+def test_bind_scope_rule_rejected(tri):
+    with pytest.raises(RDFSyntaxError):
+        sparql_select(
+            tri,
+            """PREFIX e: <http://e/>
+               SELECT * WHERE { ?p e:name ?n . BIND(1 AS ?n) }""",
+        )
+
+
+def test_projection_scope_rules(tri):
+    with pytest.raises(RDFSyntaxError):
+        sparql_select(tri, "SELECT (1 AS ?x) (2 AS ?x) WHERE {}")
+    with pytest.raises(RDFSyntaxError):
+        sparql_select(
+            tri,
+            "PREFIX e: <http://e/> SELECT (1 AS ?n) WHERE { ?p e:name ?n }",
+        )
+    with pytest.raises(RDFSyntaxError):
+        sparql_select(tri, "SELECT * WHERE { ?s ?p ?o } GROUP BY ?s")

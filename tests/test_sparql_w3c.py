@@ -22,6 +22,7 @@ SUITES = [
     (SPARQL11_DIR, "exists", 5),
     (SPARQL11_DIR, "subquery", 10),
     (SPARQL11_DIR, "bind", 10),
+    (SPARQL11_DIR, "bindings", 10),
     (SPARQL11_DIR, "grouping", 3),
     (SPARQL11_DIR, "aggregates", 27),
     (SPARQL11_DIR, "project-expression", 7),
@@ -142,3 +143,14 @@ def test_w3c_update_syntax_suite(spark):
     fails = [(n, d) for n, o, d in details if o == "fail"]
     assert not fails, f"syntax-update-1: {fails[:5]}"
     assert p >= 54
+
+
+def test_w3c_query_syntax_suite(spark):
+    from jena_spark.w3c_sparql import run_query_syntax_dir
+
+    p, f, s, details = run_query_syntax_dir(
+        spark, os.path.join(SPARQL11_DIR, "syntax-query")
+    )
+    fails = [(n, d) for n, o, d in details if o == "fail"]
+    assert not fails, f"syntax-query: {fails[:5]}"
+    assert p >= 94
