@@ -311,8 +311,32 @@ def _inscope_vars(elements) -> set:
     return out
 
 
+_CP_ESC_RE = __import__("re").compile(
+    r"\\u([0-9a-fA-F]{4})|\\U([0-9a-fA-F]{8})"
+)
+
+
+def _codepoint_unescape(text: str) -> str:
+    """SPARQL §19.2: \\uXXXX / \\UXXXXXXXX codepoint escapes may appear
+    anywhere in a query/update string and are processed BEFORE parsing,
+    as a purely textual pass with no regard to surrounding context
+    (dawg syntax-esc-04/05; sparql12 codepoint-escapes incl. bad-03,
+    where '\\\\u0041' becomes the *invalid* string escape '\\A')."""
+    if "\\u" not in text and "\\U" not in text:
+        return text
+
+    def repl(m):
+        cp = int(m.group(1) or m.group(2), 16)
+        if cp > 0x10FFFF or 0xD800 <= cp <= 0xDFFF:
+            raise RDFSyntaxError(f"illegal codepoint escape {m.group(0)}")
+        return chr(cp)
+
+    return _CP_ESC_RE.sub(repl, text)
+
+
 class SparqlParser:
     def __init__(self, text: str, base: Optional[str] = None):
+        text = _codepoint_unescape(text)
         self.tz = Tokenizer(text, sparql=True)
         self.tok = self.tz.next_token()
         self.prefixes: dict[str, str] = {}
@@ -320,6 +344,12 @@ class SparqlParser:
         self._allow_aggs = False
         self._agg_hoist: List[AggItem] = []
         self._anon_n = 0  # anonymous-variable counter ([] in patterns)
+        # blank-node label scoping: a label may appear in only ONE basic
+        # graph pattern of the query (dawg syn-bad-34/37/38, blabel-cross-*)
+        self._bn_counter = 0
+        self._bn_current = 0
+        self._bn_seen: dict = {}
+        self._bn_track = True
 
     def _advance(self) -> Token:
         t = self.tok
@@ -386,10 +416,12 @@ class SparqlParser:
                                       decomps=decomps)
             tmpl_group = Group()
             self._expect(T_LBRACE)
+            self._bn_track = False  # template bnodes are per-solution fresh
             while self.tok.type != T_RBRACE:
                 self._triples_block(tmpl_group)
                 while self.tok.type == T_DOT:
                     self._advance()
+            self._bn_track = True
             self._advance()
             ds = self._dataset_clauses()
             self._expect(T_KEYWORD, "where")
@@ -435,6 +467,11 @@ class SparqlParser:
         distinct = False
         if self._kw() == "distinct":
             distinct = True
+            self._advance()
+        elif self._kw() == "reduced":
+            # REDUCED permits-but-does-not-require elimination; keeping
+            # the full multiset matches the vendored DAWG goldens (and
+            # is the cheapest plan: no shuffle)
             self._advance()
         variables: List[str] = []
         aggregates: List[AggItem] = []
@@ -517,6 +554,20 @@ class SparqlParser:
                         self._expect(T_RPAREN)
                     elif self.tok.type == T_VAR:
                         e = Expr("var", self._advance().value)
+                    elif self.tok.type == T_LPAREN:
+                        # OrderCondition ::= … | BrackettedExpression
+                        self._advance()
+                        e = self._expr()
+                        self._expect(T_RPAREN)
+                    elif (
+                        self.tok.type in (T_PNAME, T_IRI)
+                        or (self.tok.type == T_KEYWORD
+                            and self.tok.value.lower() not in (
+                                "limit", "offset", "values", "group",
+                                "having", "asc", "desc"))
+                    ):
+                        # Constraint: BuiltInCall or FunctionCall
+                        e = self._unary()
                     else:
                         break
                     order.append((e, asc))
@@ -619,6 +670,11 @@ class SparqlParser:
         self._expect(T_LBRACE)
         return self._group_body()
 
+    def _bn_break(self) -> None:
+        """Start a new basic-graph-pattern scope for bnode labels."""
+        self._bn_counter += 1
+        self._bn_current = self._bn_counter
+
     def _group_body(self) -> Group:
         """Group-graph-pattern body, '{' already consumed; eats the '}'.
         GroupGraphPattern ::= '{' (SubSelect | GroupGraphPatternSub) '}' —
@@ -627,6 +683,14 @@ class SparqlParser:
             sub = self._select_query()
             self._expect(T_RBRACE)
             return Group([SubSelectPat(sub)])
+        outer_bn = self._bn_current
+        self._bn_break()
+        try:
+            return self._group_body_inner()
+        finally:
+            self._bn_current = outer_bn
+
+    def _group_body_inner(self) -> Group:
         g = Group()
         while self.tok.type != T_RBRACE:
             kw = self._kw()
@@ -639,9 +703,10 @@ class SparqlParser:
                     self._advance()
                     self._expect(T_KEYWORD, "exists")
                     g.elements.append(ExistsPat(self._group(), False))
-                elif self.tok.type == T_KEYWORD:
-                    # FILTER BuiltInCall — no enclosing parens (Grammar:
-                    # Constraint ::= BrackettedExpression | BuiltInCall)
+                elif self.tok.type in (T_KEYWORD, T_PNAME, T_IRI):
+                    # FILTER BuiltInCall / FunctionCall — no enclosing
+                    # parens (Constraint ::= BrackettedExpression |
+                    # BuiltInCall | FunctionCall)
                     g.elements.append(Filter(self._unary()))
                 else:
                     self._expect(T_LPAREN)
@@ -650,9 +715,11 @@ class SparqlParser:
             elif kw == "minus":
                 self._advance()
                 g.elements.append(MinusPat(self._group()))
+                self._bn_break()
             elif kw == "optional":
                 self._advance()
                 g.elements.append(OptionalPat(self._group()))
+                self._bn_break()
             elif kw == "bind":
                 self._advance()
                 self._expect(T_LPAREN)
@@ -670,6 +737,7 @@ class SparqlParser:
                 self._advance()
                 gterm = self._term_or_var()
                 g.elements.append(GraphPat(gterm, self._group()))
+                self._bn_break()
             elif kw == "values":
                 self._advance()
                 g.elements.append(self._values_clause())
@@ -691,10 +759,23 @@ class SparqlParser:
                     # see enclosing/later bindings — var-scope-join-1,
                     # filter-nested-2)
                     g.elements.append(SubGroupPat(node))
+                self._bn_break()
             else:
                 self._triples_block(g)
-            # optional '.' separators
-            while self.tok.type == T_DOT:
+                # TriplesBlock ::= TriplesSameSubjectPath ('.' TriplesBlock?)?
+                # — consecutive triples REQUIRE the dot (dawg syn-bad-02);
+                # only a GraphPatternNotTriples may follow undotted
+                if not (
+                    self.tok.type in (T_DOT, T_RBRACE, T_LBRACE)
+                    or self._kw() in ("filter", "optional", "minus",
+                                      "bind", "graph", "values")
+                ):
+                    raise RDFSyntaxError(
+                        f"line {self.tok.line}: expected '.' or '}}' after "
+                        f"triples, got {self.tok.type} {self.tok.value!r}"
+                    )
+            # at most ONE '.' separator (dawg syn-bad-08/10/13)
+            if self.tok.type == T_DOT:
                 self._advance()
         self._advance()  # '}'
         return g
@@ -723,6 +804,8 @@ class SparqlParser:
                 item = self._collection_pat(g)
             elif self.tok.type == T_LQT:
                 item = self._reif_pat(g)
+            elif self.tok.type == T_LTT:
+                item = self._tt_pat(g)
             else:
                 item = self._term_or_var()
             g.elements.append(TriplePat(cur, f"<{RDF_NS_BASE}first>", item))
@@ -735,13 +818,31 @@ class SparqlParser:
 
     def _triples_block(self, g: Group) -> None:
         if self.tok.type == T_LBRACKET:
+            n0 = len(g.elements)
             s = self._bnode_prop_list(g)
             if self.tok.type in (T_DOT, T_RBRACE):
+                if len(g.elements) == n0:
+                    # '[] .' — an empty ANON needs a predicateObjectList
+                    raise RDFSyntaxError("lone [] is not a triple pattern")
                 return  # bare "[ … ] ." — property list as whole statement
         elif self.tok.type == T_LPAREN:
+            n0 = len(g.elements)
             s = self._collection_pat(g)
             if self.tok.type in (T_DOT, T_RBRACE):
+                if len(g.elements) == n0:
+                    # '()' alone — Collection needs ≥1 item and a
+                    # subject use needs predicates (dawg lone-list)
+                    raise RDFSyntaxError("lone () is not a triple pattern")
                 return
+        elif self.tok.type == T_LTT:
+            # SPARQL 1.2: triple-term pattern in subject position —
+            # must be followed by a predicateObjectList
+            # (tripleterm-separate-* negatives)
+            s = self._tt_pat(g)
+            if self.tok.type in (T_DOT, T_RBRACE):
+                raise RDFSyntaxError(
+                    "a triple term cannot stand alone as a statement"
+                )
         elif self.tok.type == T_LQT:
             s = self._reif_pat(g)
             if self.tok.type in (T_DOT, T_RBRACE):
@@ -791,8 +892,14 @@ class SparqlParser:
     def _rt_pat_term(self, g: Group, subject: bool) -> str:
         if self.tok.type == T_LQT:
             return self._reif_pat(g)
-        if not subject and self.tok.type == T_LTT:
+        if self.tok.type == T_LTT:
+            # nested triple-term PATTERN — legal in either position in
+            # patterns (sparql12 syntax-triple-terms-positive)
             return self._tt_pat(g)
+        if self.tok.type == T_LBRACKET:
+            # '[…]' blank node inside a reified triple / triple term
+            # (collections are NOT legal here — quoted-list-* negatives)
+            return self._bnode_prop_list(g)
         return self._term_or_var(subject=subject)
 
     def _verb_simple(self) -> str:
@@ -870,7 +977,15 @@ class SparqlParser:
                 break
             if self.tok.type == T_SEMI:
                 self._advance()
-                if self.tok.type in (T_DOT, T_RBRACE, T_RBRACKET):
+                if self.tok.type in (T_DOT, T_RBRACE, T_RBRACKET, T_RANN):
+                    return
+                # after a trailing ';' the verb is optional — a group
+                # keyword (OPTIONAL/FILTER/…) or '{' ends the triples
+                # (dawg syntax-struct-11, syn-07)
+                if self.tok.type == T_LBRACE or (
+                    self.tok.type == T_KEYWORD
+                    and self.tok.value.lower() != "a"
+                ):
                     return
                 continue
             return
@@ -1004,7 +1119,10 @@ class SparqlParser:
         if self.tok.type == T_KEYWORD and self.tok.value == "a":
             self._advance()
             return ("link", f"<{RDF_TYPE}>")
-        return ("link", self._term_encoded())
+        t = self._term_encoded()
+        if not t.startswith("<"):
+            raise RDFSyntaxError(f"predicate/path element must be an IRI, got {t!r}")
+        return ("link", t)
 
     def _values_clause(self) -> ValuesPat:
         """DataBlock after the VALUES keyword: one-var shorthand
@@ -1055,19 +1173,33 @@ class SparqlParser:
         if t.type == T_BNODE:
             # a query blank node is a (document-scoped) anonymous variable
             self._advance()
+            if self._bn_track:
+                prev = self._bn_seen.setdefault(t.value, self._bn_current)
+                if prev != self._bn_current:
+                    raise RDFSyntaxError(
+                        f"blank node label _:{t.value} used in multiple "
+                        "basic graph patterns"
+                    )
             return f"?__anon_{t.value}"
         return self._term_encoded()
 
     def _term_encoded(self) -> str:
         if self.tok.type == T_LTT:
-            # constant triple term in expression/VALUES position
+            # constant triple term in expression/VALUES position:
+            # TripleTermData subject ∈ {iri, BlankNode}, predicate iri
             self._advance()
             s = self._term_encoded()
+            if s.startswith("<<(") or s.startswith('"'):
+                raise RDFSyntaxError(
+                    "triple-term data subject must be an IRI or blank node"
+                )
             if self.tok.type == T_KEYWORD and self.tok.value == "a":
                 self._advance()
                 p = f"<{RDF_TYPE}>"
             else:
                 p = self._term_encoded()
+            if not p.startswith("<"):
+                raise RDFSyntaxError("triple-term predicate must be an IRI")
             o = self._term_encoded()
             self._expect(T_RTT)
             return f"<<({s} {p} {o})>>"
@@ -1179,15 +1311,23 @@ class SparqlParser:
             # <<( s p o )>> in an expression ≡ TRIPLE(s, p, o)
             self._advance()
 
-            def part() -> Expr:
+            def part(role: str) -> Expr:
                 if self.tok.type == T_VAR:
                     return Expr("var", self._advance().value)
                 if self.tok.type == T_KEYWORD and self.tok.value == "a":
                     self._advance()
                     return Expr("const", f"<{RDF_TYPE}>")
-                return Expr("const", self._term_encoded())
+                t = self._term_encoded()
+                # grammar-level component checks (tripleterm-subject-03/06)
+                if role == "s" and (t.startswith("<<(") or t.startswith('"')):
+                    raise RDFSyntaxError(
+                        "triple-term subject must be an IRI or blank node"
+                    )
+                if role == "p" and not t.startswith("<"):
+                    raise RDFSyntaxError("triple-term predicate must be an IRI")
+                return Expr("const", t)
 
-            args = [part(), part(), part()]
+            args = [part("s"), part("p"), part("o")]
             self._expect(T_RTT)
             return Expr("call", "TRIPLE", args)
         if self.tok.type == T_KEYWORD and self.tok.value.lower() == "exists":
@@ -1510,7 +1650,11 @@ def _typed(e: Expr, avail: Optional[set] = None) -> Tuple[F.Column, str]:
                 java_flags = "".join(f for f in flags if f in "imsx")
                 if java_flags:
                     pat = f"(?{java_flags}){pat}"
-            return plain(0).rlike(pat), "bool"
+            # the text argument must be a string literal — IRIs/typed
+            # literals are an expression error (regex-query-003)
+            return F.when(
+                _stringish(targs[0][0], targs[0][1]), plain(0).rlike(pat)
+            ), "bool"
         if name == "CONTAINS":
             return plain(0).contains(plain(1)), "bool"
         if name == "STRSTARTS":
@@ -2918,7 +3062,15 @@ def _compile_select(
             elif e.kind == "var":
                 c = tf.order_key(_compile_expr(e))
             else:
-                c = _compile_expr(e)
+                col, kind = _typed(e)
+                if kind in ("term", "iri"):
+                    # term-valued expression (e.g. a cast): SPARQL term
+                    # order, numerics by value (dawg Function sort)
+                    c = tf.order_key(col)
+                elif kind == "numdt":
+                    c = col["v"]
+                else:
+                    c = col  # bool / native numeric sort directly
             keys.append(c.asc() if asc else c.desc())
         return keys
 

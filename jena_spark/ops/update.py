@@ -290,6 +290,7 @@ class UpdateParser(SparqlParser):
         → [(graph_ctx, TriplePat)] — graph_ctx None / encoded term / ?var."""
         self._expect("{")
         out: List[Tuple[Optional[str], TriplePat]] = []
+        self._bn_track = False  # update templates: labels scope per operation
 
         def triples_into(gctx) -> None:
             g2 = Group()
@@ -326,6 +327,7 @@ class UpdateParser(SparqlParser):
             else:
                 triples_into(None)
         self._advance()
+        self._bn_track = True
         return out
 
 

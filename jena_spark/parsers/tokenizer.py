@@ -280,8 +280,19 @@ class Tokenizer:
 
         if c == "<":
             # SPARQL mode: "<" is a comparison operator when it cannot
-            # start an IRIREF (followed by space, '=', digit, or var)
+            # start an IRIREF (followed by space, '=', digit, or var) —
+            # except that '<?...>' / '<2...>' ARE legal relative IRIREFs
+            # (dawg syntax-general-12): scan ahead for a closing '>'
+            # before any whitespace to disambiguate, like the reference
+            # tokenizer's lookahead.
             if self.sparql and self._peek(1) in " \t\r\n=?$0123456789":
+                if self._peek(1) not in " \t\r\n=":
+                    j = self.i + 1
+                    s_, n_ = self.s, self.n
+                    while j < n_ and s_[j] not in ' \t\r\n<>"{}|^`\\':
+                        j += 1
+                    if j < n_ and s_[j] == ">":
+                        return self._iri()
                 return self._sparql_op()
             if self._peek(1) == "<":
                 # RDF 1.2: "<<(" triple term / "<<" reified triple

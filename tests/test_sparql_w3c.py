@@ -35,7 +35,7 @@ SUITES = [
     (DAWG_DIR, "triple-match", 4),
     (DAWG_DIR, "bound", 1),
     (DAWG_DIR, "distinct", 11),
-    (DAWG_DIR, "sort", 10),
+    (DAWG_DIR, "sort", 13),
     (DAWG_DIR, "ask", 4),
     (DAWG_DIR, "construct", 5),
     (DAWG_DIR, "optional", 7),
@@ -51,6 +51,9 @@ SUITES = [
     (DAWG_DIR, "i18n", 5),
     (DAWG_DIR, "solution-seq", 13),
     (DAWG_DIR, "dataset", 15),
+    (DAWG_DIR, "expr-builtin", 23),
+    (DAWG_DIR, "reduced", 2),
+    (DAWG_DIR, "regex", 4),
     (SPARQL12_DIR, "lang-basedir", 6),
     (SPARQL12_DIR, "rdf11", 3),
     (SPARQL12_DIR, "grouping", 1),
@@ -145,12 +148,26 @@ def test_w3c_update_syntax_suite(spark):
     assert p >= 54
 
 
-def test_w3c_query_syntax_suite(spark):
+SYNTAX_SUITES = [
+    (SPARQL11_DIR, "syntax-query", 94),
+    (DAWG_DIR, "syntax-sparql1", 81),
+    (DAWG_DIR, "syntax-sparql2", 53),
+    (DAWG_DIR, "syntax-sparql3", 51),
+    (DAWG_DIR, "syntax-sparql4", 12),
+    (DAWG_DIR, "syntax-sparql5", 2),
+    (SPARQL12_DIR, "codepoint-escapes", 8),
+    (SPARQL12_DIR, "syntax-triple-terms-positive", 95),
+    (SPARQL12_DIR, "syntax-triple-terms-negative", 63),
+]
+
+
+@pytest.mark.parametrize(
+    "base,sub,min_pass", SYNTAX_SUITES, ids=[s[1] for s in SYNTAX_SUITES]
+)
+def test_w3c_query_syntax_suite(spark, base, sub, min_pass):
     from jena_spark.w3c_sparql import run_query_syntax_dir
 
-    p, f, s, details = run_query_syntax_dir(
-        spark, os.path.join(SPARQL11_DIR, "syntax-query")
-    )
+    p, f, s, details = run_query_syntax_dir(spark, os.path.join(base, sub))
     fails = [(n, d) for n, o, d in details if o == "fail"]
-    assert not fails, f"syntax-query: {fails[:5]}"
-    assert p >= 94
+    assert not fails, f"{sub}: {fails[:5]}"
+    assert p >= min_pass
