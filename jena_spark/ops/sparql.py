@@ -124,6 +124,15 @@ class ValuesPat:
 
 
 @dataclass
+class ServicePat:
+    """SERVICE [SILENT] — parsed for syntax conformance (syntax-fed);
+    execution raises: this engine performs no network federation."""
+    silent: bool
+    endpoint: str
+    pattern: "Group"
+
+
+@dataclass
 class GraphPat:
     graph: str          # "?var" or encoded IRI term
     pattern: "Group"
@@ -738,6 +747,15 @@ class SparqlParser:
                 gterm = self._term_or_var()
                 g.elements.append(GraphPat(gterm, self._group()))
                 self._bn_break()
+            elif kw == "service":
+                self._advance()
+                silent = False
+                if self._kw() == "silent":
+                    silent = True
+                    self._advance()
+                ep = self._term_or_var()
+                g.elements.append(ServicePat(silent, ep, self._group()))
+                self._bn_break()
             elif kw == "values":
                 self._advance()
                 g.elements.append(self._values_clause())
@@ -768,7 +786,7 @@ class SparqlParser:
                 if not (
                     self.tok.type in (T_DOT, T_RBRACE, T_LBRACE)
                     or self._kw() in ("filter", "optional", "minus",
-                                      "bind", "graph", "values")
+                                      "bind", "graph", "values", "service")
                 ):
                     raise RDFSyntaxError(
                         f"line {self.tok.line}: expected '.' or '}}' after "
@@ -2663,6 +2681,10 @@ def _compile_group_n(
                 # bound later in this group (e.g. by the enclosing triple
                 # pattern of a <<( )>> in object position) — defer
                 pending_decomps.append(el)
+        elif isinstance(el, ServicePat):
+            raise RDFSyntaxError(
+                "SERVICE is not supported (no network federation)"
+            )
         elif isinstance(el, SubGroupPat):
             sub, snull = _compile_group_n(triples, el.pattern, graph_term, graph_var)
             if df is None:

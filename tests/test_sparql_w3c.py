@@ -150,6 +150,7 @@ def test_w3c_update_syntax_suite(spark):
 
 SYNTAX_SUITES = [
     (SPARQL11_DIR, "syntax-query", 94),
+    (SPARQL11_DIR, "syntax-fed", 3),
     (DAWG_DIR, "syntax-sparql1", 81),
     (DAWG_DIR, "syntax-sparql2", 53),
     (DAWG_DIR, "syntax-sparql3", 51),
@@ -171,3 +172,14 @@ def test_w3c_query_syntax_suite(spark, base, sub, min_pass):
     fails = [(n, d) for n, o, d in details if o == "fail"]
     assert not fails, f"{sub}: {fails[:5]}"
     assert p >= min_pass
+
+
+def test_w3c_update_syntax_2_suite(spark):
+    from jena_spark.w3c_sparql import run_update_syntax_dir
+
+    p, f, s, details = run_update_syntax_dir(
+        spark, os.path.join(SPARQL11_DIR, "syntax-update-2")
+    )
+    fails = [(n, d) for n, o, d in details if o == "fail"]
+    assert not fails, f"syntax-update-2: {fails}"
+    assert p >= 1
