@@ -124,6 +124,15 @@ class ValuesPat:
 
 
 @dataclass
+class LateralPat:
+    """LATERAL (ARQ extension / SPARQL 1.2 WG item): evaluate the inner
+    pattern once per LHS solution with its bindings in scope —
+    correlated evaluation with per-solution modifiers (testing/ARQ/
+    Lateral; sparql/algebra/op/OpLateral.java)."""
+    pattern: "Group"
+
+
+@dataclass
 class ServicePat:
     """SERVICE [SILENT] — parsed for syntax conformance (syntax-fed);
     execution raises: this engine performs no network federation."""
@@ -747,6 +756,10 @@ class SparqlParser:
                 gterm = self._term_or_var()
                 g.elements.append(GraphPat(gterm, self._group()))
                 self._bn_break()
+            elif kw == "lateral":
+                self._advance()
+                g.elements.append(LateralPat(self._group()))
+                self._bn_break()
             elif kw == "service":
                 self._advance()
                 silent = False
@@ -786,7 +799,7 @@ class SparqlParser:
                 if not (
                     self.tok.type in (T_DOT, T_RBRACE, T_LBRACE)
                     or self._kw() in ("filter", "optional", "minus",
-                                      "bind", "graph", "values", "service")
+                                      "bind", "graph", "values", "service", "lateral")
                 ):
                     raise RDFSyntaxError(
                         f"line {self.tok.line}: expected '.' or '}}' after "
@@ -2446,6 +2459,125 @@ def _apply_term_decomp(df: DataFrame, el: TermDecomp) -> DataFrame:
     return df
 
 
+def _compile_lateral(
+    triples: DataFrame,
+    lhs: DataFrame,
+    lnull: set,
+    pattern: Group,
+    graph_term: Optional[str] = None,
+    graph_var: Optional[str] = None,
+) -> Tuple[DataFrame, set]:
+    """Correlated LATERAL evaluation: the inner pattern sees the LHS
+    bindings (substitution semantics, OpLateral); inner subquery
+    modifiers (ORDER/LIMIT/OFFSET) apply PER LHS SOLUTION via a window
+    over a per-row id."""
+    if "__lrow" not in lhs.columns:
+        lhs = lhs.withColumn(
+            "__lrow", F.monotonically_increasing_id()
+        ).localCheckpoint(eager=True)
+    df, nullable = lhs, set(lnull)
+    for el in pattern.elements:
+        if isinstance(el, TriplePat):
+            rel = bgp(triples, [(el.s, el.p, el.o)],
+                      graph_term=graph_term, graph_var=graph_var)
+            df, nullable = _join_compat(df, nullable, rel, set(), "inner")
+        elif isinstance(el, Filter):
+            # correlated filters see LHS columns (lateral-3)
+            df = df.filter(
+                F.coalesce(_as_bool(el.expr, set(df.columns)), F.lit(False))
+            )
+        elif isinstance(el, SubSelectPat):
+            df, nullable = _lateral_subselect(
+                triples, df, nullable, el.query, graph_term, graph_var, False
+            )
+        elif isinstance(el, OptionalPat) and (
+            len(el.pattern.elements) == 1
+            and isinstance(el.pattern.elements[0], SubSelectPat)
+        ):
+            df, nullable = _lateral_subselect(
+                triples, df, nullable, el.pattern.elements[0].query,
+                graph_term, graph_var, True,
+            )
+        elif isinstance(el, SubGroupPat):
+            df, nullable = _compile_lateral(
+                triples, df, nullable, el.pattern, graph_term, graph_var
+            )
+        else:
+            raise RDFSyntaxError(
+                f"unsupported element inside LATERAL: {type(el).__name__}"
+            )
+    return df.drop("__lrow"), nullable
+
+
+def _lateral_subselect(
+    triples: DataFrame,
+    lhs: DataFrame,
+    lnull: set,
+    q: "SelectQuery",
+    graph_term: Optional[str],
+    graph_var: Optional[str],
+    optional: bool,
+) -> Tuple[DataFrame, set]:
+    """Subquery inside LATERAL: the PATTERN is evaluated correlated
+    (outer bindings substituted even when not projected — lateral-5),
+    the projection restricts the NEW columns, and ORDER/LIMIT apply per
+    LHS row.  ``optional`` re-attaches unmatched LHS rows with nulls."""
+    from pyspark.sql.window import Window
+
+    if q.aggregates or q.group_by or q.proj_exprs or q.having is not None:
+        raise RDFSyntaxError(
+            "aggregating subqueries inside LATERAL are not supported"
+        )
+    lhs_id = lhs if "__lrow" in lhs.columns else lhs.withColumn(
+        "__lrow", F.monotonically_increasing_id()
+    ).localCheckpoint(eager=True)
+    work, wnull = lhs_id, set(lnull)
+    for el in q.where.elements:
+        if isinstance(el, TriplePat):
+            rel = bgp(triples, [(el.s, el.p, el.o)],
+                      graph_term=graph_term, graph_var=graph_var)
+            work, wnull = _join_compat(work, wnull, rel, set(), "inner")
+        elif isinstance(el, Filter):
+            work = work.filter(
+                F.coalesce(_as_bool(el.expr, set(work.columns)), F.lit(False))
+            )
+        else:
+            raise RDFSyntaxError(
+                "unsupported pattern inside a LATERAL subquery"
+            )
+    proj = q.variables or [
+        c for c in work.columns
+        if c not in ("__lrow",) and not c.startswith("__anon")
+    ]
+    keep = list(dict.fromkeys(
+        [c for c in lhs_id.columns] + [v for v in proj if v in work.columns]
+    ))
+    work = work.select(*[c for c in keep if c in work.columns])
+    if q.limit is not None or q.offset:
+        keys = []
+        for e, asc in q.order:
+            col, kind = _typed(e, set(work.columns))
+            c = tf.order_key(col) if kind in ("term", "iri") else col
+            keys.append(c.asc() if asc else c.desc())
+        # deterministic tiebreak for LIMIT without (full) ORDER
+        keys += [F.col(c).asc() for c in work.columns if c != "__lrow"]
+        w = Window.partitionBy("__lrow").orderBy(*keys)
+        work = work.withColumn("__rn", F.row_number().over(w))
+        lo = q.offset or 0
+        cond = F.col("__rn") > lo
+        if q.limit is not None:
+            cond = cond & (F.col("__rn") <= lo + q.limit)
+        work = work.filter(cond).drop("__rn")
+    newnull = wnull | (set(work.columns) - set(lhs_id.columns))
+    if optional:
+        add = [c for c in work.columns if c not in lhs_id.columns]
+        res = lhs_id.join(
+            work.select("__lrow", *add), "__lrow", "left_outer"
+        )
+        return res, set(lnull) | set(add)
+    return work, newnull
+
+
 def _compile_group_n(
     triples: DataFrame,
     g: Group,
@@ -2681,6 +2813,16 @@ def _compile_group_n(
                 # bound later in this group (e.g. by the enclosing triple
                 # pattern of a <<( )>> in object position) — defer
                 pending_decomps.append(el)
+        elif isinstance(el, LateralPat):
+            if df is None:
+                # no LHS: LATERAL of the unit table = the pattern itself
+                df, nullable = _compile_group_n(
+                    triples, el.pattern, graph_term, graph_var
+                )
+            else:
+                df, nullable = _compile_lateral(
+                    triples, df, nullable, el.pattern, graph_term, graph_var
+                )
         elif isinstance(el, ServicePat):
             raise RDFSyntaxError(
                 "SERVICE is not supported (no network federation)"

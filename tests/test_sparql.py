@@ -670,3 +670,80 @@ def test_projection_scope_rules(tri):
         )
     with pytest.raises(RDFSyntaxError):
         sparql_select(tri, "SELECT * WHERE { ?s ?p ?o } GROUP BY ?s")
+
+
+# --- round 3: LATERAL (ARQ extension; testing/ARQ/Lateral semantics) --------
+
+@pytest.fixture(scope="module")
+def lat(spark):
+    rows_ = [
+        ("<http://example/s1>", "<http://example/p>", '"1"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+        ("<http://example/s1>", "<http://example/label>", '"s1-one"'),
+        ("<http://example/s2>", "<http://example/p>", '"2"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+        ("<http://example/s2>", "<http://example/label>", '"s2-one"'),
+        ("<http://example/s2>", "<http://example/label>", '"s2-two"'),
+        ("<http://example/s3>", "<http://example/p>", '"3"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+        ("<http://example/s3>", "<http://example/label>", '"s3-one"'),
+        ("<http://example/s3>", "<http://example/label>", '"s3-two"'),
+        ("<http://example/s3>", "<http://example/label>", '"s3-three"'),
+        ("<http://example/x1>", "<http://example/q>", '"1"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+        ("<http://example/z1>", "<http://example/q>", '"1"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+        ("<http://example/x0>", "<http://example/q>", '"a"'),
+        ("<http://example/z0>", "<http://example/q>", '"b"'),
+    ]
+    return spark.createDataFrame(rows_, ["subj", "pred", "obj"]).cache()
+
+
+def test_lateral_per_row_limit(lat):
+    # ARQ lateral-1: per-?s LIMIT 2 → 1 + 2 + 2 = 5 rows, all true pairs
+    out = sparql_select(
+        lat,
+        """PREFIX : <http://example/>
+           SELECT ?s ?label {
+             ?s :p ?o
+             LATERAL { SELECT * { ?s :label ?label } LIMIT 2 }
+           }""",
+    ).collect()
+    from collections import Counter
+    per_s = Counter(r["s"] for r in out)
+    assert per_s == {
+        "<http://example/s1>": 1,
+        "<http://example/s2>": 2,
+        "<http://example/s3>": 2,
+    }
+    for r in out:  # every pair must be a genuine (s, label) edge
+        assert r["label"].startswith('"' + r["s"].split("/")[-1][:2])
+
+
+def test_lateral_correlated_filters(lat):
+    # ARQ lateral-3: filters inside LATERAL see the outer bindings
+    out = sparql_select(
+        lat,
+        """PREFIX : <http://example/>
+           SELECT * {
+             ?s :q ?z .
+             LATERAL { ?x :q ?v . FILTER(?x != ?s) FILTER(?v = ?z) }
+           }""",
+    )
+    got = {(r["s"], r["x"]) for r in out.collect()}
+    assert got == {
+        ("<http://example/x1>", "<http://example/z1>"),
+        ("<http://example/z1>", "<http://example/x1>"),
+    }
+
+
+def test_lateral_subquery_correlation(lat):
+    # ARQ lateral-4/-5: inner subquery correlates on ?s even when the
+    # subquery does not project it (substitution, not join, semantics)
+    for proj in ("?s ?z", "?z"):
+        out = sparql_select(
+            lat,
+            f"""PREFIX : <http://example/>
+                SELECT * {{
+                  ?s :p ?o .
+                  LATERAL {{ SELECT {proj} {{ ?s :p ?z }} }}
+                }}""",
+        ).collect()
+        assert len(out) == 3
+        for r in out:
+            assert r["z"] == r["o"]  # each row pairs with its OWN value
