@@ -498,6 +498,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def dedup_simhash(spark, sf):
         return dd.simhash(_spread(_read(spark, sf, "documents")), nbits=16)
 
+    def text_chunks(spark, sf):
+        # sliding-window chunking (training-data prep; round-3 feature)
+        return ts.chunk_documents(
+            _read(spark, sf, "documents"), chunk_tokens=32, overlap=8
+        )
+
     def dedup_embedding_pairs(spark, sf):
         # embedding-cosine near-dup: sign-bit LSH banding + exact verify
         return sim.embedding_near_dup(
@@ -582,6 +588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup_minhash_pairs=dedup_minhash_pairs,
         dedup_jaccard=dedup_jaccard,
         dedup_simhash=dedup_simhash,
+        text_chunks=text_chunks,
         dedup_embedding_pairs=dedup_embedding_pairs,
         text_langid=text_langid,
         text_quality=text_quality,
@@ -995,6 +1002,17 @@ def oracle_sql() -> dict[str, str]:
         "CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
         "x -> length(x) > 0)) AS BIGINT) AS subword_pieces "
         "FROM documents"
+    )
+
+    o["text_chunks"] = (
+        "WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks "
+        "FROM documents), "
+        "c AS (SELECT doc_id, toks, CASE WHEN len(toks) <= 32 THEN 1 "
+        "ELSE CAST(ceil((len(toks) - 32) / 24.0) AS INT) + 1 END AS n FROM t), "
+        "x AS (SELECT doc_id, toks, unnest(range(0, n)) AS i FROM c) "
+        "SELECT doc_id, CAST(i AS INT) AS chunk_id, "
+        "array_to_string(toks[i*24+1 : i*24+32], ' ') AS chunk_text, "
+        "CAST(len(toks[i*24+1 : i*24+32]) AS BIGINT) AS chunk_tokens FROM x"
     )
 
     o["text_fingerprint"] = (

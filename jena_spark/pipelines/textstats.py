@@ -144,3 +144,41 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     text (the cheap, exact-dup-robust canonical form)."""
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     return docs.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window document chunking — the standard training-data
+    prep step (fixed token windows with overlap).  Pure built-in column
+    work: ONE whitespace split, a ``sequence``/``transform`` window
+    fan-out and a ``posexplode`` — no Python in the hot path, no
+    shuffle (narrow per-document computation; at 100 TB this is a map
+    stage whose output is repartitioned only by the *writer*).
+
+    Returns (id, chunk_id, chunk_text, chunk_tokens); the final window
+    is truncated, short documents yield one chunk."""
+    assert 0 <= overlap < chunk_tokens
+    step = chunk_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.ceil((n - F.lit(chunk_tokens)) / F.lit(float(step))) + 1
+    ).cast("int")
+    windows = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(toks, i * step + 1, chunk_tokens),
+    )
+    out = docs.select(
+        F.col(id_col), F.posexplode(windows).alias("chunk_id", "__w")
+    )
+    return out.select(
+        id_col,
+        "chunk_id",
+        F.concat_ws(" ", F.col("__w")).alias("chunk_text"),
+        F.size("__w").cast("long").alias("chunk_tokens"),
+    )

@@ -264,3 +264,26 @@ def test_embedding_near_dup_bucket_cap(spark):
     )
     assert out.count() == 0
     assert msgs and "dropped" in msgs[0]
+
+
+def test_chunk_documents(spark):
+    docs = spark.createDataFrame(
+        [(0, " ".join(f"w{i}" for i in range(70))), (1, "a b"), (2, "")],
+        ["doc_id", "text"],
+    )
+    out = sorted(
+        ts.chunk_documents(docs, chunk_tokens=32, overlap=8).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_id"]),
+    )
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 0: 70 tokens, windows at 0/24/48 → 32+32+22
+    assert [r["chunk_tokens"] for r in by_doc[0]] == [32, 32, 22]
+    assert by_doc[0][1]["chunk_text"].startswith("w24 ")
+    # overlap: last 8 tokens of chunk k = first 8 of chunk k+1
+    c0, c1 = by_doc[0][0]["chunk_text"].split(), by_doc[0][1]["chunk_text"].split()
+    assert c0[-8:] == c1[:8]
+    # short and empty docs give one chunk
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["chunk_tokens"] == 2
+    assert len(by_doc[2]) == 1
