@@ -90,3 +90,54 @@ def apply_patch_batch(target_dir: str):
         spark.read.parquet(target_dir + "_next").write.mode("overwrite").parquet(target_dir)
 
     return apply
+
+
+def stream_dedup_stateful(
+    docs_stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-micro-batch exact deduplication as a CUSTOM STATEFUL
+    operator (``applyInPandasWithState``): the state per content hash is
+    a seen-marker, so only the FIRST document with a given content ever
+    reaches the sink — across triggers and across restarts (state lives
+    in the checkpoint).
+
+    This is the streaming analog of ``pipelines.dedup.dedup_exact`` and
+    the Spark-native replacement for a reference-style stateful
+    StreamRDF wrapper (riot/system/StreamRDFCountingBase.java keeps
+    running state the same way).  Scale: state is hash-partitioned by
+    key (RocksDB/HDFS state store on a cluster); per-key state is one
+    boolean, so the store grows with DISTINCT content only."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keyed = docs_stream.select(
+        F.md5(F.col(text_col)).alias("content_md5"),
+        F.col(id_col).cast("long").alias("keep_id"),
+        F.col(text_col).alias("text"),
+    )
+
+    out_type = "content_md5 string, keep_id long, text string"
+    state_type = "seen int"
+
+    def first_only(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            return  # content already emitted in an earlier batch
+        first = None
+        for pdf in pdfs:
+            if len(pdf) and first is None:
+                row = pdf.nsmallest(1, "keep_id")
+                first = row[["content_md5", "keep_id", "text"]]
+        if first is not None:
+            state.update((1,))
+            yield first
+
+    return keyed.groupBy("content_md5").applyInPandasWithState(
+        first_only,
+        outputStructType=out_type,
+        stateStructType=state_type,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -221,3 +221,44 @@ def test_node_id_collision_audit(spark, tmp_path):
     # clean table passes (audit on by default)
     out = materialize_encoded(tri, str(tmp_path / "enc2"))
     assert "spo" in out
+
+
+def test_stream_dedup_stateful_across_triggers(spark, tmp_path):
+    """applyInPandasWithState keeps per-content state in the checkpoint:
+    a duplicate arriving in a LATER micro-batch (even a later run) is
+    suppressed."""
+    import os
+    from jena_spark.streaming import stream_dedup_stateful
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    def run_available():
+        stream = (
+            spark.readStream.schema("doc_id long, text string").parquet(src)
+        )
+        q = (
+            stream_dedup_stateful(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], ["doc_id", "text"]
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_available()
+    # second batch: one duplicate of an earlier batch, one new
+    spark.createDataFrame(
+        [(4, "alpha"), (5, "gamma")], ["doc_id", "text"]
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_available()
+
+    got = {r["text"]: r["keep_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {"alpha": 1, "beta": 2, "gamma": 5}
