@@ -21,8 +21,12 @@ AUDIT = [
     "alg_join",
     "alg_topn",
     "dedup_minhash_pairs",
+    "dedup_embedding_pairs",
     "ann_cosine_topk",
     "text_quality",
+    "text_chunks",
+    "kg_sparql_update",
+    "kg_sparql_describe",
 ]
 
 
