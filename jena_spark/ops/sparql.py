@@ -2058,7 +2058,12 @@ class _bnode_scope:
         self.df = df
         if any(_contains_call(e, "BNODE") for e in exprs):
             self.rid = f"__bnrow{next(_BNODE_SALT)}"
-            self.df = df.withColumn(self.rid, F.monotonically_increasing_id())
+            # pin the row ids: monotonically_increasing_id is not stable
+            # under recomputation (self-joins, retries), and BNODE labels
+            # derive from it — same reasoning as _instantiate's checkpoint
+            self.df = df.withColumn(
+                self.rid, F.monotonically_increasing_id()
+            ).localCheckpoint(eager=True)
             self.token = _BNODE_ROWID.set(self.rid)
 
     def finish(self, df: DataFrame) -> DataFrame:
@@ -3107,13 +3112,27 @@ def _subst_native(e: Expr, native: set) -> Expr:
 
 def _fresh_bnodes(col: F.Column, suffix: str) -> F.Column:
     """Consistently relabel blank nodes in a term column (plain bnodes
-    and bnodes inside RDF 1.2 triple terms) by appending ``suffix``."""
+    and bnodes inside RDF 1.2 triple terms) by appending ``suffix``.
+
+    For triple terms the rewrite must NOT touch ``_:``-like substrings
+    inside quoted literal content (``<<(<s> <p> "see _:b1")>>``).  Java
+    regex replacement cannot be conditional on which alternative
+    matched, so: one pass marks BOTH quoted strings and bnode tokens
+    with a \\x01 sentinel (quoted strings are consumed atomically, so
+    bnode-shaped text inside them is never matched on its own), a second
+    pass strips the sentinel after closing quotes, and a third turns the
+    remaining sentinels into the suffix.  All three stay JVM-side."""
+    quoted_or_bnode = r'("(?:[^"\\]|\\.)*")|(_:[A-Za-z0-9_\-]+)'
+    relabel_triple = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(col, quoted_or_bnode, "$1$2\x01"),
+            '"\x01', '"',
+        ),
+        "\x01", suffix,
+    )
     return (
         F.when(col.startswith("_:"), F.concat(col, F.lit(suffix)))
-        .when(
-            col.startswith("<<("),
-            F.regexp_replace(col, r"(_:[A-Za-z0-9_\-]+)", f"$1{suffix}"),
-        )
+        .when(col.startswith("<<("), relabel_triple)
         .otherwise(col)
     )
 
@@ -3446,7 +3465,9 @@ def sparql_query(triples: DataFrame, query: str, base: Optional[str] = None):
     CONSTRUCT / DESCRIBE → triples DataFrame."""
     q = _parse_query(query, base)
     if isinstance(q, AskQuery):
-        return not _compile_group(_apply_datasets(triples, q), q.where).isEmpty()
+        # dispatch through sparql_ask so the _with_base scope applies —
+        # a query-level BASE must reach IRI()/URI() here too
+        return sparql_ask(triples, query, base)
     if isinstance(q, ConstructQuery):
         return sparql_construct(triples, query, base)
     if isinstance(q, DescribeQuery):

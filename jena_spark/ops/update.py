@@ -45,7 +45,6 @@ from .sparql import (
     SparqlParser,
     TriplePat,
     _compile_group,
-    _fresh_bnodes,
 )
 
 Quad = Tuple[Optional[str], str, str, str]
@@ -406,8 +405,102 @@ def _minus(store: DataFrame, removal: DataFrame) -> DataFrame:
     return store.join(r, cond, "left_anti")
 
 
-def _union(store: DataFrame, add: DataFrame) -> DataFrame:
-    return store.unionByName(add.select(*store.columns)).dropDuplicates()
+def _union(
+    store: DataFrame, add: DataFrame, known_small: bool = False,
+    pre_deduped: bool = False,
+) -> DataFrame:
+    """Delta-shaped insert (set semantics without re-shuffling the store).
+
+    The store is distinct by invariant — sparql_update() normalizes once
+    on entry and every operation here preserves the set property — so
+    the old full-store ``dropDuplicates()`` per op was redundant and, at
+    corpus scale, turned every 3-quad INSERT DATA into a full-shuffle
+    job.  Instead: dedup the (small) delta, subtract the rows the store
+    already has, append the remainder with a plain union.
+
+    The subtraction is shaped so the STORE is never exchanged: a normal
+    ``delta ANTI JOIN store`` would shuffle both sides (the broadcastable
+    side of an anti join is the right one).  We flip it — semi-join the
+    store against the *broadcast* delta (BroadcastHashJoin: the store is
+    only streamed) to get the already-present rows (≤ |delta|), then
+    anti-join the delta against that small overlap.  For deltas too big
+    to broadcast (a whole-graph ADD, a store-sized INSERT ... WHERE) we
+    fall back to the plain anti join: one shuffle, still cheaper than
+    the old distinct over store ∪ delta.
+
+    Set semantics per sparql/modify/UpdateEngineWorker.java (Jena's
+    graph add is idempotent; the stored dataset is a quad set)."""
+    a = add.select(*store.columns)
+    if not pre_deduped:
+        a = a.dropDuplicates()
+    if not known_small:
+        # the delta is about to be scanned 2-3×; pin it and learn its
+        # size so we can pick the broadcast or the shuffle formulation
+        a = a.localCheckpoint(eager=True)
+        known_small = a.count() <= 2_000_000
+    delta = a.select(
+        F.col("graph").alias("__g"), F.col("subj").alias("__s"),
+        F.col("pred").alias("__p"), F.col("obj").alias("__o"),
+    )
+    cond = (
+        store["graph"].eqNullSafe(delta["__g"])
+        & (store["subj"] == delta["__s"])
+        & (store["pred"] == delta["__p"])
+        & (store["obj"] == delta["__o"])
+    )
+    if known_small:
+        overlap = store.join(F.broadcast(delta), cond, "left_semi").select(
+            F.col("graph").alias("__g"), F.col("subj").alias("__s"),
+            F.col("pred").alias("__p"), F.col("obj").alias("__o"),
+        )
+        cond2 = (
+            a["graph"].eqNullSafe(overlap["__g"])
+            & (a["subj"] == overlap["__s"])
+            & (a["pred"] == overlap["__p"])
+            & (a["obj"] == overlap["__o"])
+        )
+        fresh = a.join(F.broadcast(overlap), cond2, "left_anti")
+    else:
+        fresh = a.join(store, _flip_cond(a, store), "left_anti")
+    return store.unionByName(fresh)
+
+
+def _flip_cond(left: DataFrame, right: DataFrame):
+    return (
+        left["graph"].eqNullSafe(right["graph"])
+        & (left["subj"] == right["subj"])
+        & (left["pred"] == right["pred"])
+        & (left["obj"] == right["obj"])
+    )
+
+
+def _using_dataset(store: DataFrame, using: Tuple) -> DataFrame:
+    """USING / USING NAMED restrict the dataset the WHERE clause sees —
+    as a plain *view* of the graph store (the reference's DynamicDatasets,
+    UpdateEngineWorker.java processUsing), NOT the query-side RDF merge:
+    no blank-node relabeling, so solutions bind the store's own bnodes
+    and DELETE templates can match them.  (Query FROM keeps the
+    fresh-merge semantics in sparql._apply_datasets; the two differ on
+    purpose.)"""
+    frm, named = using
+    parts = []
+    if frm:
+        dflt = store.filter(F.col("graph").isin(list(frm))).select(
+            F.lit(None).cast("string").alias("graph"), "subj", "pred", "obj"
+        )
+        if len(frm) > 1:
+            # set-union of the USING graphs: the same triple in two
+            # graphs contributes ONE default-graph solution
+            dflt = dflt.dropDuplicates()
+        parts.append(dflt)
+    if named:
+        parts.append(store.filter(F.col("graph").isin(list(named))))
+    if not parts:
+        return store.limit(0)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _graph_rows(store: DataFrame, target: Tuple) -> F.Column:
@@ -533,29 +626,55 @@ def _load_document(spark, iri: str, base: Optional[str]):
 
 
 def sparql_update(
-    store: DataFrame, request: str, base: Optional[str] = None
+    store: DataFrame, request: str, base: Optional[str] = None,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Apply a SPARQL 1.1 Update request to a quads DataFrame and return
     the new store.  The input may also be a triples DataFrame (no
-    ``graph`` column): a null graph column is added."""
+    ``graph`` column): a null graph column is added.
+
+    The store is kept DISTINCT throughout (RDF set semantics).  Pass
+    ``assume_distinct=True`` when the input is already duplicate-free
+    (materialized stores, prior sparql_update output) to skip the one
+    entry normalization shuffle — every operation after that point is
+    delta-shaped and never re-shuffles the store (the round-3 full-store
+    ``dropDuplicates()`` per op is gone)."""
     if "graph" not in store.columns:
         store = store.select(
             F.lit(None).cast("string").alias("graph"), "subj", "pred", "obj"
         )
     else:
         store = store.select("graph", "subj", "pred", "obj")
+    if not assume_distinct:
+        store = store.dropDuplicates()
     spark = store.sparkSession
     parser = UpdateParser(request, base)
     ops = parser.parse_update()
     alloc = BNodeAllocator(doc_seed("sparql-update", request, "req"))
+    # lineage hygiene: each delta-shaped op adds a couple of joins to the
+    # plan; truncate every few mutations so a long request does not
+    # compile an ever-deeper tree (Modify checkpoints on its own)
+    muts = 0
+
+    def _trim(df: DataFrame) -> DataFrame:
+        nonlocal muts
+        muts += 1
+        return df.localCheckpoint(eager=True) if muts % 8 == 0 else df
 
     for idx, op in enumerate(ops):
         if isinstance(op, InsertData):
             quads = _ground_quads(op.quads, alloc, True, "INSERT DATA")
-            store = _union(store, _quads_to_df(spark, quads))
+            # ground data dedups at the driver: the delta then needs no
+            # shuffle at all (the plan for a 3-quad INSERT DATA contains
+            # zero Exchange over the store — see test_update_plan)
+            quads = list(dict.fromkeys(quads))
+            store = _trim(_union(
+                store, _quads_to_df(spark, quads),
+                known_small=True, pre_deduped=True,
+            ))
         elif isinstance(op, DeleteData):
             quads = _ground_quads(op.quads, alloc, False, "DELETE DATA")
-            store = _minus(store, _quads_to_df(spark, quads))
+            store = _trim(_minus(store, _quads_to_df(spark, quads)))
         elif isinstance(op, DeleteWhere):
             for gctx, tp in op.quads:
                 for t in (gctx, tp.s, tp.p, tp.o):
@@ -565,14 +684,11 @@ def sparql_update(
                         )
             sol = _compile_group(store, _pattern_group(op.quads))
             removal = _instantiate(sol, op.quads, None, False, f"u{idx}")
-            store = _minus(store, removal)
+            store = _trim(_minus(store, removal))
         elif isinstance(op, Modify):
             data = store
             if op.using is not None:
-                from types import SimpleNamespace
-                from .sparql import _apply_datasets
-
-                data = _apply_datasets(store, SimpleNamespace(datasets=op.using))
+                data = _using_dataset(store, op.using)
                 graph_term = None
             else:
                 graph_term = op.with_g
@@ -586,10 +702,9 @@ def sparql_update(
             if op.insert:
                 addition = _instantiate(sol, op.insert, op.with_g, True, f"u{idx}")
                 new_store = _union(new_store, addition)
-            else:
-                new_store = new_store.dropDuplicates()
             # pin the result so later ops cannot re-observe the new state
-            # through lazy recomputation of `sol`
+            # through lazy recomputation of `sol` (the store stays
+            # distinct: _minus removes rows, _union dedups its delta)
             store = new_store.localCheckpoint(eager=True)
             continue
         elif isinstance(op, Load):
@@ -603,7 +718,11 @@ def sparql_update(
                 rows = [(op.into, s, p, o) for _g, s, p, o in quads]
             else:
                 rows = [(g, s, p, o) for g, s, p, o in quads]
-            store = _union(store, _quads_to_df(spark, rows))
+            rows = list(dict.fromkeys(rows))
+            store = _trim(_union(
+                store, _quads_to_df(spark, rows),
+                known_small=True, pre_deduped=True,
+            ))
         elif isinstance(op, GraphOp):
             if op.kind == "create":
                 # TDB2 semantics: graphs exist iff non-empty; CREATE on an
@@ -633,9 +752,14 @@ def sparql_update(
                 dst_g.alias("graph"), "subj", "pred", "obj"
             )
             if op.kind == "add":
-                store = _union(store, moved)
+                store = _trim(_union(store, moved))
             else:  # copy / move replace the destination
-                store = _union(store.filter(~_graph_rows(store, op.dst)), moved)
+                # the destination slice was just cleared and `moved` is a
+                # graph-relabeled slice of the (distinct) store, so no
+                # duplicate is possible — plain append, zero joins
+                store = _trim(
+                    store.filter(~_graph_rows(store, op.dst)).unionByName(moved)
+                )
                 if op.kind == "move":
                     store = store.filter(~_graph_rows(store, op.src))
         else:  # pragma: no cover

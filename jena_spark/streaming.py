@@ -125,14 +125,19 @@ def stream_dedup_stateful(
 
         if state.exists:
             return  # content already emitted in an earlier batch
-        first = None
+        # one key's micro-batch may arrive as SEVERAL pandas chunks —
+        # track the running minimum across ALL of them so the emitted
+        # representative matches the batch analog (min id per hash)
+        best = None
         for pdf in pdfs:
-            if len(pdf) and first is None:
-                row = pdf.nsmallest(1, "keep_id")
-                first = row[["content_md5", "keep_id", "text"]]
-        if first is not None:
+            if not len(pdf):
+                continue
+            row = pdf.nsmallest(1, "keep_id")[["content_md5", "keep_id", "text"]]
+            if best is None or row["keep_id"].iloc[0] < best["keep_id"].iloc[0]:
+                best = row
+        if best is not None:
             state.update((1,))
-            yield first
+            yield best
 
     return keyed.groupBy("content_md5").applyInPandasWithState(
         first_only,

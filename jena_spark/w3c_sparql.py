@@ -932,7 +932,8 @@ def run_update_test(spark, t: UpdateTest) -> Tuple[str, str]:
         quads, "graph string, subj string, pred string, obj string"
     )
     try:
-        out = sparql_update(store, req, base)
+        # _load_dataset_quads dedups driver-side → the store is distinct
+        out = sparql_update(store, req, base, assume_distinct=True)
         got = [(r["graph"], r["subj"], r["pred"], r["obj"]) for r in out.collect()]
     except RDFSyntaxError as e:
         return "skip", f"unsupported: {e}"

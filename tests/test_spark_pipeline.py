@@ -262,3 +262,37 @@ def test_stream_dedup_stateful_across_triggers(spark, tmp_path):
 
     got = {r["text"]: r["keep_id"] for r in spark.read.parquet(out).collect()}
     assert got == {"alpha": 1, "beta": 2, "gamma": 5}
+
+
+def test_stream_dedup_multichunk_min(spark, tmp_path):
+    """One key's micro-batch split across several Arrow chunks must still
+    emit the batch-global minimum id (maxRecordsPerBatch=1 forces one
+    row per pandas chunk; the min arrives LAST)."""
+    import os
+    from jena_spark.streaming import stream_dedup_stateful
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1")
+    try:
+        spark.createDataFrame(
+            [(9, "alpha"), (5, "alpha"), (1, "alpha")], ["doc_id", "text"]
+        ).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = (
+            stream_dedup_stateful(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    got = [(r["keep_id"], r["text"]) for r in spark.read.parquet(out).collect()]
+    assert got == [(1, "alpha")]

@@ -747,3 +747,41 @@ def test_lateral_subquery_correlation(lat):
         assert len(out) == 3
         for r in out:
             assert r["z"] == r["o"]  # each row pairs with its OWN value
+
+
+def test_ask_base_through_sparql_query(spark):
+    """sparql_query must apply the same BASE scope as sparql_ask — the
+    two entry points cannot disagree on one query (round-3 advice)."""
+    from jena_spark.ops.sparql import sparql_ask, sparql_query
+
+    tri = spark.createDataFrame(
+        [("<http://ex.org/s>", "<http://ex.org/p>", '"o"')],
+        ["subj", "pred", "obj"],
+    )
+    q = 'BASE <http://ex.org/> ASK { ?s ?p ?o FILTER(IRI("s") = ?s) }'
+    assert sparql_ask(tri, q) is True
+    assert sparql_query(tri, q) is True
+
+
+def test_fresh_bnodes_spares_literal_content(spark):
+    """FROM-merge relabeling must not rewrite '_:'-like text inside a
+    quoted literal of an RDF 1.2 triple term."""
+    from pyspark.sql import functions as F
+    from jena_spark.ops.sparql import _fresh_bnodes
+
+    rows = [
+        ("_:plain",),
+        ('<<(_:y <http://e/p> "see _:b1 here")>>',),
+        ('<<(<http://e/s> <http://e/p> _:z)>>',),
+        ('"just a literal mentioning _:b2"',),
+    ]
+    df = spark.createDataFrame(rows, ["t"]).select(
+        _fresh_bnodes(F.col("t"), "F").alias("t")
+    )
+    got = [r["t"] for r in df.collect()]
+    assert got == [
+        "_:plainF",
+        '<<(_:yF <http://e/p> "see _:b1 here")>>',
+        "<<(<http://e/s> <http://e/p> _:zF)>>",
+        '"just a literal mentioning _:b2"',
+    ]

@@ -120,3 +120,86 @@ def test_syntax_validation():
             'INSERT DATA { _:b <http://e/p> "1" } ; '
             'INSERT DATA { _:b <http://e/p> "2" }'
         ).parse_update()
+
+
+def test_insert_data_no_store_shuffle(spark):
+    """The delta-shaped insert path never exchanges the store: a 3-quad
+    INSERT DATA over a distinct store compiles to a broadcast semi/anti
+    join + union — zero shuffle Exchange in the physical plan."""
+    rows = [(None, f"<http://e/s{i}>", "<http://e/p>", f'"{i}"') for i in range(100)]
+    store = spark.createDataFrame(
+        rows, "graph string, subj string, pred string, obj string"
+    ).localCheckpoint(eager=True)
+    out = sparql_update(
+        store,
+        'INSERT DATA { <http://e/x> <http://e/p> "a" . '
+        '<http://e/y> <http://e/p> "b" . <http://e/s1> <http://e/p> "1" }',
+        assume_distinct=True,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    got = quads(out)
+    assert len(got) == 102  # the existing quad is NOT duplicated
+    assert (None, "<http://e/x>", "<http://e/p>", '"a"') in got
+
+
+def test_store_stays_distinct_without_full_dedup(spark):
+    """Entry normalization (assume_distinct=False default) + delta-shaped
+    ops keep set semantics end-to-end."""
+    rows = [
+        (None, "<http://e/a>", "<http://e/p>", '"x"'),
+        (None, "<http://e/a>", "<http://e/p>", '"x"'),  # dup in input
+    ]
+    store = spark.createDataFrame(
+        rows, "graph string, subj string, pred string, obj string"
+    )
+    out = sparql_update(
+        store,
+        'INSERT DATA { <http://e/a> <http://e/p> "x" . <http://e/b> <http://e/p> "y" }',
+    )
+    assert quads(out) == [
+        (None, "<http://e/a>", "<http://e/p>", '"x"'),
+        (None, "<http://e/b>", "<http://e/p>", '"y"'),
+    ]
+
+
+def test_using_binds_store_bnodes(spark):
+    """USING builds a DynamicDatasets-style VIEW (no bnode relabeling):
+    a DELETE whose solution binds a blank node must actually remove the
+    store's quad (UpdateEngineWorker.java processUsing)."""
+    rows = [
+        ("<http://e/g1>", "_:b1", "<http://e/p>", '"x"'),
+        ("<http://e/g1>", "<http://e/a>", "<http://e/q>", "_:b1"),
+        ("<http://e/g2>", "<http://e/c>", "<http://e/p>", '"keep"'),
+    ]
+    store = spark.createDataFrame(
+        rows, "graph string, subj string, pred string, obj string"
+    )
+    out = sparql_update(
+        store,
+        """PREFIX : <http://e/>
+           DELETE { GRAPH :g1 { ?s :p ?o } }
+           USING :g1 WHERE { ?s :p ?o }""",
+    )
+    got = quads(out)
+    assert ("<http://e/g1>", "_:b1", "<http://e/p>", '"x"') not in got
+    assert len(got) == 2
+
+
+def test_using_multiple_graphs_set_union(spark):
+    """Two USING graphs holding the same triple yield ONE default-graph
+    solution (set union, not bag)."""
+    rows = [
+        ("<http://e/g1>", "<http://e/a>", "<http://e/p>", '"x"'),
+        ("<http://e/g2>", "<http://e/a>", "<http://e/p>", '"x"'),
+    ]
+    store = spark.createDataFrame(
+        rows, "graph string, subj string, pred string, obj string"
+    )
+    out = sparql_update(
+        store,
+        """PREFIX : <http://e/>
+           INSERT { :count :saw ?o } USING :g1 USING :g2 WHERE { :a :p ?o }""",
+    )
+    got = [q for q in quads(out) if q[1] == "<http://e/count>"]
+    assert got == [(None, "<http://e/count>", "<http://e/saw>", '"x"')]
