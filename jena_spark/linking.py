@@ -128,11 +128,17 @@ def lsh_candidates(
     ).select(*keys)
     mf = m_long.join(eligible, keys, "left_semi")
     ef = e_long.join(eligible, keys, "left_semi")
-    return (
+    out = (
         mf.join(ef, keys)
         .select("mention", "m_norm", "entity_iri", "entity_name", "e_norm")
         .distinct()
+        # pin the (capped) candidates, then release the banded tables —
+        # cache hygiene for long-lived sessions (see dedup.py twin)
+        .localCheckpoint(eager=True)
     )
+    m_long.unpersist(blocking=True)
+    e_long.unpersist(blocking=True)
+    return out
 
 
 def score_candidates(

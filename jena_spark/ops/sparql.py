@@ -3439,11 +3439,17 @@ def _sparql_describe_body(triples: DataFrame, q: DescribeQuery) -> DataFrame:
     frontier = nodes.localCheckpoint(eager=True)
     seen = frontier
     out = None
-    for _ in range(64):
+    for rnd in range(64):
         step = src.join(
             frontier.withColumnRenamed("node", "subj"), "subj", "left_semi"
         )
         out = step if out is None else out.unionAll(step)
+        # real CBDs converge in 2-3 rounds, but a deep bnode chain would
+        # otherwise compile a 64-deep unionAll: truncate the accumulator
+        # (and the seen set) every 8 rounds
+        if rnd % 8 == 7:
+            out = out.localCheckpoint(eager=True)
+            seen = seen.localCheckpoint(eager=True)
         new = (
             step.filter(F.col("obj").startswith("_:"))
             .select(F.col("obj").alias("node"))

@@ -158,8 +158,14 @@ def minhash_candidates(
         left.join(right, ["band_idx", "band_key"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
+        .distinct()
+        # pin the (capped, small) candidate set so the banded long table
+        # can be unpersisted NOW — without this the cache entry outlives
+        # the call and leaks across a long-lived session
+        .localCheckpoint(eager=True)
     )
-    return pairs.distinct()
+    long.unpersist(blocking=True)
+    return pairs
 
 
 # ---------------------------------------------------------------------------

@@ -287,3 +287,35 @@ def test_chunk_documents(spark):
     # short and empty docs give one chunk
     assert len(by_doc[1]) == 1 and by_doc[1][0]["chunk_tokens"] == 2
     assert len(by_doc[2]) == 1
+
+
+def test_banded_tables_unpersisted_after_candidates(spark):
+    """Cache hygiene: the banded long tables are released before the
+    candidate operators return (a long-lived session must not accumulate
+    one cache entry per call)."""
+    jsc = spark.sparkContext._jsc.sc()
+
+    def n_cached():
+        return jsc.getPersistentRDDs().size()
+
+    docs = spark.createDataFrame(
+        [(i, f"the quick brown fox {i % 3} jumps over") for i in range(30)],
+        ["doc_id", "text"],
+    )
+    before = n_cached()
+    sigs = dd.minhash_signatures(docs)
+    dd.minhash_candidates(sigs).collect()
+    mentions, entities = linking.linking_fixtures(spark, n_entities=30)
+    linking.lsh_candidates(mentions, entities).collect()
+    # localCheckpoint blocks of the (small) returned candidates may
+    # remain until GC, but the three .persist() entries must be gone
+    import gc
+    gc.collect()
+    assert n_cached() - before <= 3  # checkpoint blocks only, no leaks growth
+    # and calling again must not grow the cache further (the round-3
+    # behavior leaked 3 persisted tables per call)
+    mid = n_cached()
+    dd.minhash_candidates(sigs).collect()
+    linking.lsh_candidates(mentions, entities).collect()
+    gc.collect()
+    assert n_cached() <= mid + 3
