@@ -255,7 +255,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.select("subj", "pred", "obj")
 
+    def cdt_fold_unfold(spark, sf):
+        # CDT composites (round-4 feature): FOLD each shard's nchars into
+        # a cdt:List literal (ordered by doc IRI), then UNFOLD it back to
+        # (element, 1-based index) rows — exercises the literal
+        # serializer, the aggregate and the row expander end-to-end
+        from jena_spark.ops.sparql import sparql_select
+
+        tri = _doc_triples(spark, sf)
+        return sparql_select(
+            tri,
+            """PREFIX ex: <http://example.org/>
+               PREFIX cdt: <http://w3id.org/awslabs/neptune/SPARQL-CDTs/>
+               SELECT ?shard ?l ?idx ?val WHERE {
+                 { SELECT ?shard (FOLD(?n ORDER BY ?d) AS ?l)
+                   WHERE { ?d ex:shard ?shard . ?d ex:nchars ?n }
+                   GROUP BY ?shard }
+                 UNFOLD(?l AS ?val, ?idx)
+               }""",
+        )
+
     q.update(
+        cdt_fold_unfold=cdt_fold_unfold,
         kg_sparql_update=kg_sparql_update,
         kg_sparql_describe=kg_sparql_describe,
         kg_sparql_select=kg_sparql_select,
@@ -711,6 +732,25 @@ def oracle_sql() -> dict[str, str]:
         "AS pred, obj FROM doc_triples "
         "UNION ALL SELECT '<http://example.org/meta>', "
         "'<http://example.org/updated>', '\"round3\"'"
+    )
+
+    o["cdt_fold_unfold"] = (
+        "WITH per AS (SELECT "
+        "'<http://example.org/shard' || (doc_id % 8) || '>' AS shard, "
+        "'<http://example.org/doc' || doc_id || '>' AS d, n_chars "
+        "FROM documents), "
+        "lists AS (SELECT shard, "
+        "'\"[' || string_agg(CAST(n_chars AS VARCHAR), ', ' ORDER BY d) || "
+        "']\"^^<http://w3id.org/awslabs/neptune/SPARQL-CDTs/List>' AS l "
+        "FROM per GROUP BY shard), "
+        "rows_ AS (SELECT shard, n_chars, "
+        "row_number() OVER (PARTITION BY shard ORDER BY d) AS i FROM per) "
+        "SELECT r.shard, lists.l, "
+        "'\"' || CAST(r.i AS VARCHAR) || "
+        "'\"^^<http://www.w3.org/2001/XMLSchema#integer>' AS idx, "
+        "'\"' || CAST(r.n_chars AS VARCHAR) || "
+        "'\"^^<http://www.w3.org/2001/XMLSchema#integer>' AS val "
+        "FROM rows_ r JOIN lists ON r.shard = lists.shard"
     )
 
     o["kg_sparql_describe"] = (

@@ -166,6 +166,18 @@ class BindPat:
 
 
 @dataclass
+class UnfoldPat:
+    """UNFOLD(expr AS ?v1 [, ?v2]) — the CDT row expander (Grammar
+    main.jj Unfold(), OpUnfold.java, QueryIterUnfold.java): a cdt:List
+    value yields one row per element (?v2 = 1-based index), a cdt:Map
+    one row per entry (?v1 = key, ?v2 = value); anything else passes the
+    row through with the variables unbound."""
+    expr: "Expr"
+    var1: str
+    var2: Optional[str] = None
+
+
+@dataclass
 class ExistsPat:
     """FILTER EXISTS { … } / FILTER NOT EXISTS { … } —
     OpExecutor.java:247-259 (compiled to left_semi / left_anti)."""
@@ -225,11 +237,15 @@ class Expr:
 
 @dataclass
 class AggItem:
-    fn: str                # COUNT SUM AVG MIN MAX SAMPLE GROUP_CONCAT
+    fn: str                # COUNT SUM AVG MIN MAX SAMPLE GROUP_CONCAT FOLD …
     var: Optional[str]     # None = COUNT(*)
     distinct: bool
     alias: str
     sep: str = " "         # GROUP_CONCAT separator (SPARQL default " ")
+    # FOLD extensions (AggFoldList/AggFoldMap): FOLD(?k, ?v) → map fold;
+    # FOLD(?v ORDER BY cond …) → element order inside the folded list
+    var2: Optional[str] = None
+    order: Optional[List[Tuple["Expr", bool]]] = None
 
 
 @dataclass
@@ -317,6 +333,10 @@ def _inscope_vars(elements) -> set:
             out |= _inscope_vars(el.right.elements)
         elif isinstance(el, BindPat):
             out.add(el.var)
+        elif isinstance(el, UnfoldPat):
+            out.add(el.var1)
+            if el.var2:
+                out.add(el.var2)
         elif isinstance(el, ValuesPat):
             out |= set(el.vars)
         elif isinstance(el, SubSelectPat):
@@ -520,7 +540,8 @@ class SparqlParser:
                     # pure aggregate: surface it under the user's alias
                     item = self._agg_hoist.pop()
                     aggregates.append(
-                        AggItem(item.fn, item.var, item.distinct, alias, item.sep)
+                        AggItem(item.fn, item.var, item.distinct, alias,
+                                item.sep, item.var2, item.order)
                     )
                 else:
                     proj_exprs.append((e, alias))
@@ -670,6 +691,30 @@ class SparqlParser:
         else:
             var = self._expect(T_VAR).value
         sep = " "
+        var2: Optional[str] = None
+        aorder: Optional[List[Tuple[Expr, bool]]] = None
+        if fn == "FOLD" and self.tok.type == T_COMMA:
+            # FOLD(?k, ?v) → map fold (AggFoldMap; Grammar main.jj FOLD)
+            self._advance()
+            var2 = self._expect(T_VAR).value
+        if fn == "FOLD" and self._kw() == "order":
+            self._advance()
+            self._expect(T_KEYWORD, "by")
+            aorder = []
+            while True:
+                kw = self._kw()
+                if kw in ("asc", "desc"):
+                    self._advance()
+                    self._expect(T_LPAREN)
+                    e = self._expr()
+                    self._expect(T_RPAREN)
+                    aorder.append((e, kw == "asc"))
+                elif self.tok.type == T_VAR:
+                    aorder.append((Expr("var", self._advance().value), True))
+                else:
+                    break
+            if not aorder:
+                raise RDFSyntaxError("FOLD: empty ORDER BY")
         if self.tok.type == T_SEMI:
             self._advance()
             kw = self._expect(T_KEYWORD)
@@ -680,7 +725,7 @@ class SparqlParser:
             self._advance()
             sep = self._expect(T_STRING).value
         self._expect(T_RPAREN)
-        return fn, var, distinct, sep
+        return fn, var, distinct, sep, var2, aorder
 
     # -- group graph pattern ---------------------------------------------------
 
@@ -760,6 +805,26 @@ class SparqlParser:
                 self._advance()
                 g.elements.append(LateralPat(self._group()))
                 self._bn_break()
+            elif kw == "unfold":
+                self._advance()
+                self._expect(T_LPAREN)
+                e = self._expr()
+                self._expect(T_KEYWORD, "as")
+                v1 = self._expect(T_VAR).value
+                v2 = None
+                if self.tok.type == T_COMMA:
+                    self._advance()
+                    v2 = self._expect(T_VAR).value
+                self._expect(T_RPAREN)
+                if v2 is not None and v2 == v1:
+                    raise RDFSyntaxError("UNFOLD variables must differ")
+                ins = _inscope_vars(g.elements)
+                for v in (v1, v2):
+                    if v and v in ins:
+                        raise RDFSyntaxError(
+                            f"UNFOLD target ?{v} already in scope in this group"
+                        )
+                g.elements.append(UnfoldPat(e, v1, v2))
             elif kw == "service":
                 self._advance()
                 silent = False
@@ -1375,9 +1440,11 @@ class SparqlParser:
         ):
             # SELECT-expr / HAVING aggregate call: hoist into a hidden
             # aggregate column, reference it as a native-valued variable
-            fn, var, distinct, sep = self._agg_call()
+            fn, var, distinct, sep, var2, aorder = self._agg_call()
             alias = f"__hagg{len(self._agg_hoist)}"
-            self._agg_hoist.append(AggItem(fn, var, distinct, alias, sep))
+            self._agg_hoist.append(
+                AggItem(fn, var, distinct, alias, sep, var2, aorder)
+            )
             return Expr("plainvar", alias)
         if self.tok.type == T_KEYWORD and self.tok.value.upper() in (
             "BOUND", "REGEX", "CONTAINS", "STRSTARTS", "STRLEN", "STR",
@@ -1579,8 +1646,21 @@ def _typed(e: Expr, avail: Optional[set] = None) -> Tuple[F.Column, str]:
         term = c if t in ("term", "iri") else _term_of(c, t)
         return _compile_cast(e.value, term), "term"
     if e.kind == "fncall":
-        # custom function IRIs parse (syntax conformance) but have no
-        # registered implementation in this engine
+        # registered function IRIs: the CDT library (cdt:get/size/…,
+        # reference sparql/function/library/cdt/*.java); everything else
+        # parses (syntax conformance) but errors at compile
+        iri = e.value[1:-1] if e.value.startswith("<") else e.value
+        from . import cdt_funcs as _cf
+
+        if _cf.is_cdt_function(iri):
+            from .. import cdt as _cdt
+
+            targs_ = [_typed(a, avail) for a in e.args]
+            term_args = [_term_of(c_, t_) for c_, t_ in targs_]
+            try:
+                return _cf.compile_call(iri, term_args), "term"
+            except _cdt.CdtError as ex:
+                raise RDFSyntaxError(f"{e.value}: {ex}")
         raise RDFSyntaxError(f"unknown function {e.value}")
     if e.kind == "cmp":
         return _compile_cmp(e, avail), "bool"
@@ -2027,6 +2107,16 @@ _ACTIVE_BASE: "contextvars.ContextVar[Optional[str]]" = contextvars.ContextVar(
     "sparql_active_base", default=None
 )
 
+# CDT (cdt:List / cdt:Map) gate: set while compiling a query whose text
+# mentions the CDT namespace.  Only then do =, !=, < … and ORDER BY grow
+# their pandas-UDF composite branches — every other query keeps a pure
+# JVM plan.  (Limitation, documented in COVERAGE.md: CDT literals that
+# appear only in the *data* of a CDT-silent query compare as opaque
+# terms; Jena evaluates per-row so it has no such mode switch.)
+_CDT_ACTIVE: "contextvars.ContextVar[bool]" = contextvars.ContextVar(
+    "sparql_cdt_active", default=False
+)
+
 # BNODE()/BNODE(str) support (E_BNode.java semantics: same row + same arg
 # → same bnode; distinct rows → distinct bnodes; no-arg → fresh per call).
 # The compile site injects a per-row id column and scopes its name here;
@@ -2354,6 +2444,27 @@ def _compile_cmp(e: Expr, avail: Optional[set] = None) -> F.Column:
             return ~(ca == cb)
         return F.lit(None).cast("boolean")
     if ta == tb == "term":
+        if _CDT_ACTIVE.get() and op in ("=", "!=", "<", ">", "<=", ">="):
+            # CDT-active query: run the whole term comparison in ONE
+            # vectorized UDF (composite isEqual/compare + the scalar
+            # value spaces).  Two reasons: composites need per-row
+            # recursive parsing anyway, and the JVM compare tree
+            # references each operand dozens of times — when an operand
+            # is (or was BIND-bound to) a CDT function call, every
+            # reference would re-run that pandas UDF (40s vs 1s on the
+            # SPARQL-CDTs equality fixtures).  Non-CDT queries never
+            # reach this branch.
+            from . import cdt_funcs as _cf
+
+            if op == "=":
+                return _cf.term_eq_udf(ca, cb)
+            if op == "!=":
+                return ~_cf.term_eq_udf(ca, cb)
+            cmpv = _cf.term_cmp_udf(ca, cb)
+            return {
+                "<": cmpv < 0, ">": cmpv > 0,
+                "<=": cmpv <= 0, ">=": cmpv >= 0,
+            }[op]
         return _term_value_cmp(ca, cb, op)
     # mixed / plain / numeric: compare on the plain view
     def numview(c, t):
@@ -2849,6 +2960,28 @@ def _compile_group_n(
             base = base.withColumn(el.var, _term_of(col, kind))
             df = scope.finish(base)
             nullable.add(el.var)  # expression errors bind to unbound (null)
+        elif isinstance(el, UnfoldPat):
+            # QueryIterUnfold: the pandas UDF builds the (v1, v2) entry
+            # array per row, explode() fans it out JVM-side; empty
+            # lists/maps drop the row, non-CDT values pass through with
+            # the variables unbound — exactly the worker's behavior
+            from . import cdt_funcs as _cf
+
+            base = (
+                df if df is not None
+                else triples.sparkSession.range(1).drop("id")
+            )
+            col, kind = _typed(el.expr, set(base.columns))
+            tmp = f"__unfold{next(_BNODE_SALT)}"
+            base = base.withColumn(
+                tmp, F.explode(_cf.cdt_unfold_udf(_term_of(col, kind)))
+            )
+            base = base.withColumn(el.var1, F.col(tmp)["v1"])
+            nullable.add(el.var1)
+            if el.var2 is not None:
+                base = base.withColumn(el.var2, F.col(tmp)["v2"])
+                nullable.add(el.var2)
+            df = base.drop(tmp)
     flush()
     drain_decomps()
     if pending_decomps:
@@ -2990,11 +3123,55 @@ def _agg_column(item: AggItem):
 
         return lst, post_mode
     if fn == "FOLD":
-        # AggFoldList: collect the group's terms into a list value —
-        # sorted (SPARQL leaves order undefined; we pin it for
-        # cross-run determinism, like GROUP_CONCAT)
-        vals = F.collect_set(col) if distinct else F.collect_list(col)
-        return F.array_sort(vals), None
+        # AggFoldList / AggFoldMap (jena-arq sparql/expr/aggregate/):
+        # FOLD(?v) → cdt:List literal, FOLD(?k, ?v) → cdt:Map literal.
+        # Element order: the optional FOLD-internal ORDER BY (compiled as
+        # order_key structs sorted array-side); otherwise collection
+        # order (SPARQL leaves it undefined).  The final literal is built
+        # by a vectorized pandas UDF over the collected array — one call
+        # per GROUP, not per row.
+        from . import cdt_funcs
+
+        conds = item.order or []
+        key_cols = []
+        for ce, _asc in conds:
+            c_, k_ = _typed(ce)
+            key_cols.append(
+                tf.order_key(c_) if k_ in ("term", "iri") else c_
+            )
+        fields = [k.alias(f"k{i}") for i, k in enumerate(key_cols)]
+        fields.append(col.alias("t"))
+        if item.var2 is not None:
+            fields.append(F.col(item.var2).alias("v"))
+        arr = F.collect_list(F.struct(*fields))
+        dirs = [1 if asc else -1 for _, asc in conds]
+
+        def post_fold(c):
+            a = c
+            if dirs:
+                def cmpf(l, r):
+                    res = F.lit(0)
+                    for i in reversed(range(len(dirs))):
+                        d = dirs[i]
+                        res = (
+                            F.when(l[f"k{i}"] < r[f"k{i}"], F.lit(-d))
+                            .when(l[f"k{i}"] > r[f"k{i}"], F.lit(d))
+                            .otherwise(res)
+                        )
+                    return res
+
+                a = F.array_sort(a, cmpf)
+            if item.var2 is not None:
+                pairs = F.transform(
+                    a, lambda x: F.struct(x["t"].alias("k"), x["v"].alias("v"))
+                )
+                return cdt_funcs.cdt_fold_map_udf(pairs)
+            elems = F.transform(a, lambda x: x["t"])
+            if distinct:
+                elems = F.array_distinct(elems)
+            return cdt_funcs.cdt_fold_list_udf(elems)
+
+        return arr, post_fold
     if fn == "GROUP_CONCAT":
         # AggGroupConcat: joins lexical forms (default separator " ") and
         # keeps the language tag when every input shares it.  Order is
@@ -3184,6 +3361,11 @@ def _compile_select(
         aggs = []
         posts = []
         for item in q.aggregates + q.having_aggs:
+            # an aggregate may reference a variable the pattern never
+            # binds (legal: it is unbound in every solution)
+            for v in (item.var, item.var2):
+                if v and v not in df.columns:
+                    df = df.withColumn(v, F.lit(None).cast("string"))
             expr, post = _agg_column(item)
             tmp = f"__agg_{item.alias}"
             aggs.append(expr.alias(tmp))
@@ -3237,19 +3419,33 @@ def _compile_select(
     # else (incl. term-encoded projection expressions) gets the term key
     native_aliases = {i.alias for i in q.aggregates}
 
+    def term_order_key(termcol):
+        """order_key, widened with a composite sort key when the query
+        touches CDT (cdt literals order element-wise, compareAlways)."""
+        k = tf.order_key(termcol)
+        if not _CDT_ACTIVE.get():
+            return k
+        from . import cdt_funcs as _cf
+
+        ck = F.coalesce(_cf.cdt_sort_key_udf(termcol), F.lit(""))
+        return F.struct(
+            k["k"].alias("k"), k["v1"].alias("v1"), k["nn"].alias("nn"),
+            k["n"].alias("n"), ck.alias("c"), k["v"].alias("v"),
+        )
+
     def order_keys():
         keys = []
         for e, asc in q.order:
             if e.kind == "var" and e.value in native_aliases:
                 c = F.col(e.value)  # native-valued aggregate output
             elif e.kind == "var":
-                c = tf.order_key(_compile_expr(e))
+                c = term_order_key(_compile_expr(e))
             else:
                 col, kind = _typed(e)
                 if kind in ("term", "iri"):
                     # term-valued expression (e.g. a cast): SPARQL term
                     # order, numerics by value (dawg Function sort)
-                    c = tf.order_key(col)
+                    c = term_order_key(col)
                 elif kind == "numdt":
                     c = col["v"]
                 else:
@@ -3285,6 +3481,7 @@ def _parse_query(query: str, base: Optional[str]):
     parser = SparqlParser(query, base)
     ast = parser.parse()
     ast.base = parser.resolver.base
+    ast.uses_cdt = "SPARQL-CDTs" in query
     return ast
 
 
@@ -3296,9 +3493,11 @@ class _with_base:
 
     def __enter__(self):
         self.token = _ACTIVE_BASE.set(self.q.base)
+        self.cdt_token = _CDT_ACTIVE.set(getattr(self.q, "uses_cdt", False))
 
     def __exit__(self, *exc):
         _ACTIVE_BASE.reset(self.token)
+        _CDT_ACTIVE.reset(self.cdt_token)
 
 
 def sparql_select(triples: DataFrame, query: str, base: Optional[str] = None) -> DataFrame:

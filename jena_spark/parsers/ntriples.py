@@ -28,6 +28,7 @@ from ..terms import (
     mk_tripleterm,
 )
 from ..iri import split_iri
+from .turtle import _CDT_DTS
 from .tokenizer import (
     T_BNODE,
     T_DOT,
@@ -75,8 +76,19 @@ class _NTupleParser:
                 dt = tz.next_token()
                 if dt.type != T_IRI:
                     raise RDFSyntaxError("datatype must be an IRI")
+                dt_iri = _iri_term(dt).lex
+                lex = tok.value
+                if dt_iri in _CDT_DTS:
+                    # bnode labels inside cdt:List/Map literals share the
+                    # document scope (see parsers/turtle.py twin)
+                    from ..cdt import CdtError, relabel_bnodes
+
+                    try:
+                        lex = relabel_bnodes(lex, self.alloc.get)
+                    except CdtError:
+                        pass
                 return (
-                    mk_literal(tok.value, datatype=_iri_term(dt).lex),
+                    mk_literal(lex, datatype=dt_iri),
                     tz.next_token(),
                 )
             return mk_literal(tok.value), nxt
@@ -180,6 +192,10 @@ def _parse_fast(
         elif dt is not None:
             if dt in _LANGSTRING_DTS:
                 return None  # needs a language tag: strict parser errors
+            if dt in _CDT_DTS:
+                # cdt literals may carry document-scoped bnode labels:
+                # let the strict parser relabel them
+                return None
             o = f'"{o_l}"' if dt == XSD_STRING else f'"{o_l}"^^<{dt}>'
         else:
             o = f'"{o_l}"'

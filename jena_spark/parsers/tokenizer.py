@@ -130,9 +130,13 @@ _MASTER = _re.compile(
  |('[^'\\\n\r]*'(?!'))
  |(_:[A-Za-z_0-9][A-Za-z_0-9\-]*)
  |(<<\(|<<|\)>>|>>|\{\||\|\}|~|\^\^)
-)""",
+)[ \t]*""",
     _re.X,
 )
+# NB: the trailing [ \t]* folds the overwhelmingly common single-space
+# separator into the SAME match (half the matches per document);
+# m.end(group) still marks the token's own end for the follow-character
+# bail checks, while m.end() skips the gap.
 
 _NAME_BAIL = frozenset(".:%\\")
 _ALPHA_RUN = _re.compile(r"[A-Za-z]+")
@@ -168,7 +172,7 @@ class Tokenizer:
         toks: list = []
         append = toks.append
         match = _MASTER.match
-        tok = Token
+        mk = Token._make  # C-level tuple construction, no __new__ frame
         bail = _NAME_BAIL
         pos = 0
         line = 1
@@ -177,7 +181,7 @@ class Tokenizer:
             if m is None:
                 return None
             g = m.lastindex
-            v = m.group(g)
+            v = m[g]
             end = m.end()
             if g == 1:  # whitespace / comments
                 if "\n" in v:
@@ -185,17 +189,18 @@ class Tokenizer:
                 pos = end
                 continue
             if g == 2:  # prefixed name
-                nxt = s[end] if end < n else ""
+                te = m.end(g)  # token end (before any folded separator)
+                nxt = s[te] if te < n else ""
                 if nxt and (nxt in bail or ord(nxt) >= 0x80):
                     return None
                 pfx, _, loc = v.partition(":")
-                append(tok(T_PNAME, pfx, loc, line))
+                append(mk((T_PNAME, pfx, loc, line)))
             elif g == 4:  # punctuation (type IS the char, incl '.')
-                append(tok(v, "", "", line))
+                append(mk((v, "", "", line)))
             elif g == 5:  # IRIREF
-                append(tok(T_IRI, v[1:-1], "", line))
+                append(mk((T_IRI, v[1:-1], "", line)))
             elif g == 6:  # double-quoted string, no escapes
-                append(tok(T_STRING, v[1:-1], '"', line))
+                append(mk((T_STRING, v[1:-1], '"', line)))
             elif g == 3:  # number
                 if "e" in v or "E" in v:
                     tt = T_DOUBLE
@@ -203,33 +208,35 @@ class Tokenizer:
                     tt = T_DECIMAL
                 else:
                     tt = T_INTEGER
-                append(tok(tt, v, "", line))
+                append(mk((tt, v, "", line)))
             elif g == 7:  # bare keyword
-                nxt = s[end] if end < n else ""
+                te = m.end(g)
+                nxt = s[te] if te < n else ""
                 if nxt and (nxt in bail or ord(nxt) >= 0x80):
                     return None
-                append(tok(T_KEYWORD, v, "", line))
+                append(mk((T_KEYWORD, v, "", line)))
             elif g == 8:  # langtag or @prefix/@base directive
                 w = v[1:]
                 run = _ALPHA_RUN.match(w).group()
                 if run in ("prefix", "base"):
                     if w != run:
                         return None  # '@prefix-…': directive-then-error shape
-                    append(tok(T_AT_PREFIX if w == "prefix" else T_AT_BASE,
-                               "", "", line))
+                    append(mk((T_AT_PREFIX if w == "prefix" else T_AT_BASE,
+                               "", "", line)))
                 else:
-                    append(tok(T_LANGTAG, w, "", line))
+                    append(mk((T_LANGTAG, w, "", line)))
             elif g == 9:  # single-quoted string
-                append(tok(T_STRING, v[1:-1], "'", line))
+                append(mk((T_STRING, v[1:-1], "'", line)))
             elif g == 10:  # blank node label
-                nxt = s[end] if end < n else ""
+                te = m.end(g)
+                nxt = s[te] if te < n else ""
                 if nxt and (nxt in bail or ord(nxt) >= 0x80):
                     return None
-                append(tok(T_BNODE, v[2:], "", line))
+                append(mk((T_BNODE, v[2:], "", line)))
             else:  # 11: RDF 1.2 multi-char tokens + '^^'
-                append(tok(_RDF12_TOK[v], "", "", line))
+                append(mk((_RDF12_TOK[v], "", "", line)))
             pos = end
-        append(tok(T_EOF, line=line))
+        append(Token(T_EOF, line=line))
         return toks
 
     # -- low-level helpers --------------------------------------------------

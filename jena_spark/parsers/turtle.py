@@ -20,6 +20,13 @@ from typing import List, Optional, Tuple
 
 from ..iri import IRIResolver
 from ..skolem import BNodeAllocator
+
+# cdt:List / cdt:Map datatype IRIs (lazy import of ..cdt at the use site
+# keeps the parser import-light)
+_CDT_DTS = (
+    "http://w3id.org/awslabs/neptune/SPARQL-CDTs/List",
+    "http://w3id.org/awslabs/neptune/SPARQL-CDTs/Map",
+)
 from ..terms import (
     RDF_FIRST,
     RDF_NIL,
@@ -29,6 +36,8 @@ from ..terms import (
     XSD_DECIMAL,
     XSD_DOUBLE,
     XSD_INTEGER,
+    XSD_STRING,
+    canonical_langtag,
     RDFSyntaxError,
     Term,
     mk_bnode,
@@ -72,6 +81,12 @@ from .tokenizer import (
 
 Triple = Tuple[str, str, str]
 Quad = Tuple[Optional[str], str, str, str]
+
+# chars that force the canonical encoder to escape (the bulk token scan
+# already excludes backslash, quotes-in-kind and newlines — only control
+# chars like TAB remain possible inside a short string token)
+import re as _fre
+_CTRL_RE = _fre.compile(r"[\x00-\x1f\x7f]")
 
 _RDF_TYPE_TERM = mk_iri(RDF_TYPE)
 _RDF_NIL_TERM = mk_iri(RDF_NIL)
@@ -141,9 +156,208 @@ class TurtleParser:
     # -- entry ---------------------------------------------------------------
 
     def parse(self) -> List[Quad]:
+        toks = self.tz._toks
+        if toks is not None and not self.trig:
+            return self._parse_fast(toks)
         while self.tok.type != T_EOF:
             self._statement()
         return self.out
+
+    # -- statement-level fast loop ---------------------------------------
+    #
+    # When the bulk token scan succeeded (Turtle mode), the dominant
+    # statement shape — subject + predicateObjectList of plain IRIs,
+    # prefixed names, bnode labels, and short literals — is emitted by
+    # one tight loop over the token array: no recursive descent, no Term
+    # objects, no per-token next_token() dispatch.  ANY token outside
+    # the subset (directives, [ ] property lists, ( ) collections,
+    # << >> reification, ~ / {| |} annotations, long strings, escapes,
+    # CDT literals) rolls the current statement back and re-runs it
+    # through the generic recursive-descent path, so acceptance, output
+    # and error behavior stay identical — only the speed differs.
+    # (The same design as the N-Triples line fast path; the reference's
+    # hand-tuned scanner is riot/tokens/TokenizerText.java.)
+
+    def _slow_stmt(self, toks, j0: int) -> int:
+        """Run ONE statement at token index j0 through the generic path;
+        returns the index of the next unconsumed token."""
+        self.tz._tpos = j0 + 1
+        self.tok = toks[j0]
+        self._statement()
+        if self.tok.type == T_EOF:
+            return len(toks) - 1
+        return self.tz._tpos - 1
+
+    def _parse_fast(self, toks) -> List[Quad]:
+        out = self.out
+        append = out.append
+        alloc_get = self.alloc.get
+        prefixes = self.prefixes
+        resolver = self.resolver
+        ic: dict = {}   # IRI token text → encoded term
+        pc: dict = {}   # (prefix, local) → encoded term
+        lc: dict = {}   # raw langtag → canonical form
+        ctrl = _CTRL_RE.search
+        rdf_type = "<" + RDF_TYPE + ">"
+        int_suf = f'"^^<{XSD_INTEGER}>'
+        dec_suf = f'"^^<{XSD_DECIMAL}>'
+        dbl_suf = f'"^^<{XSD_DOUBLE}>'
+        bool_suf = f'"^^<{XSD_BOOLEAN}>'
+        xsd_string = XSD_STRING
+
+        class _Bail(Exception):
+            pass
+
+        def iri_enc(t):
+            v = t.value
+            e = ic.get(v)
+            if e is None:
+                e = mk_iri(resolver.resolve(v)).nt()
+                ic[v] = e
+            return e
+
+        def pn_enc(t):
+            key = (t.value, t.value2)
+            e = pc.get(key)
+            if e is None:
+                ns = prefixes.get(t.value)
+                if ns is None:
+                    raise RDFSyntaxError(
+                        f"line {t.line}: undefined prefix {t.value!r}:"
+                    )
+                e = mk_iri(ns + t.value2).nt()
+                pc[key] = e
+            return e
+
+        j = self.tz._tpos - 1
+        while True:
+            t = toks[j]
+            tt = t.type
+            if tt == T_EOF:
+                break
+            j0 = j
+            n0 = len(out)
+            try:
+                # ---- subject
+                if tt == T_PNAME:
+                    s = pn_enc(t)
+                elif tt == T_IRI:
+                    s = iri_enc(t)
+                elif tt == T_BNODE:
+                    s = "_:" + alloc_get(t.value)
+                else:
+                    raise _Bail
+                j += 1
+                # ---- predicateObjectList
+                while True:
+                    t = toks[j]
+                    tt = t.type
+                    if tt == T_PNAME:
+                        p = pn_enc(t)
+                    elif tt == T_IRI:
+                        p = iri_enc(t)
+                    elif tt == T_KEYWORD and t.value == "a":
+                        p = rdf_type
+                    else:
+                        raise _Bail
+                    j += 1
+                    while True:  # objectList
+                        t = toks[j]
+                        tt = t.type
+                        if tt == T_PNAME:
+                            o = pn_enc(t)
+                            j += 1
+                        elif tt == T_IRI:
+                            o = iri_enc(t)
+                            j += 1
+                        elif tt == T_STRING:
+                            v = t.value
+                            q = t.value2
+                            clean = (
+                                q == '"' and ctrl(v) is None
+                            ) or (
+                                q == "'" and '"' not in v and ctrl(v) is None
+                            )
+                            nx = toks[j + 1]
+                            nxt = nx.type
+                            if nxt == T_LANGTAG:
+                                tag = nx.value
+                                ct = lc.get(tag)
+                                if ct is None:
+                                    ct = canonical_langtag(tag)
+                                    lc[tag] = ct
+                                o = (
+                                    f'"{v}"@{ct}' if clean
+                                    else mk_literal(v, lang=tag).nt()
+                                )
+                                j += 2
+                            elif nxt == T_HATHAT:
+                                dtk = toks[j + 2]
+                                if dtk.type == T_PNAME:
+                                    dte = pn_enc(dtk)
+                                elif dtk.type == T_IRI:
+                                    dte = iri_enc(dtk)
+                                else:
+                                    raise _Bail
+                                dtv = dte[1:-1]
+                                if dtv in _CDT_DTS:
+                                    raise _Bail  # needs bnode relabeling
+                                if dtv == xsd_string and clean:
+                                    o = f'"{v}"'
+                                elif clean:
+                                    o = f'"{v}"^^' + dte
+                                else:
+                                    o = mk_literal(v, datatype=dtv).nt()
+                                j += 3
+                            else:
+                                o = f'"{v}"' if clean else mk_literal(v).nt()
+                                j += 1
+                        elif tt == T_INTEGER:
+                            o = '"' + t.value + int_suf
+                            j += 1
+                        elif tt == T_DECIMAL:
+                            o = '"' + t.value + dec_suf
+                            j += 1
+                        elif tt == T_DOUBLE:
+                            o = '"' + t.value + dbl_suf
+                            j += 1
+                        elif tt == T_BNODE:
+                            o = "_:" + alloc_get(t.value)
+                            j += 1
+                        elif tt == T_KEYWORD and t.value in ("true", "false"):
+                            o = '"' + t.value + bool_suf
+                            j += 1
+                        else:
+                            raise _Bail
+                        append((None, s, p, o))
+                        t = toks[j]
+                        tt = t.type
+                        if tt == T_COMMA:
+                            j += 1
+                            continue
+                        break
+                    if tt == T_SEMI:
+                        j += 1
+                        while toks[j].type == T_SEMI:
+                            j += 1
+                        if toks[j].type == T_DOT:
+                            j += 1
+                            break
+                        continue
+                    if tt == T_DOT:
+                        j += 1
+                        break
+                    raise _Bail
+            except _Bail:
+                del out[n0:]
+                j = self._slow_stmt(toks, j0)
+                # a directive may have changed prefixes/base: local
+                # encodings are stale (rare path — rebuild lazily)
+                ic.clear()
+                pc.clear()
+        self.tz._tpos = len(toks) - 1
+        self.tok = toks[-1]
+        return out
 
     def _statement(self) -> None:
         t = self.tok
@@ -498,7 +712,18 @@ class TurtleParser:
         if self.tok.type == T_HATHAT:
             self._advance()
             dt = self._iri_node()
-            return mk_literal(t.value, datatype=dt.lex)
+            lex = t.value
+            if dt.lex in _CDT_DTS:
+                # bnode labels inside cdt:List/Map literals share the
+                # document scope (SPARQL-CDTs bnodes suite; riot does
+                # the same) — rewrite them with this document's allocator
+                from ..cdt import CdtError, relabel_bnodes
+
+                try:
+                    lex = relabel_bnodes(lex, self.alloc.get)
+                except CdtError:
+                    pass  # ill-formed composite: keep verbatim
+            return mk_literal(lex, datatype=dt.lex)
         return mk_literal(t.value)
 
     def _iri_node(self) -> Term:

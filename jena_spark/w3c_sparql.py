@@ -74,6 +74,9 @@ class SparqlTest:
     data_path: Optional[str]
     graph_data: List[Tuple[str, str]] = field(default_factory=list)  # (iri, path)
     result_path: Optional[str] = None
+    # additional qt:data files (e.g. SPARQL-CDTs bnodes-turtle-15 loads
+    # TWO default-graph documents whose bnode scopes must stay distinct)
+    extra_data: List[str] = field(default_factory=list)
 
 
 def _path(iri_term: str) -> str:
@@ -145,7 +148,7 @@ def load_sparql_manifest(
         query = get1(action, QT + "query")
         if query is None:
             continue
-        data = get1(action, QT + "data")
+        data_all = get(action, QT + "data")
         gdata = []
         for g in get(action, QT + "graphData"):
             gdata.append((g[1:-1], _path(g)))
@@ -155,9 +158,10 @@ def load_sparql_manifest(
             SparqlTest(
                 name=name,
                 query_path=_path(query),
-                data_path=_path(data) if data else None,
+                data_path=_path(data_all[0]) if data_all else None,
                 graph_data=sorted(gdata),
                 result_path=_path(result) if result else None,
+                extra_data=sorted(_path(d) for d in data_all[1:]),
             )
         )
     tests.sort(key=lambda t: (t.query_path, t.name))
@@ -501,6 +505,8 @@ def _load_data(spark, t: SparqlTest):
 
     if t.data_path:
         load(t.data_path, None)
+    for p in t.extra_data:
+        load(p, None)  # own allocator per file: distinct bnode scopes
     for iri, path in t.graph_data:
         load(path, mk_iri(iri).nt())
 
@@ -565,6 +571,7 @@ def run_sparql_test(spark, t: SparqlTest) -> Tuple[str, str]:
                 data_path=t.data_path,
                 graph_data=sorted(set(t.graph_data) | set(extra)),
                 result_path=t.result_path,
+                extra_data=t.extra_data,
             )
 
     triples = _load_data(spark, t)
@@ -621,9 +628,14 @@ def run_sparql_dir(spark, d: str, exclude: Optional[set] = None):
     p = f = s = 0
     details = []
     # fixture graphs are tiny: one shuffle partition per query keeps the
-    # harness wall-clock dominated by work, not task scheduling
+    # harness wall-clock dominated by work, not task scheduling; skip
+    # whole-stage codegen too — compiling (and for big CDT comparison
+    # trees, failing over from) generated Java costs more than it saves
+    # on 20-row fixtures
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    old_ws = spark.conf.get("spark.sql.codegen.wholeStage")
     spark.conf.set("spark.sql.shuffle.partitions", "1")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
     for t in tests:
         if t.name in exclude:
             s += 1
@@ -641,6 +653,7 @@ def run_sparql_dir(spark, d: str, exclude: Optional[set] = None):
             s += 1
         details.append((t.name, outcome, detail))
     spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    spark.conf.set("spark.sql.codegen.wholeStage", old_ws)
     return p, f, s, details
 
 

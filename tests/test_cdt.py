@@ -1,0 +1,122 @@
+"""CDT composite datatype unit tests (cdt:List / cdt:Map).
+
+Mirrors the reference's cdt machinery (jena-arq org/apache/jena/cdt/*,
+sparql/function/library/cdt/*) — the W3C-style SPARQL-CDTs suites run
+in test_sparql_w3c.py; these cover the Python value model directly.
+"""
+
+import pytest
+
+from jena_spark import cdt
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+
+def xint(n):
+    return f'"{n}"^^<{XSD}integer>'
+
+
+def test_parse_list_roundtrip():
+    lex = '[1, "a", <http://x>, [2, null], {"k" : true}]'
+    vals = cdt.parse_list_lexical(lex)
+    assert vals[0] == xint(1)
+    assert vals[1] == '"a"'
+    assert vals[2] == "<http://x>"
+    assert cdt.is_list_term(vals[3])
+    assert cdt.is_map_term(vals[4])
+    # canonical serialization round-trips
+    assert cdt.serialize_list(vals) == lex.replace('"k" : true', '"k" : true')
+    assert cdt.get_list(cdt.list_term(vals)) == tuple(vals)
+
+
+def test_parse_map_preserves_order_and_rejects_dup_keys():
+    m = cdt.parse_map_lexical('{2 : "two", 1 : "one"}')
+    assert list(m) == [xint(2), xint(1)]
+    with pytest.raises(cdt.CdtError):
+        cdt.parse_map_lexical('{1 : "a", 01 : "b"}'.replace("01", "1"))
+
+
+def test_map_key_is_term_equality():
+    m = cdt.parse_map_lexical('{1 : "a"}')
+    assert xint(1) in m
+    assert xint("01") not in m  # distinct lexical form = distinct key
+
+
+def test_value_equality_ignores_lexical_variants():
+    a = cdt.list_term([xint("01"), '"x"'])
+    b = cdt.list_term([xint("1"), '"x"'])
+    assert a != b  # distinct terms
+    assert cdt.equal_terms(a, b)  # same value
+    assert not cdt.equal_terms(a, cdt.list_term([xint(2), '"x"']))
+
+
+def test_equality_with_bnodes_raises_unless_identical():
+    same = cdt.list_term(["_:b"])
+    other = cdt.list_term(["_:c"])
+    assert cdt.equal_terms(same, cdt.list_term(["_:b"]))
+    with pytest.raises(cdt.CdtError):
+        cdt.equal_terms(same, other)
+
+
+def test_compare_lists():
+    l1 = cdt.list_term([xint(1)])
+    l12 = cdt.list_term([xint(1), xint(2)])
+    l2 = cdt.list_term([xint(2)])
+    assert cdt.compare_terms(l1, l12, False) == -1  # prefix < extension
+    assert cdt.compare_terms(l2, l12, False) == 1
+    with pytest.raises(cdt.NotComparable):
+        cdt.compare_terms(cdt.list_term(["<http://a>"]),
+                          cdt.list_term(["<http://b>"]), False)
+
+
+def test_sort_key_prefix_rule():
+    k1 = cdt.cdt_sort_key(cdt.list_term([xint(1)]))
+    k12 = cdt.cdt_sort_key(cdt.list_term([xint(1), xint(1)]))
+    k2 = cdt.cdt_sort_key(cdt.list_term([xint(2)]))
+    assert k1 < k12 < k2
+    assert cdt.cdt_sort_key('"plain"') is None
+
+
+def test_functions():
+    lst = cdt.list_term([xint(1), None, '"a"'])
+    assert cdt.fn_size(lst) == xint(3)
+    assert cdt.fn_head(lst) == xint(1)
+    assert cdt.get_list(cdt.fn_tail(lst)) == (None, '"a"')
+    assert cdt.get_list(cdt.fn_reverse(lst)) == ('"a"', None, xint(1))
+    with pytest.raises(cdt.CdtError):
+        cdt.fn_get(lst, xint(2))  # null element
+    with pytest.raises(cdt.CdtError):
+        cdt.fn_get(lst, xint(0))  # out of bounds
+    assert cdt.fn_contains(lst, xint("01")) == f'"true"^^<{XSD}boolean>'
+    assert cdt.fn_contains_term(lst, xint("01")) == f'"false"^^<{XSD}boolean>'
+    sub = cdt.fn_subseq(lst, xint(2), xint(2))
+    assert cdt.get_list(sub) == (None, '"a"')
+
+    m = cdt.map_term({xint(1): '"one"'})
+    m2 = cdt.fn_put(m, xint(2), '"two"')
+    assert cdt.fn_get(m2, xint(2)) == '"two"'
+    assert cdt.get_map(cdt.fn_remove(m2, xint(1))) == {xint(2): '"two"'}
+    assert cdt.get_list(cdt.fn_keys(m2)) == (xint(1), xint(2))
+    merged = cdt.fn_merge(cdt.map_term({xint(1): '"L"'}),
+                          cdt.map_term({xint(1): '"R"', xint(3): '"r3"'}))
+    assert cdt.fn_get(merged, xint(1)) == '"L"'  # first map wins
+    assert cdt.fn_get(merged, xint(3)) == '"r3"'
+
+
+def test_unfold_entries():
+    lst = cdt.list_term([xint(7), None])
+    assert cdt.unfold_entries(lst) == [
+        (xint(7), xint(1)), (None, xint(2))
+    ]
+    assert cdt.unfold_entries(cdt.list_term([])) == []
+    assert cdt.unfold_entries('"nope"') == [(None, None)]
+    assert cdt.unfold_entries(None) == [(None, None)]
+
+
+def test_relabel_bnodes_recurses_and_keeps_spacing():
+    lex = " [ _:b, '[_:b]'^^<http://w3id.org/awslabs/neptune/SPARQL-CDTs/List>, \"lit _:b\", 42]"
+    out = cdt.relabel_bnodes(lex, lambda l: l.upper())
+    assert "_:B" in out
+    assert '"lit _:b"' in out  # literal content untouched
+    assert out.startswith(" [ _:B, ")
+    assert '[_:B]' in out  # nested cdt literal relabeled too

@@ -1,0 +1,117 @@
+"""RDF Patch reader/applier tests (reference: jena-rdfpatch testing/
+files/syntax-1.rdfp, RDFPatchReaderText.java, RDF2Patch.java)."""
+
+import pytest
+
+from jena_spark.rdfpatch import (
+    PatchException, apply_patch, diff_patch, parse_patch,
+)
+
+SYNTAX_1 = "/root/reference/jena-rdfpatch/testing/files/syntax-1.rdfp"
+
+
+def quads(df):
+    return sorted(
+        (tuple(r) for r in df.collect()),
+        key=lambda t: tuple("" if x is None else x for x in t),
+    )
+
+
+@pytest.fixture()
+def store(spark):
+    rows = [
+        (None, "<http://e/a>", "<http://e/p>", '"x"'),
+        ("<http://e/g1>", "<http://e/b>", "<http://e/p>", '"y"'),
+    ]
+    return spark.createDataFrame(
+        rows, "graph string, subj string, pred string, obj string"
+    )
+
+
+def test_parse_reference_syntax_file():
+    with open(SYNTAX_1, encoding="utf-8", newline="") as f:
+        log = parse_patch(f.read())
+    assert log.headers["id"].startswith("<uuid:")
+    assert log.txns == [[
+        ("A", ("<http://example/g>", "<http://example/s>",
+               "<http://example/p>", "<http://example/o1>")),
+        ("D", ("<http://example/g>", "<http://example/s>",
+               "<http://example/p>", "<http://example/o1>")),
+    ]]
+    assert log.prefixes == {}  # PA then PD for both prefixes
+
+
+def test_apply_add_delete(store):
+    out = apply_patch(
+        store,
+        'TX .\n'
+        'A <http://e/c> <http://e/p> "z" .\n'
+        'A <http://e/a> <http://e/p> "x" .\n'   # already present: set stays
+        'D <http://e/b> <http://e/p> "y" <http://e/g1> .\n'
+        'TC .\n',
+    )
+    assert quads(out) == [
+        (None, "<http://e/a>", "<http://e/p>", '"x"'),
+        (None, "<http://e/c>", "<http://e/p>", '"z"'),
+    ]
+
+
+def test_aborted_txn_is_discarded(store):
+    out = apply_patch(
+        store,
+        'TX .\nA <http://e/nope> <http://e/p> "n" .\nTA .\n'
+        'TX .\nA <http://e/yes> <http://e/p> "y" .\nTC .\n',
+    )
+    got = quads(out)
+    assert (None, "<http://e/yes>", "<http://e/p>", '"y"') in got
+    assert all(s != "<http://e/nope>" for _, s, _, _ in got)
+    assert len(got) == 3
+
+
+def test_add_then_delete_in_one_txn_orders_correctly(store):
+    out = apply_patch(
+        store,
+        'TX .\nA <http://e/t> <http://e/p> "v" .\n'
+        'D <http://e/t> <http://e/p> "v" .\nTC .\n',
+    )
+    assert all(s != "<http://e/t>" for _, s, _, _ in quads(out))
+
+
+def test_roundtrip_diff_apply(spark, store):
+    from jena_spark.ops.update import sparql_update
+
+    new = sparql_update(
+        store,
+        'PREFIX : <http://e/> DELETE DATA { GRAPH :g1 { :b :p "y" } } ; '
+        'INSERT DATA { :n :p "fresh" . GRAPH :g2 { :m :q :o } }',
+    )
+    patch = diff_patch(store, new)
+    replayed = apply_patch(store, patch)
+    assert quads(replayed) == quads(new)
+    # and the patch itself is delta-sized text
+    assert patch.count("\nA ") == 2 and patch.count("\nD ") == 1
+
+
+def test_literals_with_escapes_and_types(store):
+    out = apply_patch(
+        store,
+        'A <http://e/l> <http://e/p> "line\\nbreak" .\n'
+        'A <http://e/l> <http://e/q> "5"^^<http://www.w3.org/2001/XMLSchema#integer> .\n'
+        'A <http://e/l> <http://e/r> "hej"@sv .\n',
+    )
+    got = quads(out)
+    assert (None, "<http://e/l>", "<http://e/p>", '"line\\nbreak"') in got
+    assert (None, "<http://e/l>", "<http://e/q>",
+            '"5"^^<http://www.w3.org/2001/XMLSchema#integer>') in got
+    assert (None, "<http://e/l>", "<http://e/r>", '"hej"@sv') in got
+
+
+def test_malformed_patches_raise():
+    for bad in [
+        "A <http://e/s> <http://e/p> .\n",       # missing object
+        "TX .\nA <http://e/s> <http://e/p> <http://e/o> .\n",  # no TC
+        "TC .\n",                                 # TC without TX
+        "Q <http://e/s> .\n",                     # unknown code
+    ]:
+        with pytest.raises(PatchException):
+            parse_patch(bad)

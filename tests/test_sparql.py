@@ -420,7 +420,11 @@ def test_mode_fold_aggregates(tri):
     )
     r = out.collect()[0]
     assert r["m"] == "<http://e/Person>"  # 2 Persons vs 1 Robot
-    assert list(r["all"]) == [
+    # FOLD builds a cdt:List literal (AggFoldList) — collection order is
+    # undefined, so check the parsed multiset
+    from jena_spark import cdt
+
+    assert sorted(cdt.get_list(r["all"])) == [
         "<http://e/Person>", "<http://e/Person>", "<http://e/Robot>"
     ]
 

@@ -85,6 +85,32 @@ def test_w3c_sparql_suite(spark, base, sub, min_pass):
     assert p >= min_pass, f"{sub}: pass count dropped to {p} (< {min_pass})"
 
 
+# --- SPARQL-CDTs suites (cdt:List / cdt:Map: UNFOLD, FOLD, the function
+# library, composite ordering, document-scoped bnodes) — the reference's
+# own test tree, jena-arq/testing/SPARQL-CDTs (Scripts_CDTs.java) -----------
+
+CDT_DIR = "/root/reference/jena-arq/testing/SPARQL-CDTs"
+
+CDT_SUITES = [
+    ("unfold", 42),
+    ("fold", 30),
+    ("orderby", 28),
+    ("bnodes", 72),
+    ("list-functions", 287),
+    ("map-functions", 196),
+]
+
+
+@pytest.mark.parametrize(
+    "sub,min_pass", CDT_SUITES, ids=["cdt-" + s[0] for s in CDT_SUITES]
+)
+def test_w3c_cdt_suite(spark, sub, min_pass):
+    p, f, s, details = run_sparql_dir(spark, os.path.join(CDT_DIR, sub))
+    fails = [(n, d) for n, o, d in details if o == "fail"]
+    assert not fails, f"{sub}: {len(fails)} failures: {fails[:3]}"
+    assert p >= min_pass, f"{sub}: pass count dropped to {p} (< {min_pass})"
+
+
 # --- result-format suites: engine runs the query, jena_spark.results
 # serializes, both sides re-read with the same reader and compared -----------
 

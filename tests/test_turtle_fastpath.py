@@ -1,0 +1,147 @@
+"""Turtle statement-level fast-loop equivalence tests.
+
+The fast loop (parsers/turtle.py _parse_fast) must be OBSERVATIONALLY
+IDENTICAL to the generic recursive-descent path — same triples, same
+bnode labels, same errors.  The slow path is forced by disabling the
+bulk token scan, exactly what happens for any document outside the fast
+token subset.
+"""
+
+from unittest import mock
+
+import pytest
+
+from jena_spark.parsers.tokenizer import Tokenizer
+from jena_spark.parsers.turtle import parse_turtle
+from jena_spark.skolem import BNodeAllocator, doc_seed
+from jena_spark.terms import RDFSyntaxError
+
+BASE = "http://base/dir/"
+
+
+def both(text):
+    fast = parse_turtle(text, BASE, BNodeAllocator(doc_seed("fp", "d", "x")))
+    with mock.patch.object(Tokenizer, "_bulk_scan", return_value=None):
+        slow = parse_turtle(
+            text, BASE, BNodeAllocator(doc_seed("fp", "d", "x"))
+        )
+    assert fast == slow, f"fast/slow divergence for {text!r}"
+    return fast
+
+
+def test_plain_statements():
+    out = both(
+        "@prefix ex: <http://e/> .\n"
+        'ex:a ex:p "x" ; ex:q ex:b , _:l , 42 , 4.5 , 1e3 , true ; a ex:T .\n'
+        "<http://abs/i> ex:p ex:a .\n"
+    )
+    assert ("<http://e/a>", "<http://e/q>",
+            '"42"^^<http://www.w3.org/2001/XMLSchema#integer>') in out
+    assert ("<http://e/a>",
+            "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>",
+            "<http://e/T>") in out
+
+
+def test_literal_variants():
+    both(
+        "@prefix ex: <http://e/> .\n"
+        "ex:a ex:p 'single' , 'has \"quotes\"' , \"tab\there\" , "
+        "\"plain\"@en-GB , \"typed\"^^ex:dt , \"s\"^^<http://www.w3.org/2001/XMLSchema#string> .\n"
+    )
+
+
+def test_exotic_statements_fall_back_per_statement():
+    out = both(
+        "@prefix ex: <http://e/> .\n"
+        'ex:a ex:p "fast1" .\n'
+        "ex:a ex:list (1 2 3) .\n"              # collection → generic
+        "[ ex:p ex:b ] ex:q ex:c .\n"           # bnode property list
+        'ex:a ex:r "fast2" .\n'
+        "ex:s ex:t ex:u {| ex:note \"ann\" |} .\n"  # RDF 1.2 annotation
+        'ex:a ex:v "fast3" .\n'
+    )
+    assert len(out) >= 10
+
+
+def test_directives_mid_document_reset_caches():
+    out = both(
+        "@prefix ex: <http://one/> .\n"
+        "ex:a ex:p ex:b .\n"
+        "@prefix ex: <http://two/> .\n"
+        "ex:a ex:p ex:b .\n"
+        "@base <http://newbase/> .\n"
+        "<rel> ex:p <rel2> .\n"
+    )
+    assert ("<http://one/a>", "<http://one/p>", "<http://one/b>") in out
+    assert ("<http://two/a>", "<http://two/p>", "<http://two/b>") in out
+    assert ("<http://newbase/rel>", "<http://two/p>",
+            "<http://newbase/rel2>") in out
+
+
+def test_relative_iri_resolution_matches():
+    out = both("<a/./b> <p> <../up> .\n")
+    assert out == [
+        ("<http://base/dir/a/b>", "<http://base/dir/p>", "<http://base/up>")
+    ]
+
+
+def test_bnode_labels_stable_across_paths():
+    out = both(
+        "@prefix ex: <http://e/> .\n_:x ex:p _:y .\n_:y ex:q _:x .\n"
+    )
+    assert out[0][2] == out[1][0]  # _:y encodes identically in both rows
+
+
+def test_cdt_literal_falls_back_for_relabeling():
+    cdt_dt = "<http://w3id.org/awslabs/neptune/SPARQL-CDTs/List>"
+    out = both(
+        f'@prefix ex: <http://e/> .\n_:b ex:p "[_:b, 1]"^^{cdt_dt} .\n'
+    )
+    (s, _p, o) = out[0]
+    assert s.startswith("_:") and s[2:] in o  # shared document scope
+
+
+def test_errors_identical():
+    for bad in [
+        "ex:a ex:p ex:b .\n",                      # undefined prefix
+        "@prefix ex: <http://e/> .\nex:a ex:p .\n",  # missing object
+        '@prefix ex: <http://e/> .\n"lit" ex:p ex:b .\n',  # literal subject
+        "@prefix ex: <http://e/> .\nex:a ex:p ex:b\nex:c ex:d ex:e .\n",
+    ]:
+        with pytest.raises(RDFSyntaxError) as fast_err:
+            parse_turtle(bad, BASE, BNodeAllocator(doc_seed("fp", "d", "x")))
+        with mock.patch.object(Tokenizer, "_bulk_scan", return_value=None):
+            with pytest.raises(RDFSyntaxError) as slow_err:
+                parse_turtle(
+                    bad, BASE, BNodeAllocator(doc_seed("fp", "d", "x"))
+                )
+        assert str(fast_err.value) == str(slow_err.value)
+
+
+def test_trailing_semicolons_and_keyword_objects():
+    both(
+        "@prefix ex: <http://e/> .\n"
+        "ex:a ex:p ex:b ; ; ex:q false ; .\n"
+        "ex:b ex:p true .\n"
+    )
+
+
+def test_fast_path_throughput_floor():
+    """Regression guard: the corpus shape must stay on the fast loop
+    (≥60k t/s even on a cold, busy box; the real rate is ~110k)."""
+    import time
+
+    lines = ["@prefix ex: <http://example.org/> .",
+             "@prefix xsd: <http://www.w3.org/2001/XMLSchema#> ."]
+    for i in range(5000):
+        lines.append(
+            f'ex:doc{i} ex:name "document {i}" ; '
+            f'ex:size "{i * 7}"^^xsd:integer ; ex:ref ex:doc{i % 100} .'
+        )
+    text = "\n".join(lines)
+    alloc = BNodeAllocator(doc_seed("fp", "bench", "x"))
+    t0 = time.time()
+    trs = parse_turtle(text, BASE, alloc)
+    rate = len(trs) / (time.time() - t0)
+    assert len(trs) == 15000
+    assert rate > 60_000, f"fast path regressed: {rate/1000:.0f}k t/s"
