@@ -275,8 +275,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                }""",
         )
 
+    def rdf_patch_apply(spark, sf):
+        # RDF Patch change stream (round-4): delete one quad, add one —
+        # run-coalesced delta anti-joins, never a full-store shuffle
+        from jena_spark.rdfpatch import apply_patch
+
+        tri = _doc_triples(spark, sf)
+        patch = (
+            "TX .\n"
+            "D <http://example.org/doc0> "
+            "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type> "
+            "<http://example.org/Document> .\n"
+            'A <http://example.org/meta> <http://example.org/patched> "r4" .\n'
+            "TC .\n"
+        )
+        return apply_patch(tri, patch).select("subj", "pred", "obj")
+
     q.update(
         cdt_fold_unfold=cdt_fold_unfold,
+        rdf_patch_apply=rdf_patch_apply,
         kg_sparql_update=kg_sparql_update,
         kg_sparql_describe=kg_sparql_describe,
         kg_sparql_select=kg_sparql_select,
@@ -479,6 +496,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tri = _geo_triples(spark, sf)
         return path_seq(tri, ["<p:inNation>", "<p:inRegion>"])
 
+    def path_distinct_2hop(spark, sf):
+        # P_Distinct (round-4, ARQ DISTINCT(path)): ^inNation/inNation
+        # fans out nation→customer→nation with one row PER CUSTOMER;
+        # DISTINCT() collapses to unique endpoint pairs (one per
+        # inhabited nation) — exercises the parser keyword + set wrapper
+        from jena_spark.ops.sparql import sparql_select
+
+        tri = _geo_triples(spark, sf)
+        return sparql_select(
+            tri,
+            "SELECT ?n1 ?n2 WHERE "
+            "{ ?n1 DISTINCT(^<p:inNation>/<p:inNation>) ?n2 }",
+        )
+
     def path_transitive_plus(spark, sf):  # P_OneOrMore over a chain graph
         n = _read(spark, sf, "nation")
         edges = n.filter(F.col("n_nationkey") >= 5).select(
@@ -490,6 +521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q.update(
         path_fixed_2hop=path_fixed_2hop,
+        path_distinct_2hop=path_distinct_2hop,
         path_transitive_plus=path_transitive_plus,
     )
 
@@ -734,6 +766,15 @@ def oracle_sql() -> dict[str, str]:
         "'<http://example.org/updated>', '\"round3\"'"
     )
 
+    o["rdf_patch_apply"] = (
+        f"WITH {_DOC_TRIPLES_CTE.strip()} "
+        "SELECT subj, pred, obj FROM doc_triples "
+        "WHERE NOT (subj = '<http://example.org/doc0>' AND "
+        "pred = '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>') "
+        "UNION ALL SELECT '<http://example.org/meta>', "
+        "'<http://example.org/patched>', '\"r4\"'"
+    )
+
     o["cdt_fold_unfold"] = (
         "WITH per AS (SELECT "
         "'<http://example.org/shard' || (doc_id % 8) || '>' AS shard, "
@@ -929,6 +970,11 @@ def oracle_sql() -> dict[str, str]:
     o["path_fixed_2hop"] = (
         "SELECT '<c' || c_custkey || '>' AS src, '<r' || n_regionkey || '>' AS dst "
         "FROM customer JOIN nation ON c_nationkey = n_nationkey"
+    )
+
+    o["path_distinct_2hop"] = (
+        "SELECT DISTINCT '<n' || c_nationkey || '>' AS n1, "
+        "'<n' || c_nationkey || '>' AS n2 FROM customer"
     )
 
     o["path_transitive_plus"] = (

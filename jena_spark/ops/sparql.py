@@ -402,6 +402,16 @@ class SparqlParser:
             )
         return self._advance()
 
+    def _peek_type(self) -> str:
+        """Type of the token AFTER self.tok (1-token lookahead; the
+        SPARQL tokenizer is a pure char scanner, so save/restore of the
+        cursor is exact)."""
+        tz = self.tz
+        save = (tz.i, tz.line)
+        t = tz.next_token()
+        tz.i, tz.line = save
+        return t.type
+
     def _kw(self) -> Optional[str]:
         if self.tok.type == T_KEYWORD:
             return self.tok.value.lower()
@@ -1212,6 +1222,21 @@ class SparqlParser:
             p = self._path_alt()
             self._expect(T_RPAREN)
             return p
+        if (
+            self.tok.type == T_KEYWORD
+            and self.tok.value.lower() in ("distinct", "multi", "shortest")
+            # ARQ path extensions (Grammar main.jj PathPrimary):
+            # DISTINCT(p) / MULTI(p) / SHORTEST(p) → P_Distinct /
+            # P_Multi / P_Shortest.  Only with '(' — a bare keyword here
+            # would otherwise be a (bad) term.
+        ):
+            kw = self.tok.value.lower()
+            if self._peek_type() == T_LPAREN:
+                self._advance()
+                self._advance()
+                p = self._path_alt()
+                self._expect(T_RPAREN)
+                return (kw, p)
         if self.tok.type == T_KEYWORD and self.tok.value == "a":
             self._advance()
             return ("link", f"<{RDF_TYPE}>")
@@ -3271,6 +3296,21 @@ def _compile_path(
             return t.filter(~F.col("pred").isin(list(p[1]))).select(
                 *gcols, F.col("subj").alias("src"), F.col("obj").alias("dst")
             ).distinct()
+        if kind == "distinct":
+            # P_Distinct (ARQ DISTINCT(path)): unique endpoint pairs of
+            # the inner path — PathEvaluator.java:142 swaps in
+            # PathEngine1 (set semantics); seq paths otherwise carry
+            # multiplicities
+            return ev(p[1]).distinct()
+        if kind == "multi":
+            # P_Multi (MULTI(path)): explicit bag semantics — the inner
+            # evaluators here already preserve seq multiplicities
+            return ev(p[1])
+        if kind == "shortest":
+            # parity with the reference: P_Shortest is unimplemented in
+            # Jena itself (PathEvaluator.java:158 throws ARQNotImplemented)
+            raise RDFSyntaxError("SHORTEST(path) is not implemented "
+                                 "(reference parity: ARQNotImplemented)")
         raise RDFSyntaxError(f"unknown path node {kind!r}")
 
     return ev(pat.expr)

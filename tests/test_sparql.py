@@ -789,3 +789,34 @@ def test_fresh_bnodes_spares_literal_content(spark):
         "<<(<http://e/s> <http://e/p> _:zF)>>",
         '"just a literal mentioning _:b2"',
     ]
+
+
+def test_path_distinct_multi_shortest(spark):
+    """ARQ path extensions DISTINCT(p)/MULTI(p)/SHORTEST(p)
+    (P_Distinct.java, P_Multi.java; PathEvaluator.java:142-158).
+    Diamond graph: a→(b1,b2)→c, so :p/:p reaches c twice — MULTI keeps
+    the multiplicity, DISTINCT collapses it, SHORTEST raises (parity:
+    Jena throws ARQNotImplemented)."""
+    from jena_spark.ops.sparql import sparql_select
+    from jena_spark.terms import RDFSyntaxError
+
+    rows = [
+        ("<http://e/a>", "<http://e/p>", "<http://e/b1>"),
+        ("<http://e/a>", "<http://e/p>", "<http://e/b2>"),
+        ("<http://e/b1>", "<http://e/p>", "<http://e/c>"),
+        ("<http://e/b2>", "<http://e/p>", "<http://e/c>"),
+    ]
+    tri = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    q = "PREFIX : <http://e/> SELECT ?x WHERE { :a %s ?x }"
+    plain = [r["x"] for r in sparql_select(tri, q % ":p/:p").collect()]
+    assert sorted(plain) == ["<http://e/c>", "<http://e/c>"]  # bag
+    multi = [r["x"] for r in sparql_select(tri, q % "MULTI(:p/:p)").collect()]
+    assert sorted(multi) == sorted(plain)
+    dist = [r["x"] for r in sparql_select(tri, q % "DISTINCT(:p/:p)").collect()]
+    assert dist == ["<http://e/c>"]
+    with pytest.raises(RDFSyntaxError):
+        sparql_select(tri, q % "SHORTEST(:p/:p)").collect()
+    # 'distinct' as a plain predicate-position term must still error the
+    # same way as before (keyword only activates with a '(' following)
+    with pytest.raises(RDFSyntaxError):
+        sparql_select(tri, "SELECT ?x WHERE { <http://e/a> distinct ?x }")
