@@ -548,6 +548,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cands = dd.minhash_candidates(sigs, bands=2, rows_per_band=4)
         return dd.jaccard_pairs(docs, cands, k=5)
 
+    def dedup_clusters(spark, sf):
+        # round-4: connected components over the LSH candidate pairs →
+        # (doc_id, cluster_id=min id of the component); the dedup stage a
+        # real pipeline runs AFTER pair generation (keep one doc per
+        # cluster).  Iterative min-label propagation, checkpointed rounds.
+        docs = _spread(_read(spark, sf, "documents"))
+        sigs = dd.minhash_signatures(docs, k=5, num_perm=8)
+        cands = dd.minhash_candidates(sigs, bands=2, rows_per_band=4)
+        return dd.dedup_clusters(docs, cands)
+
     def dedup_simhash(spark, sf):
         return dd.simhash(_spread(_read(spark, sf, "documents")), nbits=16)
 
@@ -639,6 +649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup_exact=dedup_exact,
         dedup_minhash_sigs=dedup_minhash_sigs,
         dedup_minhash_pairs=dedup_minhash_pairs,
+        dedup_clusters=dedup_clusters,
         dedup_jaccard=dedup_jaccard,
         dedup_simhash=dedup_simhash,
         text_chunks=text_chunks,
@@ -1006,6 +1017,17 @@ def oracle_sql() -> dict[str, str]:
     o["dedup_minhash_pairs"] = (
         f"WITH {_minhash_sigs_sql()}, {_band_pairs_sql()} "
         "SELECT DISTINCT id_a, id_b FROM pairs"
+    )
+
+    o["dedup_clusters"] = (
+        f"WITH RECURSIVE {_minhash_sigs_sql()}, {_band_pairs_sql()}, "
+        "cand AS (SELECT DISTINCT id_a, id_b FROM pairs), "
+        "e(a, b) AS (SELECT id_a, id_b FROM cand "
+        "UNION SELECT id_b, id_a FROM cand), "
+        "reach(n, m) AS (SELECT doc_id, doc_id FROM documents "
+        "UNION SELECT e.a, r.m FROM e JOIN reach r ON r.n = e.b) "
+        "SELECT n AS doc_id, CAST(MIN(m) AS BIGINT) AS cluster_id "
+        "FROM reach GROUP BY n"
     )
 
     o["dedup_jaccard"] = (

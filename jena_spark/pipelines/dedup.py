@@ -242,3 +242,83 @@ def simhash(
         term = bit * F.lit(2 ** i)
         fp = term if fp is None else fp + term
     return agg.select(F.col("id").alias(id_col), fp.cast("long").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# connected-components clustering (pairs → dedup groups)
+# ---------------------------------------------------------------------------
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS from candidate/verified pairs: connected
+    components by iterative min-label propagation → (doc_id, cluster_id)
+    where cluster_id = the smallest doc id in the component (the
+    canonical representative; docs with no pair are their own cluster).
+
+    Scale shape (the 100 TB design point): each round is ONE
+    edges⋈labels join + a min-aggregate, all hash-partitioned on the
+    node id; the frontier label table is checkpointed per round so the
+    plan stays flat, and the loop stops the first round nothing changes.
+    Round count is bounded by the component diameter — near-dup clusters
+    are shallow (pairs come from shared LSH buckets), so a handful of
+    rounds covers real corpora; ``max_iter`` guards the pathological
+    chain and raises rather than looping forever.
+    """
+    edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        docs.select(F.col(id_col).alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    try:
+        for _ in range(max_iter):
+            nb = (
+                edges.join(
+                    labels.select(
+                        F.col("node").alias("b"), F.col("lbl")
+                    ),
+                    "b",
+                )
+                .groupBy("a")
+                .agg(F.min("lbl").alias("nlbl"))
+                .withColumnRenamed("a", "node")
+            )
+            new = (
+                labels.join(nb, "node", "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("lbl"),
+                        F.coalesce(F.col("nlbl"), F.col("lbl")),
+                    ).alias("lbl"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = not new.join(
+                labels, ["node", "lbl"], "left_anti"
+            ).isEmpty()
+            labels = new
+            if not changed:
+                break
+        else:
+            raise RuntimeError(
+                f"dedup_clusters did not converge in {max_iter} rounds "
+                "(component diameter exceeds the bound)"
+            )
+    finally:
+        edges.unpersist(blocking=True)
+    return labels.select(
+        F.col("node").alias(id_col), F.col("lbl").alias("cluster_id")
+    )

@@ -319,3 +319,37 @@ def test_banded_tables_unpersisted_after_candidates(spark):
     linking.lsh_candidates(mentions, entities).collect()
     gc.collect()
     assert n_cached() <= mid + 3
+
+
+def test_dedup_clusters_connected_components(spark):
+    """Pairs → components: {1,2,3} via 1-2, 2-3; {4,5}; 6 singleton.
+    cluster_id = min doc id of the component."""
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(1, 7)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], ["id_a", "id_b"]
+    )
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dd.dedup_clusters(docs, pairs).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+
+
+def test_dedup_clusters_chain_diameter(spark):
+    """A longer chain still converges (diameter > 2) and the guard
+    raises when max_iter is too small."""
+    import pytest as _pytest
+
+    n = 12
+    docs = spark.createDataFrame(
+        [(i, "t") for i in range(n)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"]
+    )
+    out = dd.dedup_clusters(docs, pairs)
+    assert {r["cluster_id"] for r in out.collect()} == {0}
+    with _pytest.raises(RuntimeError):
+        dd.dedup_clusters(docs, pairs, max_iter=2).collect()

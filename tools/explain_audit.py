@@ -27,6 +27,10 @@ AUDIT = [
     "text_chunks",
     "kg_sparql_update",
     "kg_sparql_describe",
+    # round 4
+    "cdt_fold_unfold",
+    "rdf_patch_apply",
+    "path_distinct_2hop",
 ]
 
 
