@@ -68,26 +68,62 @@ def run_stream_to_parquet(
     q.awaitTermination()
 
 
+def patch_ops_stream(patches: DataFrame, text_col: str = "patch") -> DataFrame:
+    """RDF Patch DOCUMENTS (one text per row) → their committed A/D quad
+    ops, in order: (op, graph, subj, pred, obj).  The streaming bridge
+    between jena-rdfpatch change logs and the quad-store appliers below
+    (rdfpatch.parse_patch handles TX/TC/TA — aborted transactions
+    contribute nothing).  Arrow-batched; works on static and streaming
+    DataFrames alike."""
+    schema = "op string, graph string, subj string, pred string, obj string"
+
+    def expand(batches):
+        import pandas as pd
+
+        from .rdfpatch import parse_patch
+
+        for pdf in batches:
+            rows = []
+            for text in pdf[text_col]:
+                for code, (g, s, p, o) in parse_patch(text).ops:
+                    rows.append((code, g, s, p, o))
+            yield pd.DataFrame(
+                rows, columns=["op", "graph", "subj", "pred", "obj"]
+            )
+
+    return patches.mapInPandas(expand, schema)
+
+
 def apply_patch_batch(target_dir: str):
     """foreachBatch function applying an RDF-Patch-style (op, graph, subj,
     pred, obj) micro-batch to a parquet table: 'A' rows appended, 'D'
     rows anti-joined away.  (RDFChanges.add/delete parity; txn markers
-    map to micro-batch boundaries, which are atomic per sink commit.)"""
+    map to micro-batch boundaries, which are atomic per sink commit.)
+
+    Delta-shaped like SPARQL Update: deletes are a null-safe anti-join
+    of the store against the (small) delta, adds go through the
+    broadcast semi/anti insert — the store is never re-shuffled (the
+    old per-batch full-store ``dropDuplicates`` is gone).  The parquet
+    rewrite itself stands in for an Iceberg MERGE with positional
+    deletes at real scale."""
 
     def apply(batch: DataFrame, batch_id: int) -> None:
+        from .ops.update import _minus, _union
+
         spark = batch.sparkSession
-        adds = batch.filter(F.col("op") == "A").drop("op")
+        adds = batch.filter(F.col("op") == "A").drop("op").dropDuplicates()
         dels = batch.filter(F.col("op") == "D").drop("op")
         try:
             cur = spark.read.parquet(target_dir)
         except Exception:
             cur = spark.createDataFrame([], adds.schema)
-        key = ["graph", "subj", "pred", "obj"]
-        nxt = cur.join(dels, key, "left_anti").unionByName(adds).dropDuplicates(key)
-        # rewrite (small demo table); at scale this would be an Iceberg
-        # MERGE with positional deletes instead of a full rewrite
+        nxt = _union(
+            _minus(cur, dels), adds, known_small=True, pre_deduped=True
+        )
         nxt.write.mode("overwrite").parquet(target_dir + "_next")
-        spark.read.parquet(target_dir + "_next").write.mode("overwrite").parquet(target_dir)
+        spark.read.parquet(target_dir + "_next").write.mode(
+            "overwrite"
+        ).parquet(target_dir)
 
     return apply
 

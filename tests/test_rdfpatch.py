@@ -115,3 +115,51 @@ def test_malformed_patches_raise():
     ]:
         with pytest.raises(PatchException):
             parse_patch(bad)
+
+
+def test_patch_stream_applies_to_store(spark, tmp_path):
+    """Streaming change log: RDF Patch documents arrive as rows; each
+    micro-batch's committed ops land in the parquet-backed store via the
+    delta-shaped applier (aborted transactions contribute nothing;
+    null-graph deletes match null-safely)."""
+    import os
+
+    from jena_spark.streaming import apply_patch_batch, patch_ops_stream
+
+    src = str(tmp_path / "patches")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    spark.createDataFrame(
+        [(None, "<http://e/old>", "<http://e/p>", '"v"')],
+        "graph string, subj string, pred string, obj string",
+    ).write.mode("overwrite").parquet(store)
+
+    batch1 = (
+        'TX .\nA <http://e/a> <http://e/p> "1" .\n'
+        'A <http://e/b> <http://e/p> "2" <http://e/g> .\nTC .\n'
+        'TX .\nA <http://e/never> <http://e/p> "x" .\nTA .\n'
+    )
+    batch2 = 'TX .\nD <http://e/old> <http://e/p> "v" .\nTC .\n'
+    spark.createDataFrame([(batch1,), (batch2,)], ["patch"]) \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema("patch string").parquet(src)
+    q = (
+        patch_ops_stream(stream)
+        .writeStream.foreachBatch(apply_patch_batch(store))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = sorted(
+        (tuple(r) for r in spark.read.parquet(store).collect()),
+        key=lambda t: tuple("" if x is None else x for x in t),
+    )
+    assert got == [
+        (None, "<http://e/a>", "<http://e/p>", '"1"'),
+        ("<http://e/g>", "<http://e/b>", "<http://e/p>", '"2"'),
+    ]
