@@ -715,8 +715,19 @@ _SHINGLES_SQL = (
 
 
 def _minhash_sigs_sql() -> str:
+    # affine MinHash mirror: one md5 per shingle → 60-bit int mod
+    # P=2^31-1, then (a_i*h + b_i) mod P — coefficients from the SAME
+    # deterministic formula as pipelines/dedup.py::perm_consts
+    from jena_spark.pipelines.dedup import _MERSENNE, perm_consts
+
+    h = (
+        "(CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT) "
+        f"% {_MERSENNE})"
+    )
     mins = ", ".join(
-        f"list_min([md5('{s}:' || sh) for sh in shingles]) AS mh_{s}" for s in range(8)
+        f"list_min([({a} * {h} + {b}) % {_MERSENNE} for sh in shingles]) "
+        f"AS mh_{i}"
+        for i, (a, b) in enumerate(perm_consts(8))
     )
     return f"""
 sigs AS (

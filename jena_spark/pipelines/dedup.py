@@ -49,6 +49,25 @@ def _shingles(text_col: str, k: int) -> F.Column:
     )
 
 
+_MERSENNE = 2147483647  # 2^31 - 1
+
+
+def perm_consts(num_perm: int):
+    """Deterministic affine coefficients for the MinHash permutations:
+    a_i ∈ [1, P-1], b_i ∈ [0, P-1], derived from md5("a<i>")/md5("b<i>")
+    so the DuckDB oracles can inline the SAME literals (the formula is
+    the contract, not the numbers)."""
+    import hashlib
+
+    out = []
+    for i in range(num_perm):
+        a = int(hashlib.md5(f"a{i}".encode()).hexdigest()[:8], 16) \
+            % (_MERSENNE - 1) + 1
+        b = int(hashlib.md5(f"b{i}".encode()).hexdigest()[:8], 16) % _MERSENNE
+        out.append((a, b))
+    return out
+
+
 def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",
@@ -56,23 +75,32 @@ def minhash_signatures(
     k: int = 5,
     num_perm: int = 8,
 ) -> DataFrame:
-    """Per-doc MinHash signature: for seed s, min over shingles of
-    md5(s || ':' || shingle) — lexicographic min over md5 hex strings is a
-    valid min-hash (uniform under the random-oracle view of md5).
-    Columns: id, mh_0..mh_{num_perm-1}."""
+    """Per-doc MinHash signature, textbook affine-permutation form:
+    each shingle hashes ONCE (md5 → 60-bit int → mod P, P = 2^31-1),
+    then permutation i is min over shingles of (a_i·h + b_i) mod P —
+    one strong hash per shingle instead of ``num_perm`` of them (the
+    hashing dominated signature cost; this is ~5× cheaper at 8 perms).
+    Columns: id, mh_0..mh_{num_perm-1} (BIGINT)."""
     df = docs.withColumn("__sh", _shingles(text_col, k)).filter(F.size("__sh") > 0)
+    hashed = df.withColumn(
+        "__h",
+        F.transform(
+            F.col("__sh"),
+            lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10)
+            .cast("long") % _MERSENNE,
+        ),
+    )
 
-    def hasher(seed: int):
+    def perm(a: int, b: int):
         # NB: a 2-arg lambda would be treated by F.transform as
-        # (element, index) — bind the seed via closure, one arg only.
-        prefix = F.lit(f"{seed}:")
-        return lambda x: F.md5(F.concat(prefix, x))
+        # (element, index) — bind the constants via closure, one arg.
+        return lambda h: (F.lit(a) * h + F.lit(b)) % _MERSENNE
 
     sigs = [
-        F.array_min(F.transform(F.col("__sh"), hasher(s))).alias(f"mh_{s}")
-        for s in range(num_perm)
+        F.array_min(F.transform(F.col("__h"), perm(a, b))).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(perm_consts(num_perm))
     ]
-    return df.select(F.col(id_col), *sigs)
+    return hashed.select(F.col(id_col), *sigs)
 
 
 def _band_structs(sig_cols, bands: int, rows_per_band: int) -> F.Column:

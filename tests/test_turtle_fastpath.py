@@ -126,22 +126,32 @@ def test_trailing_semicolons_and_keyword_objects():
     )
 
 
-def test_fast_path_throughput_floor():
-    """Regression guard: the corpus shape must stay on the fast loop
-    (≥60k t/s even on a cold, busy box; the real rate is ~110k)."""
-    import time
+def test_fast_path_engages_on_corpus_shape():
+    """Regression guard, load-independent: the dominant corpus shape
+    must run ENTIRELY in the fast loop — zero per-statement fallbacks
+    to the generic recursive descent (except the two directives).
+    A wall-clock floor here was flaky under co-tenant load; engagement
+    is the property that actually protects the ~110k t/s rate."""
+    from jena_spark.parsers import turtle as tmod
 
     lines = ["@prefix ex: <http://example.org/> .",
              "@prefix xsd: <http://www.w3.org/2001/XMLSchema#> ."]
-    for i in range(5000):
+    for i in range(2000):
         lines.append(
             f'ex:doc{i} ex:name "document {i}" ; '
             f'ex:size "{i * 7}"^^xsd:integer ; ex:ref ex:doc{i % 100} .'
         )
     text = "\n".join(lines)
-    alloc = BNodeAllocator(doc_seed("fp", "bench", "x"))
-    t0 = time.time()
-    trs = parse_turtle(text, BASE, alloc)
-    rate = len(trs) / (time.time() - t0)
-    assert len(trs) == 15000
-    assert rate > 60_000, f"fast path regressed: {rate/1000:.0f}k t/s"
+    calls = []
+    orig = tmod.TurtleParser._slow_stmt
+
+    def spy(self, toks, j0):
+        calls.append(j0)
+        return orig(self, toks, j0)
+
+    with mock.patch.object(tmod.TurtleParser, "_slow_stmt", spy):
+        trs = parse_turtle(
+            text, BASE, BNodeAllocator(doc_seed("fp", "bench", "x"))
+        )
+    assert len(trs) == 6000
+    assert len(calls) == 2, f"fast loop fell back {len(calls)} times"
