@@ -291,7 +291,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return apply_patch(tri, patch).select("subj", "pred", "obj")
 
+    def kg_write_turtle(spark, sf):
+        # round-4 sink: distributed Turtle writer (subject blocks, ';'
+        # grouping, prefix compaction, bare ints, 'a') — headers are
+        # per-partition (partitioning-dependent count), so the oracle
+        # compares the deterministic subject blocks only
+        from jena_spark.writers import turtle_lines
+
+        tri = _doc_triples(spark, sf)
+        lines = turtle_lines(tri, {"ex": "http://example.org/"})
+        return lines.filter(~F.col("value").startswith("@prefix"))
+
     q.update(
+        kg_write_turtle=kg_write_turtle,
         cdt_fold_unfold=cdt_fold_unfold,
         rdf_patch_apply=rdf_patch_apply,
         kg_sparql_update=kg_sparql_update,
@@ -786,6 +798,15 @@ def oracle_sql() -> dict[str, str]:
         "AS pred, obj FROM doc_triples "
         "UNION ALL SELECT '<http://example.org/meta>', "
         "'<http://example.org/updated>', '\"round3\"'"
+    )
+
+    o["kg_write_turtle"] = (
+        "SELECT 'ex:doc' || doc_id || ' ex:lang \"' || lang || '\" ;' || chr(10) || "
+        "'        ex:nchars ' || n_chars || ' ;' || chr(10) || "
+        "'        ex:shard ex:shard' || (doc_id % 8) || ' ;' || chr(10) || "
+        "'        ex:source \"' || source || '\" ;' || chr(10) || "
+        "'        a ex:Document .' || chr(10) AS value "
+        "FROM documents"
     )
 
     o["rdf_patch_apply"] = (

@@ -1,0 +1,209 @@
+"""Distributed Turtle / TriG writers (RIOT writer parity, Spark-first).
+
+Re-expresses the reference's block writers
+(riot/writer/TurtleWriterBase.java, TurtleShell.java — subject grouping
+with ``;``/``,`` lists, prefix compaction, numeric/boolean
+abbreviation; TriG adds GRAPH blocks) as a distributed sink: rows are
+hash-partitioned by subject (by graph+subject for TriG) and sorted
+within partitions, each partition emits a SELF-CONTAINED Turtle/TriG
+document chunk (its own ``@prefix`` header — re-declaration is legal
+Turtle, so the concatenation of part files is one valid document).  No
+driver-side collection at any size.
+
+Terms arrive in the engine's canonical N-Triples encoding, which is
+already valid Turtle; the writer only *compacts*: prefixed names where
+the local part is PN_LOCAL-safe, bare numeric/boolean literals where
+the lexical form matches the token grammar, and ``a`` for rdf:type.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Iterator, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+RDF_TYPE = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+# conservative PN_LOCAL subset: no escapes needed, no leading/trailing
+# dot trouble (the reference's PN_LOCAL is wider via %-escapes; anything
+# outside this subset just stays a full IRI — always legal)
+_PN_LOCAL_SAFE = re.compile(r"^[A-Za-z0-9_][A-Za-z0-9_\-]*$")
+_INT_LEX = re.compile(r"^[+-]?\d+$")
+_DEC_LEX = re.compile(r"^[+-]?\d*\.\d+$")
+_DBL_LEX = re.compile(
+    r"^[+-]?(?:\d+\.\d*[eE][+-]?\d+|\.\d+[eE][+-]?\d+|\d+[eE][+-]?\d+)$"
+)
+
+DEFAULT_PREFIXES = {
+    "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+    "xsd": XSD,
+}
+
+
+def _term_writer(prefixes: Dict[str, str]):
+    """→ term-formatting closure; prefixes maps prefix → namespace."""
+    ns_sorted = sorted(prefixes.items(), key=lambda kv: -len(kv[1]))
+
+    def fmt(t: str, is_pred: bool = False) -> str:
+        if is_pred and t == RDF_TYPE:
+            return "a"
+        if t.startswith("<"):
+            iri = t[1:-1]
+            for pfx, ns in ns_sorted:
+                if iri.startswith(ns):
+                    local = iri[len(ns):]
+                    if _PN_LOCAL_SAFE.match(local) or local == "":
+                        return f"{pfx}:{local}"
+            return t
+        if t.startswith('"'):
+            # literal: abbreviate the numeric/boolean datatypes when the
+            # lexical form is a valid bare token (TurtleShell numeric
+            # abbreviation rules); otherwise the canonical encoding is
+            # already valid Turtle
+            m = re.match(r'^"((?:[^"\\]|\\.)*)"\^\^<([^>]*)>$', t)
+            if m:
+                lex, dt = m.group(1), m.group(2)
+                if dt == XSD + "integer" and _INT_LEX.match(lex):
+                    return lex
+                if dt == XSD + "decimal" and _DEC_LEX.match(lex):
+                    return lex
+                if dt == XSD + "double" and _DBL_LEX.match(lex):
+                    return lex
+                if dt == XSD + "boolean" and lex in ("true", "false"):
+                    return lex
+                # compact the datatype IRI too
+                return f'"{lex}"^^{fmt("<" + dt + ">")}'
+        return t  # bnode / lang literal / plain / triple term
+
+    return fmt
+
+
+def _header(prefixes: Dict[str, str]) -> str:
+    return "".join(
+        f"@prefix {p}: <{ns}> .\n" for p, ns in sorted(prefixes.items())
+    )
+
+
+def _subject_block(fmt, subj: str, pos: list) -> str:
+    """One subject's predicateObjectList with ';' / ',' grouping."""
+    parts = []
+    by_pred: dict = {}
+    order = []
+    for p, o in pos:
+        if p not in by_pred:
+            by_pred[p] = []
+            order.append(p)
+        by_pred[p].append(o)
+    for p in order:
+        objs = ", ".join(fmt(o) for o in by_pred[p])
+        parts.append(f"{fmt(p, is_pred=True)} {objs}")
+    body = " ;\n        ".join(parts)
+    return f"{fmt(subj)} {body} .\n"
+
+
+def turtle_lines(
+    triples: DataFrame, prefixes: Optional[Dict[str, str]] = None
+) -> DataFrame:
+    """Triples DF → one-column DF of Turtle text blocks (one per
+    partition header + one per subject), ready for ``.write.text``."""
+    pfx = dict(DEFAULT_PREFIXES)
+    if prefixes:
+        pfx.update(prefixes)
+    arranged = (
+        triples.select("subj", "pred", "obj")
+        .repartition(F.col("subj"))
+        .sortWithinPartitions("subj", "pred", "obj")
+    )
+
+    def emit(rows) -> Iterator:
+        fmt = _term_writer(pfx)
+        first = True
+        cur = None
+        pos: list = []
+        for r in rows:
+            if first:
+                yield (_header(pfx),)
+                first = False
+            if r.subj != cur:
+                if cur is not None:
+                    yield (_subject_block(fmt, cur, pos),)
+                cur = r.subj
+                pos = []
+            pos.append((r.pred, r.obj))
+        if cur is not None:
+            yield (_subject_block(fmt, cur, pos),)
+
+    return triples.sparkSession.createDataFrame(
+        arranged.rdd.mapPartitions(emit), "value string"
+    )
+
+
+def write_turtle(
+    triples: DataFrame,
+    path: str,
+    prefixes: Optional[Dict[str, str]] = None,
+) -> None:
+    turtle_lines(triples, prefixes).write.mode("overwrite").text(path)
+
+
+def trig_lines(
+    quads: DataFrame, prefixes: Optional[Dict[str, str]] = None
+) -> DataFrame:
+    """Quads DF → TriG text blocks: default-graph triples bare, named
+    graphs as ``<g> { … }`` blocks.  Partitioned by (graph, subject) so
+    a graph's block may span part files — legal TriG: a graph name may
+    introduce blocks repeatedly and the union is the graph."""
+    pfx = dict(DEFAULT_PREFIXES)
+    if prefixes:
+        pfx.update(prefixes)
+    arranged = (
+        quads.select("graph", "subj", "pred", "obj")
+        .repartition(F.col("graph"), F.col("subj"))
+        .sortWithinPartitions(
+            F.col("graph").asc_nulls_first(), "subj", "pred", "obj"
+        )
+    )
+
+    def emit(rows) -> Iterator:
+        fmt = _term_writer(pfx)
+        first = True
+        cur = None  # (graph, subj)
+        pos: list = []
+
+        def flush():
+            g, s = cur
+            block = _subject_block(fmt, s, pos)
+            if g is None:
+                return block
+            indented = "    " + block.rstrip("\n").replace("\n", "\n    ")
+            return f"{fmt(g)} {{\n{indented}\n}}\n"
+
+        for r in rows:
+            if first:
+                yield (_header(pfx),)
+                first = False
+            key = (r.graph, r.subj)
+            if key != cur:
+                if cur is not None:
+                    yield (flush(),)
+                cur = key
+                pos = []
+            pos.append((r.pred, r.obj))
+        if cur is not None:
+            yield (flush(),)
+
+    return quads.sparkSession.createDataFrame(
+        arranged.rdd.mapPartitions(emit), "value string"
+    )
+
+
+def write_trig(
+    quads: DataFrame,
+    path: str,
+    prefixes: Optional[Dict[str, str]] = None,
+) -> None:
+    trig_lines(quads, prefixes).write.mode("overwrite").text(path)
