@@ -134,8 +134,11 @@ class LateralPat:
 
 @dataclass
 class ServicePat:
-    """SERVICE [SILENT] — parsed for syntax conformance (syntax-fed);
-    execution raises: this engine performs no network federation."""
+    """SERVICE [SILENT] — endpoints registered as local DataFrames
+    execute (jena_spark.service, the ServiceExecutorRegistry seam);
+    unregistered endpoints raise (SILENT: unit solution).  No network
+    federation — the HTTP executor is the one registry entry this
+    engine deliberately lacks."""
     silent: bool
     endpoint: str
     pattern: "Group"
@@ -2965,9 +2968,31 @@ def _compile_group_n(
                     triples, df, nullable, el.pattern, graph_term, graph_var
                 )
         elif isinstance(el, ServicePat):
-            raise RDFSyntaxError(
-                "SERVICE is not supported (no network federation)"
-            )
+            # ServiceExecutorRegistry seam: endpoints registered as local
+            # DataFrames execute (the reference's custom-executor path);
+            # HTTP federation stays out of scope.  SILENT + missing
+            # endpoint = the unit solution (join identity), Jena's
+            # silent-failure semantics.
+            from ..service import lookup_service
+
+            if el.endpoint.startswith("?"):
+                raise RDFSyntaxError(
+                    "SERVICE with a variable endpoint is not supported"
+                )
+            ds = lookup_service(el.endpoint[1:-1])
+            if ds is None:
+                if el.silent:
+                    continue
+                raise RDFSyntaxError(
+                    f"SERVICE {el.endpoint}: endpoint not registered "
+                    "(no network federation; register a local dataset "
+                    "via jena_spark.service.register_service)"
+                )
+            sub, snull = _compile_group_n(ds, el.pattern, None, None)
+            if df is None:
+                df, nullable = sub, snull
+            else:
+                df, nullable = _join_compat(df, nullable, sub, snull, "inner")
         elif isinstance(el, SubGroupPat):
             sub, snull = _compile_group_n(triples, el.pattern, graph_term, graph_var)
             if df is None:

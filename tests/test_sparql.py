@@ -820,3 +820,54 @@ def test_path_distinct_multi_shortest(spark):
     # same way as before (keyword only activates with a '(' following)
     with pytest.raises(RDFSyntaxError):
         sparql_select(tri, "SELECT ?x WHERE { <http://e/a> distinct ?x }")
+
+
+def test_service_local_registry(spark):
+    """SERVICE against a REGISTERED endpoint evaluates the inner pattern
+    over that dataset and joins (the reference's ServiceExecutorRegistry
+    custom-executor path; HTTP stays out of scope).  SILENT + missing
+    endpoint = unit solution; non-silent missing endpoint raises."""
+    from jena_spark.service import register_service, unregister_service
+    from jena_spark.ops.sparql import sparql_select
+
+    local = spark.createDataFrame(
+        [("<http://e/a>", "<http://e/name>", '"alice"'),
+         ("<http://e/b>", "<http://e/name>", '"bob"')],
+        ["subj", "pred", "obj"],
+    )
+    remote = spark.createDataFrame(
+        [("<http://e/a>", "<http://e/age>", '"30"^^<http://www.w3.org/2001/XMLSchema#integer>')],
+        ["subj", "pred", "obj"],
+    )
+    register_service("http://remote.example/sparql", remote)
+    try:
+        out = sparql_select(
+            local,
+            """PREFIX e: <http://e/>
+               SELECT ?p ?n ?a WHERE {
+                 ?p e:name ?n .
+                 SERVICE <http://remote.example/sparql> { ?p e:age ?a }
+               }""",
+        )
+        assert rows(out) == [
+            ("<http://e/a>", '"alice"',
+             '"30"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+        ]
+        # SILENT + unregistered endpoint: pattern contributes nothing,
+        # outer solutions pass through
+        out2 = sparql_select(
+            local,
+            """PREFIX e: <http://e/>
+               SELECT ?p WHERE {
+                 ?p e:name ?n .
+                 SERVICE SILENT <http://nowhere.example/> { ?p e:age ?a }
+               }""",
+        )
+        assert len(rows(out2)) == 2
+        with pytest.raises(RDFSyntaxError):
+            sparql_select(
+                local,
+                "SELECT ?p WHERE { SERVICE <http://nowhere.example/> { ?p ?q ?o } }",
+            )
+    finally:
+        unregister_service("http://remote.example/sparql")
