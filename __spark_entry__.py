@@ -302,7 +302,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lines = turtle_lines(tri, {"ex": "http://example.org/"})
         return lines.filter(~F.col("value").startswith("@prefix"))
 
+    def rdfs_entailment(spark, sf):
+        # round-4: RDFS-min materialization (org.apache.jena.rdfs) over
+        # the extracted corpus + a small ontology: subClassOf chain,
+        # subPropertyOf, domain, range — closure via the semi-naive
+        # operator + four broadcast joins
+        from jena_spark.inference import rdfs_closure
+
+        R = "http://www.w3.org/2000/01/rdf-schema#"
+        E = "http://example.org/"
+        onto = spark.createDataFrame(
+            [
+                (f"<{E}Document>", f"<{R}subClassOf>", f"<{E}Resource>"),
+                (f"<{E}Resource>", f"<{R}subClassOf>", f"<{E}Entity>"),
+                (f"<{E}shard>", f"<{R}subPropertyOf>", f"<{E}partition>"),
+                (f"<{E}nchars>", f"<{R}domain>", f"<{E}Sized>"),
+                (f"<{E}shard>", f"<{R}range>", f"<{E}Shard>"),
+            ],
+            ["subj", "pred", "obj"],
+        )
+        tri = _doc_triples(spark, sf).unionByName(onto)
+        return rdfs_closure(tri)
+
     q.update(
+        rdfs_entailment=rdfs_entailment,
         kg_write_turtle=kg_write_turtle,
         cdt_fold_unfold=cdt_fold_unfold,
         rdf_patch_apply=rdf_patch_apply,
@@ -798,6 +821,38 @@ def oracle_sql() -> dict[str, str]:
         "AS pred, obj FROM doc_triples "
         "UNION ALL SELECT '<http://example.org/meta>', "
         "'<http://example.org/updated>', '\"round3\"'"
+    )
+
+    _R = "http://www.w3.org/2000/01/rdf-schema#"
+    _T = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+    o["rdfs_entailment"] = (
+        f"WITH {_DOC_TRIPLES_CTE.strip()}, "
+        "onto(subj, pred, obj) AS (VALUES "
+        f"('<http://example.org/Document>', '<{_R}subClassOf>', '<http://example.org/Resource>'), "
+        f"('<http://example.org/Resource>', '<{_R}subClassOf>', '<http://example.org/Entity>'), "
+        f"('<http://example.org/shard>', '<{_R}subPropertyOf>', '<http://example.org/partition>'), "
+        f"('<http://example.org/nchars>', '<{_R}domain>', '<http://example.org/Sized>'), "
+        f"('<http://example.org/shard>', '<{_R}range>', '<http://example.org/Shard>')) "
+        "SELECT subj, pred, obj FROM doc_triples "
+        "UNION ALL SELECT subj, pred, obj FROM onto "
+        # rdfs11: the one transitive pair of the 2-chain
+        f"UNION ALL SELECT '<http://example.org/Document>', '<{_R}subClassOf>', "
+        "'<http://example.org/Entity>' "
+        # rdfs7: shard ⊑ partition
+        "UNION ALL SELECT '<http://example.org/doc' || doc_id || '>', "
+        "'<http://example.org/partition>', "
+        "'<http://example.org/shard' || (doc_id % 8) || '>' FROM documents "
+        # rdfs2: nchars domain Sized
+        "UNION ALL SELECT '<http://example.org/doc' || doc_id || '>', "
+        f"'{_T}', '<http://example.org/Sized>' FROM documents "
+        # rdfs3: shard range Shard (distinct shard objects)
+        "UNION ALL SELECT DISTINCT '<http://example.org/shard' || (doc_id % 8) || '>', "
+        f"'{_T}', '<http://example.org/Shard>' FROM documents "
+        # rdfs9: Document ⊑ Resource ⊑ Entity
+        "UNION ALL SELECT '<http://example.org/doc' || doc_id || '>', "
+        f"'{_T}', '<http://example.org/Resource>' FROM documents "
+        "UNION ALL SELECT '<http://example.org/doc' || doc_id || '>', "
+        f"'{_T}', '<http://example.org/Entity>' FROM documents"
     )
 
     o["kg_write_turtle"] = (
