@@ -13,9 +13,12 @@ equivalents:
 - :func:`stream_predicate_counts` — incremental aggregation (counts per
   predicate) with a processing-time watermark — the "load monitor"
   analog of the reference's ProgressMonitorOutput ticks.
-- :func:`patch_stream` — an RDF-Patch-style add/delete row stream:
-  quads + op column ('A'/'D'), applying to a materialized table =
-  foreachBatch merge.
+- :func:`patch_ops_stream` + :func:`apply_patch_batch` — RDF Patch
+  documents stream in, parse to ordered (op, quad) rows (rdfpatch.py,
+  aborted transactions dropped), and fold into a parquet-backed store
+  with the same delta-shaped set operations as SPARQL Update.
+- :func:`stream_dedup_stateful` — cross-micro-batch exact dedup as a
+  custom stateful operator (``applyInPandasWithState``).
 """
 
 from __future__ import annotations
