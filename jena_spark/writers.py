@@ -207,3 +207,75 @@ def write_trig(
     prefixes: Optional[Dict[str, str]] = None,
 ) -> None:
     trig_lines(quads, prefixes).write.mode("overwrite").text(path)
+
+
+# ---------------------------------------------------------------------------
+# JSON-LD (flattened form) — riot/writer/JsonLDWriter.java's flattened
+# output shape: one node object per subject with full IRIs (no context
+# compaction — the expanded/flattened form round-trips without a
+# context document, which is the right shape for a distributed sink)
+# ---------------------------------------------------------------------------
+
+_XSD_STRING = XSD + "string"
+
+
+def _jsonld_value(o: str):
+    """Encoded object term → JSON-LD value object / node reference."""
+    if o.startswith("<"):
+        return {"@id": o[1:-1]}
+    if o.startswith("_:"):
+        return {"@id": o}
+    # literal
+    from .terms import decode_term
+
+    t = decode_term(o)
+    if t.lang is not None:
+        return {"@value": t.lex, "@language": t.lang}
+    if t.datatype is None or t.datatype == _XSD_STRING:
+        return {"@value": t.lex}
+    return {"@value": t.lex, "@type": t.datatype}
+
+
+def jsonld_lines(triples: DataFrame) -> DataFrame:
+    """Triples DF → one-column DF where each row is ONE flattened
+    JSON-LD node object (NDJSON style).  The concatenation wrapped in a
+    ``@graph`` array — or any subset of lines — parses back to the
+    corresponding triples; each line alone is a valid JSON-LD document.
+    Same distribution shape as the Turtle writer: partition by subject,
+    no driver collection."""
+    import json
+
+    arranged = (
+        triples.select("subj", "pred", "obj")
+        .repartition(F.col("subj"))
+        .sortWithinPartitions("subj", "pred", "obj")
+    )
+
+    def emit(rows) -> Iterator:
+        cur = None
+        node: dict = {}
+
+        def flush():
+            return (json.dumps(node, ensure_ascii=False, sort_keys=True),)
+
+        for r in rows:
+            if r.subj != cur:
+                if cur is not None:
+                    yield flush()
+                cur = r.subj
+                node = {"@id": cur[1:-1] if cur.startswith("<") else cur}
+            if r.pred == RDF_TYPE and r.obj.startswith("<"):
+                node.setdefault("@type", []).append(r.obj[1:-1])
+            else:
+                p = r.pred[1:-1]
+                node.setdefault(p, []).append(_jsonld_value(r.obj))
+        if cur is not None:
+            yield flush()
+
+    return triples.sparkSession.createDataFrame(
+        arranged.rdd.mapPartitions(emit), "value string"
+    )
+
+
+def write_jsonld(triples: DataFrame, path: str) -> None:
+    jsonld_lines(triples).write.mode("overwrite").text(path)

@@ -93,3 +93,26 @@ def test_trig_roundtrip(spark):
         for g, s, p, o in [tuple(r) for r in quads.collect()]
     )
     assert got == want
+
+
+def test_jsonld_roundtrip(spark):
+    """Flattened JSON-LD lines re-parse (through our conformance-tested
+    JSON-LD reader) to the original triples."""
+    import json
+
+    from jena_spark.parsers.jsonld import parse_jsonld
+    from jena_spark.writers import jsonld_lines
+
+    tri = spark.createDataFrame(TRIPLES, ["subj", "pred", "obj"])
+    lines = [r["value"] for r in jsonld_lines(tri).collect()]
+    doc = json.dumps({"@graph": [json.loads(l) for l in lines]})
+    alloc = BNodeAllocator(doc_seed("wr", "j", "x"))
+    got = [(s, p, o) for _g, s, p, o in parse_jsonld(doc, None, alloc)]
+
+    def norm(trs):
+        return sorted(
+            ("_:" if s.startswith("_:") else s, p,
+             "_:" if o.startswith("_:") else o)
+            for s, p, o in trs
+        )
+    assert norm(got) == norm(TRIPLES)
