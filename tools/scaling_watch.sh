@@ -23,7 +23,7 @@ print(f"{r16/(4*r4):.3f}")
 EOF
 )
   echo "$(date +%H:%M:%S) attempt $attempt ceiling=$ceiling" >> /tmp/scaling_watch.log
-  ok=$(python -c "print(1 if float('$ceiling') >= 0.85 else 0)")
+  ok=$(python -c "print(1 if float('$ceiling') >= 0.87 else 0)")
   if [ "$ok" = "1" ]; then
     SPARK_DRIVER_MEMORY=24g python tools/scaling.py 150000 4 16 \
       > "/tmp/scaling_r4_c${ceiling}_a${attempt}.log" 2>&1
