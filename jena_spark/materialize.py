@@ -198,6 +198,12 @@ def materialize_encoded(
             F.pmod(F.col("p_id") + salt, F.lit(n_partitions)),
         ).otherwise(base),
     )
+    # ONE p_part exchange shared by all three permutation writes: the
+    # persisted cache already holds the final partitioning, so each
+    # write below is a zero-shuffle sortWithinPartitions + file write
+    # (previously each write re-shuffled the full dataset — 3 identical
+    # exchanges; at corpus scale that was 2 wasted full shuffles)
+    salted = salted.repartition(n_partitions, F.col("p_part"))
     salted.persist()
     salted.count()  # warm before concurrent fan-out
     paths = {"nodes": os.path.join(out_dir, "nodes")}
@@ -211,8 +217,7 @@ def materialize_encoded(
             # partition — a predicate-bound scan prunes whole directories
             # (Catalyst PartitionFilters), and the within-partition sort
             # gives parquet min/max row-group skipping on the lead key
-            salted.repartition(n_partitions, F.col("p_part"))
-            .sortWithinPartitions(*keys)
+            salted.sortWithinPartitions(*keys)
             .select(*gcols, *keys, "p_part")
             .write.mode("overwrite")
             .partitionBy("p_part")
