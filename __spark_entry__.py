@@ -407,22 +407,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return c.union(s).distinct()
 
-    def alg_topn(spark, sf):  # OpTopN (ORDER BY + LIMIT fused)
+    def alg_topn_slice(spark, sf):
+        # OpTopN (ORDER BY + LIMIT fused → TakeOrderedAndProject) and
+        # OpSlice (OFFSET + LIMIT) in one oracled query: union with a
+        # src tag, nulls where the other branch's payload doesn't apply
         o = _read(spark, sf, "orders")
-        return (
+        top = (
             o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
             .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
             .limit(10)
+            .select(
+                "o_orderkey", "price",
+                F.lit(None).cast("string").alias("o_orderpriority"),
+                F.lit("topn").alias("src"),
+            )
         )
-
-    def alg_slice(spark, sf):  # OpSlice (OFFSET + LIMIT)
-        o = _read(spark, sf, "orders")
-        return (
+        sli = (
             o.orderBy(F.asc("o_orderkey"))
             .select("o_orderkey", "o_orderpriority")
             .offset(100)
             .limit(50)
+            .select(
+                "o_orderkey",
+                F.lit(None).cast("double").alias("price"),
+                "o_orderpriority",
+                F.lit("slice").alias("src"),
+            )
         )
+        return top.unionByName(sli)
 
     def alg_values_join(spark, sf):  # OpTable (VALUES)
         vals = spark.createDataFrame(
@@ -501,8 +513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         alg_semijoin=alg_semijoin,
         alg_antijoin=alg_antijoin,
         alg_union_distinct=alg_union_distinct,
-        alg_topn=alg_topn,
-        alg_slice=alg_slice,
+        alg_topn_slice=alg_topn_slice,
         alg_values_join=alg_values_join,
         alg_expr_funcs=alg_expr_funcs,
         alg_agg_variety=alg_agg_variety,
@@ -608,17 +619,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _read(spark, sf, "embeddings"), threshold=0.4
         )
 
-    def text_langid(spark, sf):
-        return ts.langid(_read(spark, sf, "documents"))
-
-    def text_quality(spark, sf):
-        return ts.quality(_read(spark, sf, "documents"))
-
-    def text_token_counts(spark, sf):
-        return ts.token_counts(_read(spark, sf, "documents"))
-
-    def text_fingerprint(spark, sf):
-        return ts.fingerprint(_read(spark, sf, "documents"))
+    def text_profile(spark, sf):
+        # langid + quality + token counts + fingerprint, ONE scan
+        # (consolidates four former queries; every column family keeps
+        # its own oracle coverage inside the joined SQL mirror)
+        return ts.profile(_read(spark, sf, "documents"))
 
     def code_mention_counts(spark, sf):
         # code-identifier mention extraction (vectorized, JVM-side)
@@ -643,15 +648,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _read(spark, sf, "documents"), ["table", "index"], limit=20
         )
 
-    def ann_cosine_topk(spark, sf):
+    def ann_topk(spark, sf):
+        # brute-force cosine top-k (exact baseline) AND the IVF
+        # bucketed variant, tagged by method — both ANN components stay
+        # oracle-checked in one driver row
         emb = _read(spark, sf, "embeddings")
         qv = [float((i * 37 % 19) - 9) / 10.0 for i in range(64)]
-        return sim.cosine_topk(emb, qv, k=20)
-
-    def ann_ivf_topk(spark, sf):
-        emb = _read(spark, sf, "embeddings")
-        qv = [float((i * 37 % 19) - 9) / 10.0 for i in range(64)]
-        return sim.ivf_topk(emb, qv, k=20, n_centroids=16, n_probe=4)
+        brute = sim.cosine_topk(emb, qv, k=20).select(
+            F.lit("brute").alias("method"), "vec_id", "cosine"
+        )
+        ivf = sim.ivf_topk(emb, qv, k=20, n_centroids=16, n_probe=4).select(
+            F.lit("ivf").alias("method"), "vec_id", "cosine"
+        )
+        return brute.unionByName(ivf)
 
     def mm_metadata(spark, sf):
         media = mm.media_from_documents(_read(spark, sf, "documents"))
@@ -689,14 +698,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup_simhash=dedup_simhash,
         text_chunks=text_chunks,
         dedup_embedding_pairs=dedup_embedding_pairs,
-        text_langid=text_langid,
-        text_quality=text_quality,
-        text_token_counts=text_token_counts,
-        text_fingerprint=text_fingerprint,
+        text_profile=text_profile,
         text_search_rank=text_search_rank,
         code_mention_counts=code_mention_counts,
-        ann_cosine_topk=ann_cosine_topk,
-        ann_ivf_topk=ann_ivf_topk,
+        ann_topk=ann_topk,
         mm_metadata=mm_metadata,
     )
     return q
@@ -1010,14 +1015,16 @@ def oracle_sql() -> dict[str, str]:
         "UNION ALL SELECT CAST(s_nationkey AS BIGINT) FROM supplier)"
     )
 
-    o["alg_topn"] = (
+    o["alg_topn_slice"] = (
+        "SELECT o_orderkey, price, CAST(NULL AS VARCHAR) AS o_orderpriority, "
+        "'topn' AS src FROM ("
         "SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders "
-        "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"
-    )
-
-    o["alg_slice"] = (
+        "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10) "
+        "UNION ALL "
+        "SELECT o_orderkey, CAST(NULL AS DOUBLE) AS price, o_orderpriority, "
+        "'slice' AS src FROM ("
         "SELECT o_orderkey, o_orderpriority FROM orders "
-        "ORDER BY o_orderkey ASC LIMIT 50 OFFSET 100"
+        "ORDER BY o_orderkey ASC LIMIT 50 OFFSET 100)"
     )
 
     o["alg_values_join"] = (
@@ -1168,14 +1175,14 @@ def oracle_sql() -> dict[str, str]:
             score_sqls[lang] = f"CAST({hits(words)} AS DOUBLE)"
     # deterministic argmax: max by (score, lang) — same struct ordering as Spark
     pairs = ", ".join(f"({s}, '{l}')" for l, s in sorted(score_sqls.items()))
-    o["text_langid"] = (
+    langid_sql = (
         f"WITH scored AS (SELECT doc_id, list_max([{pairs}]) AS best FROM documents) "
         "SELECT doc_id, best[2] AS pred_lang, round(CAST(best[1] AS DOUBLE), 6) AS lang_score "
         "FROM scored"
     )
 
     stop = hits(LANG_MARKERS["en"])
-    o["text_quality"] = (
+    quality_sql = (
         "SELECT doc_id, CAST(length(text) AS INT) AS n_chars_m, "
         "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
         "length(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens, "
@@ -1190,7 +1197,7 @@ def oracle_sql() -> dict[str, str]:
         "FROM documents"
     )
 
-    o["text_token_counts"] = (
+    tokens_sql = (
         "SELECT doc_id, "
         "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
         "length(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS ws_tokens, "
@@ -1210,9 +1217,18 @@ def oracle_sql() -> dict[str, str]:
         "CAST(len(toks[i*24+1 : i*24+32]) AS BIGINT) AS chunk_tokens FROM x"
     )
 
-    o["text_fingerprint"] = (
+    fp_sql = (
         "SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) "
         "AS fingerprint FROM documents"
+    )
+    # one row per document carrying all four analysis families — the
+    # Spark side is a single narrow select (textstats.profile); the
+    # mirror joins the per-family subqueries back together on doc_id
+    o["text_profile"] = (
+        f"SELECT * FROM ({langid_sql}) li "
+        f"JOIN ({quality_sql}) qu USING (doc_id) "
+        f"JOIN ({tokens_sql}) tk USING (doc_id) "
+        f"JOIN ({fp_sql}) fp USING (doc_id)"
     )
 
     from jena_spark.mentions import STOPWORDS as _SW
@@ -1268,7 +1284,7 @@ def oracle_sql() -> dict[str, str]:
         "(sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) >= 0.4"
     )
 
-    o["ann_cosine_topk"] = (
+    brute_topk_sql = (
         f"SELECT vec_id, round(list_dot_product(CAST(embedding AS DOUBLE[]), {qlist}) / "
         f"(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) * "
         f"sqrt(list_dot_product({qlist}, {qlist}))), 4) AS cosine "
@@ -1284,7 +1300,7 @@ def oracle_sql() -> dict[str, str]:
         "list_dot_product(v, cvec) / "
         "(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cvec, cvec)))"
     )
-    o["ann_ivf_topk"] = (
+    ivf_topk_sql = (
         "WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
         "ord AS (SELECT vec_id, v, row_number() OVER "
         "(ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM emb), "
@@ -1307,6 +1323,11 @@ def oracle_sql() -> dict[str, str]:
         f"(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product({qlist}, {qlist}))), 4) AS cosine "
         "FROM emb JOIN b1 USING (vec_id) JOIN qprobe USING (centroid_id) "
         "ORDER BY cosine DESC, emb.vec_id ASC LIMIT 20"
+    )
+
+    o["ann_topk"] = (
+        f"SELECT 'brute' AS method, * FROM ({brute_topk_sql}) "
+        f"UNION ALL SELECT 'ivf' AS method, * FROM ({ivf_topk_sql})"
     )
 
     o["mm_metadata"] = (

@@ -122,8 +122,8 @@ def main() -> None:
         "dedup_minhash_pairs",
         "dedup_jaccard",
         "dedup_simhash",
-        "text_quality",
-        "ann_cosine_topk",
+        "text_profile",
+        "ann_topk",
         "mm_metadata",
     ]
     for name in headline:

@@ -479,10 +479,18 @@ def _time_key(raw: str):
     if not m:
         return None
     y, mo, d, h, mi, s, tz = m.groups()
+    # Exact proleptic-Gregorian days-since-epoch (Hinnant's days_from_civil):
+    # monotonic and collision-free for any year incl. negative, and uniform
+    # across month/year boundaries so tz adjustment below compares correctly.
+    yy, mm = int(y), int(mo)
+    yy -= 1 if mm <= 2 else 0
+    era = (yy if yy >= 0 else yy - 399) // 400
+    yoe = yy - era * 400
+    doy = (153 * (mm + (-3 if mm > 2 else 9)) + 2) // 5 + int(d) - 1
+    doe = yoe * 365 + yoe // 4 - yoe // 100 + doy
+    days = era * 146097 + doe - 719468
     secs = (
-        int(y) * 366 * 86400
-        + int(mo) * 31 * 86400
-        + int(d) * 86400
+        days * 86400
         + int(h or 0) * 3600
         + int(mi or 0) * 60
         + float(s or 0)

@@ -435,9 +435,22 @@ def _union(
         a = a.dropDuplicates()
     if not known_small:
         # the delta is about to be scanned 2-3×; pin it and learn its
-        # size so we can pick the broadcast or the shuffle formulation
+        # size so we can pick the broadcast or the shuffle formulation.
+        # The cutoff is BYTE-based: F.broadcast bypasses
+        # autoBroadcastJoinThreshold, and a row-count gate lets a
+        # multi-hundred-MB hashed relation of long encoded terms onto
+        # every executor (OOM at cluster scale).  Estimate the encoded
+        # size from term lengths (+16B/row row overhead), cap at 32 MB.
         a = a.localCheckpoint(eager=True)
-        known_small = a.count() <= 2_000_000
+        sz = a.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.coalesce(F.length("graph"), F.lit(0))
+                + F.length("subj") + F.length("pred") + F.length("obj")
+            ).alias("chars"),
+        ).first()
+        est_bytes = (sz["chars"] or 0) + 16 * (sz["n"] or 0)
+        known_small = est_bytes <= 32 * 1024 * 1024
     delta = a.select(
         F.col("graph").alias("__g"), F.col("subj").alias("__s"),
         F.col("pred").alias("__p"), F.col("obj").alias("__o"),

@@ -46,10 +46,10 @@ def lang_scores(text_col) -> dict:
     return scores
 
 
-def langid(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """n-gram/marker-word language ID with deterministic tie-break
-    (highest score, then language name)."""
-    scores = lang_scores(F.col(text_col))
+def _langid_cols(text_col) -> list:
+    """Columns (pred_lang, lang_score): marker-word language ID with
+    deterministic tie-break (highest score, then language name)."""
+    scores = lang_scores(text_col)
     pairs = F.array(
         *[
             F.struct(v.alias("score"), F.lit(k).alias("lang"))
@@ -64,17 +64,21 @@ def langid(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> D
     # array_max on struct orders by score then lang — ties break to the
     # lexicographically LAST language; invert lang for first-wins? keep
     # score-desc, lang-desc: deterministic either way; document it.
-    return docs.select(
-        F.col(id_col),
+    return [
         best["lang"].alias("pred_lang"),
         F.round(best["score"], 6).alias("lang_score"),
-    )
+    ]
 
 
-def quality(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Quality features: char length, token count, mean token length,
-    punctuation ratio, stopword ratio, alpha ratio."""
-    t = F.col(text_col)
+def langid(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """n-gram/marker-word language ID with deterministic tie-break
+    (highest score, then language name)."""
+    return docs.select(F.col(id_col), *_langid_cols(F.col(text_col)))
+
+
+def _quality_cols(t) -> list:
+    """Columns: char length, token count, mean token length, punctuation
+    ratio, alpha ratio, stopword ratio."""
     trimmed = F.trim(t)
     tokens = F.split(trimmed, r"\s+")
     n_tokens = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(F.size(tokens))
@@ -82,21 +86,24 @@ def quality(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?'\"()\[\]{}-]", ""))
     n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
     stop_hits = _token_hits(_lower_tokens(t), LANG_MARKERS["en"])
-    return docs.select(
-        F.col(id_col),
+    return [
         n_chars.alias("n_chars_m"),
         n_tokens.cast("long").alias("n_tokens"),
         F.round(n_chars / F.greatest(n_tokens, F.lit(1)), 6).alias("mean_tok_len"),
         F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6).alias("punct_ratio"),
         F.round(n_alpha / F.greatest(n_chars, F.lit(1)), 6).alias("alpha_ratio"),
         F.round(stop_hits / F.greatest(n_tokens, F.lit(1)), 6).alias("stopword_ratio"),
-    )
+    ]
 
 
-def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Whitespace tokens + a BPE-ish subword proxy: count of
-    letter-digit/camel/punct boundaries (regex split points)."""
-    t = F.col(text_col)
+def quality(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Quality features: char length, token count, mean token length,
+    punctuation ratio, stopword ratio, alpha ratio."""
+    return docs.select(F.col(id_col), *_quality_cols(F.col(text_col)))
+
+
+def _token_count_cols(t) -> list:
+    """Columns (ws_tokens, subword_pieces)."""
     trimmed = F.trim(t)
     ws_tokens = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
         F.size(F.split(trimmed, r"\s+"))
@@ -108,11 +115,16 @@ def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
             F.split(F.lower(t), r"[^a-z0-9]+"), lambda x: F.length(x) > 0
         )
     )
-    return docs.select(
-        F.col(id_col),
+    return [
         ws_tokens.cast("long").alias("ws_tokens"),
         pieces.cast("long").alias("subword_pieces"),
-    )
+    ]
+
+
+def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace tokens + a BPE-ish subword proxy: count of
+    letter-digit/camel/punct boundaries (regex split points)."""
+    return docs.select(F.col(id_col), *_token_count_cols(F.col(text_col)))
 
 
 def text_query(
@@ -139,11 +151,29 @@ def text_query(
     )
 
 
+def _fingerprint_col(t) -> F.Column:
+    norm = F.lower(F.trim(F.regexp_replace(t, r"\s+", " ")))
+    return F.md5(norm).alias("fingerprint")
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document fingerprint: md5 of the whitespace-normalized, lowercased
     text (the cheap, exact-dup-robust canonical form)."""
-    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
-    return docs.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
+    return docs.select(F.col(id_col), _fingerprint_col(F.col(text_col)))
+
+
+def profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """All per-document text analyses — language ID, quality features,
+    token counts, fingerprint — in ONE narrow select (one scan, zero
+    shuffle, no self-joins; at 100 TB this is a single map stage)."""
+    t = F.col(text_col)
+    return docs.select(
+        F.col(id_col),
+        *_langid_cols(t),
+        *_quality_cols(t),
+        *_token_count_cols(t),
+        _fingerprint_col(t),
+    )
 
 
 def chunk_documents(

@@ -73,60 +73,137 @@ def run_stream_to_parquet(
 
 def patch_ops_stream(patches: DataFrame, text_col: str = "patch") -> DataFrame:
     """RDF Patch DOCUMENTS (one text per row) → their committed A/D quad
-    ops, in order: (op, graph, subj, pred, obj).  The streaming bridge
-    between jena-rdfpatch change logs and the quad-store appliers below
-    (rdfpatch.parse_patch handles TX/TC/TA — aborted transactions
+    ops, in order: (seq, op, graph, subj, pred, obj).  The streaming
+    bridge between jena-rdfpatch change logs and the quad-store appliers
+    below (rdfpatch.parse_patch handles TX/TC/TA — aborted transactions
     contribute nothing).  Arrow-batched; works on static and streaming
-    DataFrames alike."""
-    schema = "op string, graph string, subj string, pred string, obj string"
+    DataFrames alike.
+
+    ``seq`` preserves op ORDER: strictly increasing within each patch
+    document (and across documents of one input partition), so the
+    applier can fold ordered A/D runs — a quad added then deleted in
+    one micro-batch ends up absent, exactly like rdfpatch.apply_patch.
+    Across partitions the order is positional (concurrent change logs
+    have no global order), matching RDFChanges stream semantics."""
+    schema = (
+        "seq long, op string, graph string, subj string, pred string, obj string"
+    )
 
     def expand(batches):
         import pandas as pd
+        from pyspark import TaskContext
 
         from .rdfpatch import parse_patch
 
+        ctx = TaskContext.get()
+        base = (ctx.partitionId() if ctx is not None else 0) << 40
+        seq = 0
         for pdf in batches:
             rows = []
             for text in pdf[text_col]:
                 for code, (g, s, p, o) in parse_patch(text).ops:
-                    rows.append((code, g, s, p, o))
+                    rows.append((base + seq, code, g, s, p, o))
+                    seq += 1
             yield pd.DataFrame(
-                rows, columns=["op", "graph", "subj", "pred", "obj"]
+                rows, columns=["seq", "op", "graph", "subj", "pred", "obj"]
             )
 
     return patches.mapInPandas(expand, schema)
 
 
-def apply_patch_batch(target_dir: str):
-    """foreachBatch function applying an RDF-Patch-style (op, graph, subj,
-    pred, obj) micro-batch to a parquet table: 'A' rows appended, 'D'
-    rows anti-joined away.  (RDFChanges.add/delete parity; txn markers
-    map to micro-batch boundaries, which are atomic per sink commit.)
+def apply_patch_batch(target_dir: str, n_parts: int = 16):
+    """foreachBatch function applying an RDF-Patch-style (seq, op, graph,
+    subj, pred, obj) micro-batch to a parquet quad store partitioned by
+    ``p_part = pmod(xxhash64(pred), n_parts)``.  (RDFChanges.add/delete
+    parity; txn markers map to micro-batch boundaries, atomic per sink
+    commit.)
 
-    Delta-shaped like SPARQL Update: deletes are a null-safe anti-join
-    of the store against the (small) delta, adds go through the
-    broadcast semi/anti insert — the store is never re-shuffled (the
-    old per-batch full-store ``dropDuplicates`` is gone).  The parquet
-    rewrite itself stands in for an Iceberg MERGE with positional
-    deletes at real scale."""
+    Order-correct: per quad, only the LAST op in the batch decides final
+    membership (max_by(op, seq)) — an A…D run of the same quad within
+    one micro-batch ends up deleted, exactly like the ordered run
+    coalescing in rdfpatch.apply_patch.  Batches without a ``seq``
+    column (legacy producers) fall back to delete-then-add.
+
+    SUB-LINEAR in |store|: the delta's touched ``p_part`` values are
+    collected (≤ n_parts, driver-small), only those partitions are read
+    (parquet partition pruning), and only those partitions are rewritten
+    via dynamic partition overwrite — untouched partition files are
+    never opened or replaced.  At real scale the same shape is an
+    Iceberg MERGE over a predicate-bucketed table; n_parts scales with
+    the cluster (here 16 for local tests).  A legacy unpartitioned store
+    is migrated in place on first contact (one full rewrite, once)."""
 
     def apply(batch: DataFrame, batch_id: int) -> None:
+        import os
+        import shutil
+
         from .ops.update import _minus, _union
 
         spark = batch.sparkSession
-        adds = batch.filter(F.col("op") == "A").drop("op").dropDuplicates()
-        dels = batch.filter(F.col("op") == "D").drop("op")
+        part = F.pmod(F.xxhash64(F.col("pred")), F.lit(n_parts)).cast("int")
+        if "seq" in batch.columns:
+            # last op per quad decides membership after this batch
+            last = (
+                batch.groupBy("graph", "subj", "pred", "obj")
+                .agg(F.max_by("op", "seq").alias("op"))
+            )
+        else:
+            last = batch.dropDuplicates()
+        last = last.withColumn("p_part", part).localCheckpoint(eager=True)
+        adds = last.filter(F.col("op") == "A").drop("op")
+        dels = last.filter(F.col("op") == "D").drop("op")
+        touched = [r["p_part"] for r in last.select("p_part").distinct().collect()]
+        if not touched:
+            return
+
+        quad_cols = ["graph", "subj", "pred", "obj"]
         try:
             cur = spark.read.parquet(target_dir)
+            exists = True
         except Exception:
-            cur = spark.createDataFrame([], adds.schema)
+            cur = spark.createDataFrame(
+                [],
+                "graph string, subj string, pred string, obj string, p_part int",
+            )
+            exists = False
+        if exists and "p_part" not in cur.columns:
+            # one-time migration of a legacy unpartitioned store
+            mig = cur.withColumn("p_part", part)
+            mig.write.mode("overwrite").partitionBy("p_part").parquet(
+                target_dir + "_mig"
+            )
+            shutil.rmtree(target_dir)
+            os.rename(target_dir + "_mig", target_dir)
+            cur = spark.read.parquet(target_dir)
+
+        cur = cur.filter(F.col("p_part").isin(touched)).select(*quad_cols)
         nxt = _union(
-            _minus(cur, dels), adds, known_small=True, pre_deduped=True
+            _minus(cur, dels.select(*quad_cols)),
+            adds.select(*quad_cols),
+            known_small=True,
+            pre_deduped=True,
+        ).withColumn("p_part", part)
+        # pin the result BEFORE overwriting: the plan reads the very
+        # files the write below replaces (read-your-own-overwrite)
+        nxt = nxt.localCheckpoint(eager=True)
+        (
+            nxt.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("p_part")
+            .parquet(target_dir)
         )
-        nxt.write.mode("overwrite").parquet(target_dir + "_next")
-        spark.read.parquet(target_dir + "_next").write.mode(
-            "overwrite"
-        ).parquet(target_dir)
+        # dynamic overwrite never touches a partition absent from the
+        # output — a touched partition whose quads were ALL deleted
+        # keeps stale files; drop those directories explicitly (the
+        # Iceberg MERGE analog does this through the catalog).
+        remaining = {
+            r["p_part"] for r in nxt.select("p_part").distinct().collect()
+        }
+        for k in set(touched) - remaining:
+            shutil.rmtree(
+                os.path.join(target_dir, f"p_part={k}"), ignore_errors=True
+            )
+        nxt.unpersist()
 
     return apply
 

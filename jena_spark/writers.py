@@ -279,3 +279,123 @@ def jsonld_lines(triples: DataFrame) -> DataFrame:
 
 def write_jsonld(triples: DataFrame, path: str) -> None:
     jsonld_lines(triples).write.mode("overwrite").text(path)
+
+
+# ---------------------------------------------------------------------------
+# RDF/XML — the reference's plain writer
+# (jena-core rdfxml/xmloutput/impl/RDFXML_Basic.java: rdf:Description
+# blocks with property elements; BaseXMLWriter.java:585 splits property
+# IRIs at the longest NCName suffix and refuses unsplittable predicates).
+# Distributed shape: XML has ONE root element, so unlike Turtle the part
+# files cannot concatenate into a single document — instead EVERY
+# PARTITION emits a complete, self-contained <rdf:RDF> document and the
+# graph is the union of the part files (the same union-of-files contract
+# as the NDJSON JSON-LD sink above).
+# ---------------------------------------------------------------------------
+
+_NCNAME_SUFFIX = re.compile(r"[A-Za-z_][A-Za-z0-9_.\-]*$")
+
+
+def _xml_esc(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def _xml_attr_esc(s: str) -> str:
+    return _xml_esc(s).replace('"', "&quot;")
+
+
+def _split_pred(iri: str):
+    """Predicate IRI → (namespace, NCName local) at the longest valid
+    NCName suffix; raises like BaseXMLWriter when no split exists."""
+    m = _NCNAME_SUFFIX.search(iri)
+    if not m or m.start() == 0:
+        raise ValueError(
+            f"cannot serialize predicate as RDF/XML (no NCName split): {iri}"
+        )
+    return iri[: m.start()], iri[m.start():]
+
+
+def rdfxml_lines(
+    triples: DataFrame, prefixes: Optional[Dict[str, str]] = None
+) -> DataFrame:
+    """Triples DF → one-column DF of RDF/XML text fragments.  Each
+    partition yields a full document: XML declaration + <rdf:RDF> root
+    (declaring the known prefixes), one <rdf:Description> per subject,
+    closing tag.  Property namespaces outside the prefix map are
+    declared inline on the property element (always legal, no
+    partition-wide namespace scan needed)."""
+    pfx = dict(DEFAULT_PREFIXES)
+    if prefixes:
+        pfx.update(prefixes)
+    ns_to_pfx = {ns: p for p, ns in pfx.items()}
+
+    arranged = (
+        triples.select("subj", "pred", "obj")
+        .repartition(F.col("subj"))
+        .sortWithinPartitions("subj", "pred", "obj")
+    )
+
+    def prop_elem(pred: str, obj: str) -> str:
+        from .terms import decode_term
+
+        ns, local = _split_pred(pred[1:-1])
+        known = ns_to_pfx.get(ns)
+        if known is not None:
+            tag, nsdecl = f"{known}:{local}", ""
+        else:
+            tag, nsdecl = f"n:{local}", f' xmlns:n="{_xml_attr_esc(ns)}"'
+        if obj.startswith("<"):
+            return f'    <{tag}{nsdecl} rdf:resource="{_xml_attr_esc(obj[1:-1])}"/>\n'
+        if obj.startswith("_:"):
+            return f'    <{tag}{nsdecl} rdf:nodeID="{obj[2:]}"/>\n'
+        if obj.startswith("<<("):
+            raise ValueError("RDF/XML cannot serialize triple terms (RDF 1.2)")
+        t = decode_term(obj)
+        attrs = nsdecl
+        if t.lang is not None:
+            attrs += f' xml:lang="{t.lang}"'
+        elif t.datatype is not None and t.datatype != _XSD_STRING:
+            attrs += f' rdf:datatype="{_xml_attr_esc(t.datatype)}"'
+        return f"    <{tag}{attrs}>{_xml_esc(t.lex)}</{tag}>\n"
+
+    def emit(rows) -> Iterator:
+        header = '<?xml version="1.0" encoding="utf-8"?>\n<rdf:RDF' + "".join(
+            f'\n    xmlns:{p}="{_xml_attr_esc(ns)}"'
+            for p, ns in sorted(pfx.items())
+        ) + ">\n"
+        opened = False
+        cur = None
+        buf: list = []
+
+        def flush() -> str:
+            buf.append("  </rdf:Description>\n")
+            return "".join(buf)
+
+        for r in rows:
+            if not opened:
+                yield (header,)
+                opened = True
+            if r.subj != cur:
+                if cur is not None:
+                    yield (flush(),)
+                cur = r.subj
+                if cur.startswith("_:"):
+                    about = f'rdf:nodeID="{cur[2:]}"'
+                else:
+                    about = f'rdf:about="{_xml_attr_esc(cur[1:-1])}"'
+                buf = [f"  <rdf:Description {about}>\n"]
+            buf.append(prop_elem(r.pred, r.obj))
+        if cur is not None:
+            yield (flush(),)
+        if opened:
+            yield ("</rdf:RDF>\n",)
+
+    return triples.sparkSession.createDataFrame(
+        arranged.rdd.mapPartitions(emit), "value string"
+    )
+
+
+def write_rdfxml(
+    triples: DataFrame, path: str, prefixes: Optional[Dict[str, str]] = None
+) -> None:
+    rdfxml_lines(triples, prefixes).write.mode("overwrite").text(path)

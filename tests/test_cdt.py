@@ -120,3 +120,31 @@ def test_relabel_bnodes_recurses_and_keeps_spacing():
     assert '"lit _:b"' in out  # literal content untouched
     assert out.startswith(" [ _:B, ")
     assert '[_:B]' in out  # nested cdt literal relabeled too
+
+
+def test_date_key_monotonic_and_collision_free():
+    """ADVICE r4 (high): the old y*366+mo*31 radix made December dates
+    exceed the year step — 2023-12-30 sorted after 2024-01-01 and
+    collided with 2024-01-05.  The proleptic-Gregorian key is exact."""
+    import datetime as dt
+
+    from jena_spark.cdt import _time_key, classify, same_value
+
+    X = "http://www.w3.org/2001/XMLSchema#"
+
+    def d(s):
+        return f'"{s}"^^<{X}date>'
+
+    assert classify(d("2023-12-30"))[1] < classify(d("2024-01-01"))[1]
+    assert not same_value(d("2023-12-30"), d("2024-01-05"))
+    # exact vs python datetime over several years incl. leap days
+    base = dt.date(2019, 12, 25)
+    keys = [_time_key((base + dt.timedelta(days=i)).isoformat()) for i in range(1500)]
+    assert keys == sorted(set(keys))
+    assert _time_key("1970-01-01T00:00:00Z") == 0
+    assert (
+        _time_key("2024-06-15T12:30:45Z")
+        == dt.datetime(2024, 6, 15, 12, 30, 45, tzinfo=dt.timezone.utc).timestamp()
+    )
+    # tz normalization across a year boundary: same instant, same key
+    assert _time_key("2024-01-01T00:00:00+14:00") == _time_key("2023-12-31T10:00:00Z")

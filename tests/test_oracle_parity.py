@@ -23,8 +23,8 @@ SUBSET = [
     "alg_agg_variety",
     "path_transitive_plus",
     "dedup_minhash_sigs",
-    "text_quality",
-    "ann_cosine_topk",
+    "text_profile",
+    "ann_topk",
     "mm_metadata",
 ]
 

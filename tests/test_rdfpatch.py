@@ -156,10 +156,137 @@ def test_patch_stream_applies_to_store(spark, tmp_path):
     q.awaitTermination()
 
     got = sorted(
-        (tuple(r) for r in spark.read.parquet(store).collect()),
+        (
+            tuple(r)
+            for r in spark.read.parquet(store)
+            .select("graph", "subj", "pred", "obj")
+            .collect()
+        ),
         key=lambda t: tuple("" if x is None else x for x in t),
     )
     assert got == [
         (None, "<http://e/a>", "<http://e/p>", '"1"'),
         ("<http://e/g>", "<http://e/b>", "<http://e/p>", '"2"'),
     ]
+
+
+def _store_quads(spark, store):
+    return sorted(
+        (
+            tuple(r)
+            for r in spark.read.parquet(store)
+            .select("graph", "subj", "pred", "obj")
+            .collect()
+        ),
+        key=lambda t: tuple("" if x is None else x for x in t),
+    )
+
+
+def test_patch_batch_intra_batch_order(spark, tmp_path):
+    """A quad added then deleted WITHIN one micro-batch must end up
+    absent, and deleted-then-re-added must end up present — op order
+    (the seq column) decides, not op grouping."""
+    import os
+
+    from jena_spark.streaming import apply_patch_batch, patch_ops_stream
+
+    src = str(tmp_path / "patches")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    spark.createDataFrame(
+        [(None, "<http://e/keep>", "<http://e/p>", '"v"')],
+        "graph string, subj string, pred string, obj string",
+    ).write.mode("overwrite").parquet(store)
+
+    doc = (
+        'TX .\n'
+        'A <http://e/tmp> <http://e/p> "gone" .\n'
+        'D <http://e/tmp> <http://e/p> "gone" .\n'
+        'D <http://e/keep> <http://e/p> "v" .\n'
+        'A <http://e/keep> <http://e/p> "v" .\n'
+        'A <http://e/new> <http://e/p> "stays" .\n'
+        'TC .\n'
+    )
+    spark.createDataFrame([(doc,)], ["patch"]) \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    q = (
+        patch_ops_stream(spark.readStream.schema("patch string").parquet(src))
+        .writeStream.foreachBatch(apply_patch_batch(store))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert _store_quads(spark, store) == [
+        (None, "<http://e/keep>", "<http://e/p>", '"v"'),
+        (None, "<http://e/new>", "<http://e/p>", '"stays"'),
+    ]
+
+
+def test_patch_batch_untouched_partitions_not_rewritten(spark, tmp_path):
+    """Sub-linear sink: applying a small patch must leave every
+    UNTOUCHED p_part partition's files byte-identical (same path, size,
+    mtime) — only partitions the delta hashes into are rewritten."""
+    import os
+
+    from jena_spark.streaming import apply_patch_batch, patch_ops_stream
+
+    src = str(tmp_path / "patches")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    from pyspark.sql import functions as F
+
+    n_parts = 16
+    base = spark.range(200).select(
+        F.lit(None).cast("string").alias("graph"),
+        F.concat(F.lit("<http://e/s"), F.col("id"), F.lit(">")).alias("subj"),
+        F.concat(F.lit("<http://e/p"), F.col("id") % 40, F.lit(">")).alias("pred"),
+        F.concat(F.lit('"v'), F.col("id"), F.lit('"')).alias("obj"),
+    ).withColumn(
+        "p_part", F.pmod(F.xxhash64(F.col("pred")), F.lit(n_parts)).cast("int")
+    )
+    base.write.mode("overwrite").partitionBy("p_part").parquet(store)
+
+    def snapshot():
+        out = {}
+        for root, _dirs, files in os.walk(store):
+            for f in files:
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                out[p] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    before = snapshot()
+    doc = 'TX .\nA <http://e/x> <http://e/ONLY> "1" .\nTC .\n'
+    spark.createDataFrame([(doc,)], ["patch"]) \
+        .coalesce(1).write.mode("append").parquet(src)
+    q = (
+        patch_ops_stream(spark.readStream.schema("patch string").parquet(src))
+        .writeStream.foreachBatch(apply_patch_batch(store, n_parts=n_parts))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    after = snapshot()
+
+    touched_part = spark.sql(
+        f"SELECT pmod(xxhash64('<http://e/ONLY>'), {n_parts})"
+    ).first()[0]
+    touched_dir = os.path.join(store, f"p_part={touched_part}")
+    untouched_before = {
+        p: v for p, v in before.items()
+        if not p.startswith(touched_dir) and "_SUCCESS" not in p
+    }
+    for p, v in untouched_before.items():
+        assert after.get(p) == v, f"untouched partition file rewritten: {p}"
+    # the patch itself landed
+    quads = _store_quads(spark, store)
+    assert (None, "<http://e/x>", "<http://e/ONLY>", '"1"') in quads
+    assert len(quads) == 201

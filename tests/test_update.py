@@ -203,3 +203,37 @@ def test_using_multiple_graphs_set_union(spark):
     )
     got = [q for q in quads(out) if q[1] == "<http://e/count>"]
     assert got == [(None, "<http://e/count>", "<http://e/saw>", '"x"')]
+
+
+def test_union_broadcast_cutoff_is_byte_based(spark):
+    """VERDICT r4 #2 / ADVICE (low): a delta of few rows but wide
+    literals must take the shuffle anti-join, not F.broadcast (which
+    bypasses autoBroadcastJoinThreshold and OOMs executors at scale)."""
+    from pyspark.sql import functions as F
+
+    from jena_spark.ops.update import _union
+
+    store = spark.createDataFrame(
+        [(None, "<http://e/s>", "<http://e/p>", '"x"')],
+        "graph string, subj string, pred string, obj string",
+    )
+    wide = spark.range(40).select(
+        F.lit(None).cast("string").alias("graph"),
+        F.concat(F.lit("<http://e/w"), F.col("id"), F.lit(">")).alias("subj"),
+        F.lit("<http://e/p>").alias("pred"),
+        F.concat(F.lit('"'), F.repeat(F.lit("y"), 1_100_000), F.col("id"), F.lit('"')).alias("obj"),
+    )
+    out = _union(store, wide)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan and "BroadcastExchange" not in plan
+    assert out.count() == 41
+
+    # and a genuinely small delta still broadcasts (store never shuffles)
+    small = spark.createDataFrame(
+        [(None, "<http://e/n>", "<http://e/p>", '"new"')],
+        "graph string, subj string, pred string, obj string",
+    )
+    out2 = _union(store, small)
+    plan2 = out2._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan2
+    assert out2.count() == 2

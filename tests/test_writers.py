@@ -116,3 +116,91 @@ def test_jsonld_roundtrip(spark):
             for s, p, o in trs
         )
     assert norm(got) == norm(TRIPLES)
+
+
+# ---- RDF/XML writer (jena-core rdfxml/xmloutput/impl/RDFXML_Basic.java) ----
+
+def _reparse_xml(text):
+    from jena_spark.parsers.rdfxml import parse_rdfxml
+
+    alloc = BNodeAllocator(doc_seed("wr", "x", "x"))
+    return parse_rdfxml(text, "http://base/", alloc)
+
+
+def _norm_bnodes(trs):
+    return sorted(
+        (
+            "_:" if s.startswith("_:") else s,
+            p,
+            "_:" if o.startswith("_:") else o,
+        )
+        for s, p, o in trs
+    )
+
+
+def test_rdfxml_roundtrip(spark):
+    from jena_spark.writers import rdfxml_lines
+
+    tri = spark.createDataFrame(TRIPLES, ["subj", "pred", "obj"]).coalesce(1)
+    text = "".join(r["value"] for r in rdfxml_lines(tri).collect())
+    assert text.startswith('<?xml version="1.0"')
+    assert 'rdf:datatype="http://e/custom#dt"' in text
+    assert 'xml:lang="es"' in text
+    assert 'rdf:nodeID=' in text
+    got = _reparse_xml(text)
+    assert _norm_bnodes(got) == _norm_bnodes(TRIPLES)
+
+
+def test_rdfxml_escaping_roundtrip(spark):
+    from jena_spark.writers import rdfxml_lines
+
+    rows = [
+        ("<http://e/s>", "<http://e/p>", '"a<b> & \\"c\\" \'d\'"'),
+        ("<http://e/s&x>", "<http://e/p>", "<http://e/o?a=1&b=2>"),
+    ]
+    tri = spark.createDataFrame(rows, ["subj", "pred", "obj"]).coalesce(1)
+    text = "".join(r["value"] for r in rdfxml_lines(tri).collect())
+    assert "&amp;" in text and "&lt;" in text
+    got = _reparse_xml(text)
+    assert sorted(got) == sorted(rows)
+
+
+def test_rdfxml_distributed_parts_each_valid(spark):
+    """Every partition emits a COMPLETE document (XML has one root, so
+    part files can't concatenate); the graph is the union of parts."""
+    import xml.etree.ElementTree as ET
+
+    from jena_spark.writers import rdfxml_lines
+
+    rows = [
+        (f"<http://e/s{i}>", "<http://e/p>", f'"v{i}"') for i in range(200)
+    ]
+    tri = spark.createDataFrame(rows, ["subj", "pred", "obj"]).repartition(4)
+    # group emitted fragments back into per-partition documents
+    frags = [
+        r["value"]
+        for r in rdfxml_lines(tri).collect()
+    ]
+    docs, cur = [], []
+    for f in frags:
+        cur.append(f)
+        if f.startswith("</rdf:RDF"):
+            docs.append("".join(cur))
+            cur = []
+    assert not cur and len(docs) >= 1
+    got = []
+    for d in docs:
+        ET.fromstring(d)  # well-formed XML, single root
+        got.extend(_reparse_xml(d))
+    assert sorted(got) == sorted(rows)
+
+
+def test_rdfxml_unsplittable_predicate_raises(spark):
+    from jena_spark.writers import _split_pred
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        _split_pred("http://e/123/456/")  # no NCName suffix
+    ns, local = _split_pred("http://e/ns#name1")
+    assert (ns, local) == ("http://e/ns#", "name1")

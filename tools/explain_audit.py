@@ -19,11 +19,11 @@ AUDIT = [
     "kg_pred_counts",
     "alg_group_agg",
     "alg_join",
-    "alg_topn",
+    "alg_topn_slice",
     "dedup_minhash_pairs",
     "dedup_embedding_pairs",
-    "ann_cosine_topk",
-    "text_quality",
+    "ann_topk",
+    "text_profile",
     "text_chunks",
     "kg_sparql_update",
     "kg_sparql_describe",

@@ -1,0 +1,58 @@
+#!/bin/bash
+# Round-5 north-rule evidence campaign: wait for a genuinely quiet box
+# (1-min load low AND the raw process-scaling ceiling clear), then run
+# the frozen protocol TWICE consecutively — the judge asked for two
+# consecutive runs >= 0.80 with a contemporaneous ceiling probe.
+set -u
+cd /root/repo
+LOG=/tmp/scaling_campaign.log
+echo "=== campaign start $(date +%H:%M:%S)" >> "$LOG"
+
+probe_ceiling() {
+  python - <<'EOF'
+import multiprocessing as mp, time, hashlib
+def burn(n):
+    h = b"x"
+    for _ in range(n):
+        h = hashlib.md5(h).digest()
+    return 1
+def rate(procs, n=400_000):
+    with mp.Pool(procs) as p:
+        t0 = time.time(); p.map(burn, [n]*procs*3); dt = time.time()-t0
+    return procs*3*n/dt
+r4 = rate(4); r16 = rate(16)
+print(f"{r16/(4*r4):.3f}")
+EOF
+}
+
+wait_quiet() {
+  for i in $(seq 1 60); do
+    load=$(cut -d' ' -f1 /proc/loadavg)
+    low=$(python -c "print(1 if float('$load') < 1.0 else 0)")
+    if [ "$low" = "1" ]; then
+      c=$(probe_ceiling)
+      echo "$(date +%H:%M:%S) load=$load ceiling=$c" >> "$LOG"
+      ok=$(python -c "print(1 if float('$c') >= 0.87 else 0)")
+      [ "$ok" = "1" ] && echo "$c" && return 0
+    else
+      echo "$(date +%H:%M:%S) load=$load (busy)" >> "$LOG"
+    fi
+    sleep 120
+  done
+  return 1
+}
+
+good=0
+for runidx in 1 2 3 4; do
+  ceil=$(wait_quiet) || { echo "no quiet window" >> "$LOG"; exit 1; }
+  SPARK_DRIVER_MEMORY=24g python tools/scaling.py 150000 4 16 \
+    > "/tmp/scaling_r5_run${runidx}.log" 2>&1
+  eff=$(python -c "import json; print(json.load(open('BENCH/scaling_latest.json'))['scaling_efficiency'])")
+  cp BENCH/scaling_latest.json "BENCH/scaling_r5_run${runidx}_eff${eff}_ceil${ceil}.json"
+  echo "$(date +%H:%M:%S) run$runidx ceiling=$ceil eff=$eff" >> "$LOG"
+  ok=$(python -c "print(1 if float('$eff') >= 0.8 else 0)")
+  if [ "$ok" = "1" ]; then good=$((good+1)); else good=0; fi
+  if [ "$good" -ge 2 ]; then echo "DONE two consecutive >=0.80" >> "$LOG"; exit 0; fi
+done
+echo "campaign exhausted (consecutive=$good)" >> "$LOG"
+exit 2
