@@ -2145,6 +2145,49 @@ _CDT_ACTIVE: "contextvars.ContextVar[bool]" = contextvars.ContextVar(
     "sparql_cdt_active", default=False
 )
 
+# Data-driven CDT activation (round-5): a CDT literal reaching =/</ORDER
+# BY must compare by VALUE even when the query text never mentions the
+# namespace (Jena dispatches per row: CompositeDatatypeList.isEqual).
+# Activation stays a COMPILE-time decision — that is what keeps pandas
+# UDFs entirely out of non-CDT plans — so for CDT-silent queries we
+# probe the DATA once: does any subj/obj term carry a cdt:List/cdt:Map
+# datatype?  The probe is one column-pruned scan with early exit on the
+# first hit, cached by the DataFrame's semantic hash so repeated queries
+# over the same store pay it once.  At warehouse scale this flag belongs
+# in table metadata written at materialize time — the `cdt=` override on
+# the entry points is that hook (pass cdt=False to skip the probe).
+_CDT_SUFFIXES = (
+    "^^<http://w3id.org/awslabs/neptune/SPARQL-CDTs/List>",
+    "^^<http://w3id.org/awslabs/neptune/SPARQL-CDTs/Map>",
+)
+_cdt_data_cache: "dict[int, bool]" = {}
+
+
+def _data_has_cdt(df: DataFrame) -> bool:
+    try:
+        key = df.semanticHash()
+    except Exception:
+        key = None
+    if key is not None and key in _cdt_data_cache:
+        return _cdt_data_cache[key]
+    cond = None
+    for c in ("subj", "obj"):
+        if c in df.columns:
+            for suf in _CDT_SUFFIXES:
+                e = F.col(c).endswith(suf)
+                cond = e if cond is None else (cond | e)
+    has = cond is not None and not df.filter(cond).isEmpty()
+    if key is not None:
+        _cdt_data_cache[key] = has
+    return has
+
+
+def _resolve_cdt(q, triples: DataFrame, cdt: Optional[bool]) -> None:
+    if cdt is not None:
+        q.uses_cdt = bool(cdt) or getattr(q, "uses_cdt", False)
+    elif not getattr(q, "uses_cdt", False):
+        q.uses_cdt = _data_has_cdt(triples)
+
 # BNODE()/BNODE(str) support (E_BNode.java semantics: same row + same arg
 # → same bnode; distinct rows → distinct bnodes; no-arg → fresh per call).
 # The compile site injects a per-row id column and scopes its name here;
@@ -3565,33 +3608,43 @@ class _with_base:
         _CDT_ACTIVE.reset(self.cdt_token)
 
 
-def sparql_select(triples: DataFrame, query: str, base: Optional[str] = None) -> DataFrame:
+def sparql_select(
+    triples: DataFrame, query: str, base: Optional[str] = None,
+    cdt: Optional[bool] = None,
+) -> DataFrame:
     """Run a SPARQL SELECT (documented subset) over a triples DataFrame
     (columns subj/pred/obj in canonical encoding).  Aggregate outputs are
     native values (long/double/string), not encoded terms."""
     q = _parse_query(query, base)
     if not isinstance(q, SelectQuery):
         raise RDFSyntaxError("not a SELECT query — use sparql_query()")
+    _resolve_cdt(q, triples, cdt)
     with _with_base(q):
         return _compile_select(triples, q)
 
 
-def sparql_ask(triples: DataFrame, query: str, base: Optional[str] = None) -> bool:
+def sparql_ask(
+    triples: DataFrame, query: str, base: Optional[str] = None,
+    cdt: Optional[bool] = None,
+) -> bool:
     q = _parse_query(query, base)
     if not isinstance(q, AskQuery):
         raise RDFSyntaxError("not an ASK query")
+    _resolve_cdt(q, triples, cdt)
     with _with_base(q):
         return not _compile_group(_apply_datasets(triples, q), q.where).isEmpty()
 
 
 def sparql_construct(
-    triples: DataFrame, query: str, base: Optional[str] = None
+    triples: DataFrame, query: str, base: Optional[str] = None,
+    cdt: Optional[bool] = None,
 ) -> DataFrame:
     """CONSTRUCT: instantiate the template per solution → distinct triples
     DataFrame (subj, pred, obj)."""
     q = _parse_query(query, base)
     if not isinstance(q, ConstructQuery):
         raise RDFSyntaxError("not a CONSTRUCT query")
+    _resolve_cdt(q, triples, cdt)
     with _with_base(q):
         return _sparql_construct_body(triples, q)
 
@@ -3660,7 +3713,8 @@ def _sparql_construct_body(triples: DataFrame, q: "ConstructQuery") -> DataFrame
 
 
 def sparql_describe(
-    triples: DataFrame, query: str, base: Optional[str] = None
+    triples: DataFrame, query: str, base: Optional[str] = None,
+    cdt: Optional[bool] = None,
 ) -> DataFrame:
     """DESCRIBE → triples DataFrame (subj, pred, obj): the concise
     bounded description of each solution/constant node — subject triples
@@ -3669,6 +3723,7 @@ def sparql_describe(
     q = _parse_query(query, base)
     if not isinstance(q, DescribeQuery):
         raise RDFSyntaxError("not a DESCRIBE query")
+    _resolve_cdt(q, triples, cdt)
     with _with_base(q):
         return _sparql_describe_body(triples, q)
 
@@ -3730,16 +3785,19 @@ def _sparql_describe_body(triples: DataFrame, q: DescribeQuery) -> DataFrame:
     return out.dropDuplicates()
 
 
-def sparql_query(triples: DataFrame, query: str, base: Optional[str] = None):
+def sparql_query(
+    triples: DataFrame, query: str, base: Optional[str] = None,
+    cdt: Optional[bool] = None,
+):
     """Dispatch on query form: SELECT → DataFrame, ASK → bool,
     CONSTRUCT / DESCRIBE → triples DataFrame."""
     q = _parse_query(query, base)
     if isinstance(q, AskQuery):
         # dispatch through sparql_ask so the _with_base scope applies —
         # a query-level BASE must reach IRI()/URI() here too
-        return sparql_ask(triples, query, base)
+        return sparql_ask(triples, query, base, cdt=cdt)
     if isinstance(q, ConstructQuery):
-        return sparql_construct(triples, query, base)
+        return sparql_construct(triples, query, base, cdt=cdt)
     if isinstance(q, DescribeQuery):
-        return sparql_describe(triples, query, base)
-    return sparql_select(triples, query, base)
+        return sparql_describe(triples, query, base, cdt=cdt)
+    return sparql_select(triples, query, base, cdt=cdt)

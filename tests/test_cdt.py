@@ -148,3 +148,77 @@ def test_date_key_monotonic_and_collision_free():
     )
     # tz normalization across a year boundary: same instant, same key
     assert _time_key("2024-01-01T00:00:00+14:00") == _time_key("2023-12-31T10:00:00Z")
+
+
+CDT_LIST = "http://w3id.org/awslabs/neptune/SPARQL-CDTs/List"
+
+
+def test_cdt_silent_query_orders_lists_by_value(spark):
+    """VERDICT r4 #5: a query that never mentions the CDT namespace must
+    still compare/order cdt:List literals by VALUE (data-driven
+    activation; Jena dispatches per row in CompositeDatatypeList)."""
+    from jena_spark.ops.sparql import sparql_select
+
+    rows = [
+        ("<http://e/a>", "<http://e/p>", f'"[2, 10]"^^<{CDT_LIST}>'),
+        ("<http://e/b>", "<http://e/p>", f'"[2, 9]"^^<{CDT_LIST}>'),
+        ("<http://e/c>", "<http://e/p>", f'"[1, 100]"^^<{CDT_LIST}>'),
+    ]
+    tri = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    q = "SELECT ?s ?o WHERE { ?s <http://e/p> ?o } ORDER BY ?o"
+    got = [r["s"] for r in sparql_select(tri, q).collect()]
+    # element-wise value order: [1,100] < [2,9] < [2,10] — an opaque
+    # string compare would put "[2, 10]" before "[2, 9]"
+    assert got == ["<http://e/c>", "<http://e/b>", "<http://e/a>"]
+
+    # equality by value too: 2 vs 02 inside a list in a CDT-silent query
+    rows2 = [
+        ("<http://e/x>", "<http://e/p>", f'"[2]"^^<{CDT_LIST}>'),
+        ("<http://e/y>", "<http://e/p>", f'"[02]"^^<{CDT_LIST}>'),
+    ]
+    tri2 = spark.createDataFrame(rows2, ["subj", "pred", "obj"])
+    q2 = ("SELECT ?a ?b WHERE { ?a <http://e/p> ?o1 . ?b <http://e/p> ?o2 . "
+          "FILTER(?o1 = ?o2 && ?a != ?b) }")
+    assert len(sparql_select(tri2, q2).collect()) == 2
+
+
+def test_non_cdt_query_compiles_zero_pandas_udfs(spark):
+    """Plan gate: CDT-silent query over CDT-free data must stay pure
+    JVM — no ArrowEvalPython / BatchEvalPython stage anywhere."""
+    from jena_spark.ops.sparql import sparql_select
+
+    rows = [
+        ("<http://e/a>", "<http://e/p>", '"1"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+        ("<http://e/b>", "<http://e/p>", '"2"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+    ]
+    tri = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    out = sparql_select(
+        tri, "SELECT ?s ?o WHERE { ?s ?p ?o . FILTER(?o > 0) } ORDER BY ?o"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, plan
+
+
+def test_cdt_probe_cached_and_overridable(spark):
+    from jena_spark.ops import sparql as sp
+
+    rows = [("<http://e/a>", "<http://e/p>", '"x"')]
+    tri = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    sp._cdt_data_cache.clear()
+    assert sp._data_has_cdt(tri) is False
+    assert len(sp._cdt_data_cache) == 1
+    assert sp._data_has_cdt(tri) is False  # cache hit, no second scan
+
+    cdt_rows = [("<http://e/a>", "<http://e/p>", f'"[1]"^^<{CDT_LIST}>')]
+    tri2 = spark.createDataFrame(cdt_rows, ["subj", "pred", "obj"])
+    assert sp._data_has_cdt(tri2) is True
+
+    # explicit override skips the probe entirely
+    class Q:
+        uses_cdt = False
+    q = Q()
+    sp._resolve_cdt(q, tri, False)
+    assert q.uses_cdt is False
+    q2 = Q()
+    sp._resolve_cdt(q2, tri, True)
+    assert q2.uses_cdt is True

@@ -15,6 +15,9 @@ import pytest
 
 from jena_spark.w3c_sparql import run_sparql_dir, SPARQL11_DIR, DAWG_DIR, SPARQL12_DIR
 
+pytestmark = pytest.mark.slow
+
+
 # (base, subdir, min_pass) — min_pass is the pass count at wiring time;
 # regressions that turn passes into skips trip the floor.
 SUITES = [

@@ -9,6 +9,9 @@ import pytest
 
 from jena_spark.w3c import load_manifest, run_test
 
+pytestmark = pytest.mark.slow
+
+
 RDF12 = "/root/reference/jena-arq/testing/rdf-tests-cg/rdf/rdf12"
 
 SUITES = [

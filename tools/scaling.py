@@ -43,7 +43,10 @@ import shutil
 
 def run_pipeline(nf, ds, tag):
     t0 = time.perf_counter()
-    files = synth_source_files(spark, nf, doc_scale=ds)
+    # pin the FROZEN protocol's 4x over-partitioning (the library default
+    # moved to 2x in round 5; the scaling record series must stay
+    # comparable run-to-run)
+    files = synth_source_files(spark, nf, partitions=4 * cores, doc_scale=ds)
     tri = run_extraction(files).select("graph", "subj", "pred", "obj").persist()
     n_triples = tri.count()
     t_extract = time.perf_counter() - t0
