@@ -63,26 +63,27 @@ def cosine_topk(
     )
 
 
-def _nearest(
-    embeddings: DataFrame, cents: DataFrame, id_col: str, vec_col: str
-) -> DataFrame:
-    """(id, centroid_id) of the nearest centroid per vector — broadcast
-    crossJoin + argmax struct (ties → lowest centroid_id)."""
+def _nearest_col(cent_rows, vec_col: str) -> F.Column:
+    """Nearest-centroid assignment as ONE narrow column: the centroid
+    table is ≤ n_centroids rows (driver-small by construction), so it is
+    collected and inlined as literal vectors and the argmax runs over a
+    struct array — no crossJoin, no groupBy shuffle of the id set (the
+    round-4 form shuffled every id through a crossJoin + max agg).
+    Ties → lowest centroid_id; each dot product sums left-to-right
+    exactly like the former form, so assignments are bit-identical.
+    (ONE nested-array literal, not per-element F.lit()s — thousands of
+    scalar literal expressions measurably bloat plan compilation.)"""
     v = F.col(vec_col).cast("array<double>")
-    scored = (
-        embeddings.select(F.col(id_col), v.alias("__v"))
-        .crossJoin(F.broadcast(cents))
-        .withColumn("__cos", cosine_col(F.col("__v"), F.col("cvec")))
+    cent_mat = F.lit([[float(x) for x in r["cvec"]] for r in cent_rows])
+    neg_ids = F.lit([float(-int(r["centroid_id"])) for r in cent_rows])
+    scored = F.zip_with(
+        cent_mat,
+        neg_ids,
+        lambda cv, negc: F.struct(
+            cosine_col(v, cv).alias("cos"), negc.alias("negc")
+        ),
     )
-    return (
-        scored.groupBy(id_col)
-        .agg(
-            F.max(
-                F.struct(F.col("__cos"), (-F.col("centroid_id")).alias("negc"))
-            ).alias("m")
-        )
-        .select(F.col(id_col), (-F.col("m.negc")).cast("long").alias("centroid_id"))
-    )
+    return (-F.array_max(scored)["negc"]).cast("long").alias("centroid_id")
 
 
 def kmeans_centroids(
@@ -110,9 +111,11 @@ def kmeans_centroids(
         (F.row_number().over(w) - 1).cast("long").alias("centroid_id"), "cvec"
     )
     for _ in range(iters):
-        assigned = _nearest(embeddings, cents, id_col, vec_col)
-        joined = assigned.join(
-            embeddings.select(F.col(id_col), v.alias("__v")), id_col
+        # assignment is a narrow column over literal centroids — the
+        # vectors never join or shuffle; only the per-dimension means
+        # aggregate (centroid_id × dim keys) moves
+        joined = embeddings.select(
+            v.alias("__v"), _nearest_col(cents.collect(), vec_col)
         )
         dims = joined.select(
             "centroid_id", F.posexplode("__v").alias("pos", "val")
@@ -142,15 +145,17 @@ def assign_ivf(
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (k-means centroids by
     default; pass ``centroids`` to reuse a prebuilt (centroid_id, cvec)
-    table).  Returns embeddings + ``centroid_id``.  One broadcast join;
-    no shuffle of the embedding column."""
+    table).  Returns embeddings + ``centroid_id`` — ONE narrow
+    withColumn against the literal centroid set: no join, no shuffle of
+    the embedding column at any size."""
     cents = (
         centroids
         if centroids is not None
         else kmeans_centroids(embeddings, n_centroids, kmeans_iters, id_col, vec_col)
     )
-    best = _nearest(embeddings, cents, id_col, vec_col)
-    return embeddings.join(best, id_col)
+    return embeddings.withColumn(
+        "centroid_id", _nearest_col(cents.collect(), vec_col)
+    )
 
 
 def ivf_topk(
@@ -169,20 +174,40 @@ def ivf_topk(
     cents = kmeans_centroids(
         embeddings, n_centroids, kmeans_iters, id_col, vec_col
     )
-    assigned = assign_ivf(
-        embeddings, n_centroids, id_col, vec_col, centroids=cents
-    )
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    probe = (
-        cents.select(
-            "centroid_id", cosine_col(F.col("cvec"), q).alias("qcos")
+    # the centroid table is driver-small by construction: collect ONCE
+    # and do both the probe choice and the assignment against literals —
+    # zero joins, zero extra jobs, and the full scan below stays narrow.
+    # (Driver-side cosine sums left-to-right like the column form, so
+    # the probe choice is IEEE-identical to the former DF computation.)
+    rows = cents.collect()
+
+    def _pycos(a, b):
+        import math
+
+        dot = n2 = q2 = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+            n2 += y * y
+            q2 += x * x
+        return (
+            dot / (math.sqrt(n2) * math.sqrt(q2))
+            if n2 and q2
+            else float("-inf")
         )
-        .orderBy(F.desc("qcos"), F.asc("centroid_id"))
-        .limit(n_probe)
-        .select("centroid_id")
+
+    qf = [float(x) for x in query_vec]
+    ranked = sorted(
+        rows,
+        key=lambda r: (-_pycos(qf, [float(x) for x in r["cvec"]]),
+                       int(r["centroid_id"])),
     )
-    probed = assigned.join(F.broadcast(probe), "centroid_id")
+    probe_ids = [int(r["centroid_id"]) for r in ranked[:n_probe]]
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
     v = F.col(vec_col).cast("array<double>")
+    probed = embeddings.withColumn(
+        "centroid_id", _nearest_col(rows, vec_col)
+    ).filter(F.col("centroid_id").isin(probe_ids))
     return (
         probed.select(
             F.col(id_col), F.round(cosine_col(v, q), decimals).alias("cosine")
