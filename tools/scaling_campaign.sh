@@ -42,13 +42,15 @@ wait_quiet() {
   return 1
 }
 
+N="${2:-4}"      # level N; 4N is derived inside scaling.py
+TAG="${3:-r5}"
 good=0
 for runidx in 1 2 3 4; do
   ceil=$(wait_quiet) || { echo "no quiet window" >> "$LOG"; exit 1; }
-  SPARK_DRIVER_MEMORY=24g python tools/scaling.py 150000 4 16 \
-    > "/tmp/scaling_r5_run${runidx}.log" 2>&1
+  SPARK_DRIVER_MEMORY=24g python tools/scaling.py 150000 "$N" 16 \
+    > "/tmp/scaling_${TAG}_run${runidx}.log" 2>&1
   eff=$(python -c "import json; print(json.load(open('BENCH/scaling_latest.json'))['scaling_efficiency'])")
-  cp BENCH/scaling_latest.json "BENCH/scaling_r5_run${runidx}_eff${eff}_ceil${ceil}.json"
+  cp BENCH/scaling_latest.json "BENCH/scaling_${TAG}_N${N}_run${runidx}_eff${eff}_ceil${ceil}.json"
   echo "$(date +%H:%M:%S) run$runidx ceiling=$ceil eff=$eff" >> "$LOG"
   ok=$(python -c "print(1 if float('$eff') >= 0.8 else 0)")
   if [ "$ok" = "1" ]; then good=$((good+1)); else good=0; fi
