@@ -92,6 +92,11 @@ _RDF_TYPE_TERM = mk_iri(RDF_TYPE)
 _RDF_NIL_TERM = mk_iri(RDF_NIL)
 _RDF_FIRST_TERM = mk_iri(RDF_FIRST)
 _RDF_REST_TERM = mk_iri(RDF_REST)
+
+
+class _FastBail(Exception):
+    """Fast-loop escape: statement outside the fast subset (module-level
+    so the class is not rebuilt on every document parse)."""
 # RDF 1.2 reification (LangTurtleBase reified triples / annotations)
 _RDF_REIFIES_TERM = mk_iri(
     "http://www.w3.org/1999/02/22-rdf-syntax-ns#reifies"
@@ -191,7 +196,9 @@ class TurtleParser:
     def _parse_fast(self, toks) -> List[Quad]:
         out = self.out
         append = out.append
+        alloc = self.alloc
         alloc_get = self.alloc.get
+        alloc_fresh = self.alloc.fresh
         prefixes = self.prefixes
         resolver = self.resolver
         ic: dict = {}   # IRI token text → encoded term
@@ -205,8 +212,7 @@ class TurtleParser:
         bool_suf = f'"^^<{XSD_BOOLEAN}>'
         xsd_string = XSD_STRING
 
-        class _Bail(Exception):
-            pass
+        _Bail = _FastBail
 
         def iri_enc(t):
             v = t.value
@@ -229,6 +235,40 @@ class TurtleParser:
                 pc[key] = e
             return e
 
+        rdf_first = "<" + RDF_FIRST + ">"
+        rdf_rest = "<" + RDF_REST + ">"
+        rdf_nil = "<" + RDF_NIL + ">"
+
+        def simple_elem(j):
+            """One SIMPLE collection element at index j → (encoded, next_j);
+            _Bail on anything needing the generic path.  Token subset kept
+            narrower than the main objectList (no langtag/datatype suffix
+            checks) — strings here are bail-checked for cleanliness only."""
+            t = toks[j]
+            tt = t.type
+            if tt == T_PNAME:
+                return pn_enc(t), j + 1
+            if tt == T_IRI:
+                return iri_enc(t), j + 1
+            if tt == T_BNODE:
+                return "_:" + alloc_get(t.value), j + 1
+            if tt == T_INTEGER:
+                return '"' + t.value + int_suf, j + 1
+            if tt == T_DECIMAL:
+                return '"' + t.value + dec_suf, j + 1
+            if tt == T_DOUBLE:
+                return '"' + t.value + dbl_suf, j + 1
+            if tt == T_KEYWORD and t.value in ("true", "false"):
+                return '"' + t.value + bool_suf, j + 1
+            if (
+                tt == T_STRING
+                and t.value2 == '"'
+                and ctrl(t.value) is None
+                and toks[j + 1].type not in (T_LANGTAG, T_HATHAT)
+            ):
+                return '"' + t.value + '"', j + 1
+            raise _Bail
+
         j = self.tz._tpos - 1
         while True:
             t = toks[j]
@@ -237,7 +277,39 @@ class TurtleParser:
                 break
             j0 = j
             n0 = len(out)
+            c0 = alloc.counter  # fresh() savepoint: rollback-safe [] / ()
             try:
+                # ---- directives (the common @prefix/@base and the
+                # SPARQL-style keyword forms; anything irregular bails so
+                # error behavior stays byte-identical to the slow path)
+                if tt == T_AT_PREFIX or (
+                    tt == T_KEYWORD and t.value.lower() == "prefix"
+                ):
+                    pt, it, dt_ = toks[j + 1], toks[j + 2], toks[j + 3]
+                    if (
+                        pt.type != T_PNAME or pt.value2 != ""
+                        or it.type != T_IRI
+                        or (tt == T_AT_PREFIX) != (dt_.type == T_DOT)
+                    ):
+                        raise _Bail
+                    prefixes[pt.value] = resolver.resolve(it.value)
+                    pc.clear()
+                    self._pn_cache.clear()
+                    j += 4 if tt == T_AT_PREFIX else 3
+                    continue
+                if tt == T_AT_BASE or (
+                    tt == T_KEYWORD and t.value.lower() == "base"
+                ):
+                    it, dt_ = toks[j + 1], toks[j + 2]
+                    if it.type != T_IRI or (tt == T_AT_BASE) != (
+                        dt_.type == T_DOT
+                    ):
+                        raise _Bail
+                    resolver.set_base(it.value)
+                    ic.clear()
+                    self._iri_cache.clear()
+                    j += 3 if tt == T_AT_BASE else 2
+                    continue
                 # ---- subject
                 if tt == T_PNAME:
                     s = pn_enc(t)
@@ -245,6 +317,11 @@ class TurtleParser:
                     s = iri_enc(t)
                 elif tt == T_BNODE:
                     s = "_:" + alloc_get(t.value)
+                elif tt == T_LBRACKET and toks[j + 1].type == T_RBRACKET:
+                    # ANON subject ('[] p o .'); a bare '[] .' statement
+                    # or a property list bails to the generic path
+                    s = "_:" + alloc_fresh()
+                    j += 1
                 else:
                     raise _Bail
                 j += 1
@@ -327,6 +404,30 @@ class TurtleParser:
                         elif tt == T_KEYWORD and t.value in ("true", "false"):
                             o = '"' + t.value + bool_suf
                             j += 1
+                        elif tt == T_LBRACKET and toks[j + 1].type == T_RBRACKET:
+                            o = "_:" + alloc_fresh()  # ANON object
+                            j += 2
+                        elif tt == T_LPAREN:
+                            # collection of SIMPLE elements → rdf:first/rest
+                            # chain, fresh()-order and emit-order identical
+                            # to _collection (LangTurtleBase.java:767-811)
+                            j += 1
+                            if toks[j].type == T_RPAREN:
+                                o = rdf_nil
+                                j += 1
+                            else:
+                                cur = o = "_:" + alloc_fresh()
+                                first_el = True
+                                while toks[j].type != T_RPAREN:
+                                    if not first_el:
+                                        nxt = "_:" + alloc_fresh()
+                                        append((None, cur, rdf_rest, nxt))
+                                        cur = nxt
+                                    e, j = simple_elem(j)
+                                    append((None, cur, rdf_first, e))
+                                    first_el = False
+                                j += 1
+                                append((None, cur, rdf_rest, rdf_nil))
                         else:
                             raise _Bail
                         append((None, s, p, o))
@@ -348,8 +449,13 @@ class TurtleParser:
                         j += 1
                         break
                     raise _Bail
-            except _Bail:
+            except (_Bail, IndexError):
+                # IndexError = lookahead past the EOF sentinel on a
+                # malformed tail — same treatment: replay through the
+                # generic path for the exact error message.
                 del out[n0:]
+                alloc.counter = c0  # un-allocate fresh() bnodes of the
+                # rolled-back attempt so the replay reissues them
                 j = self._slow_stmt(toks, j0)
                 # a directive may have changed prefixes/base: local
                 # encodings are stale (rare path — rebuild lazily)

@@ -129,7 +129,9 @@ def test_trailing_semicolons_and_keyword_objects():
 def test_fast_path_engages_on_corpus_shape():
     """Regression guard, load-independent: the dominant corpus shape
     must run ENTIRELY in the fast loop — zero per-statement fallbacks
-    to the generic recursive descent (except the two directives).
+    to the generic recursive descent (round 5: @prefix/@base directives,
+    ANON subjects/objects and simple collections joined the fast subset,
+    so even the directives no longer fall back).
     A wall-clock floor here was flaky under co-tenant load; engagement
     is the property that actually protects the ~110k t/s rate."""
     from jena_spark.parsers import turtle as tmod
@@ -154,4 +156,36 @@ def test_fast_path_engages_on_corpus_shape():
             text, BASE, BNodeAllocator(doc_seed("fp", "bench", "x"))
         )
     assert len(trs) == 6000
-    assert len(calls) == 2, f"fast loop fell back {len(calls)} times"
+    assert len(calls) == 0, f"fast loop fell back {len(calls)} times"
+
+
+def test_fast_path_collections_anon_directives():
+    """Round-5 fast-subset additions: @prefix/@base (both forms), ANON
+    subject/object, simple collections — outputs, bnode labels and
+    errors identical to the generic path, including fresh() counter
+    rollback when a statement with a collection ultimately bails."""
+    out = both(
+        "@prefix ex: <http://e/> .\n"
+        'ex:a ex:tags ("t" "u" 42 ex:x _:l true) .\n'
+        "[] ex:anon ex:a .\n"
+        "ex:b ex:empty ( ) ; ex:blank [] .\n"
+        "BASE <http://nb/>\n"
+        "<rel> ex:p <rel2> .\n"
+        "PREFIX ex: <http://f/>\n"
+        "ex:c ex:p ex:d .\n"
+    )
+    # collection chain emitted before the owning triple, rdf:nil tail
+    nil = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#nil>"
+    assert any(o == nil for _s, _p, o in out)
+    # re-declared prefix applies to later statements only
+    assert ("<http://f/c>", "<http://f/p>", "<http://f/d>") in out
+    assert ("<http://nb/rel>", "<http://e/p>", "<http://nb/rel2>") in out
+
+    # rollback correctness: collection with a non-simple element (nested
+    # [ ... ] property list) bails AFTER fresh() calls — labels must
+    # still match the generic path exactly
+    both(
+        "@prefix ex: <http://e/> .\n"
+        'ex:a ex:p ("simple" [ ex:q "inner" ] "after") .\n'
+        "ex:b ex:r ( 1 2 3 ) .\n"
+    )
