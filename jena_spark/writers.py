@@ -296,8 +296,27 @@ def write_jsonld(triples: DataFrame, path: str) -> None:
 _NCNAME_SUFFIX = re.compile(r"[A-Za-z_][A-Za-z0-9_.\-]*$")
 
 
+# XML 1.0 cannot represent most control characters AT ALL (not even as
+# character references): only #x9 #xA #xD below #x20, and #xFFFE/#xFFFF
+# are excluded.  A literal containing one is unserializable as RDF/XML —
+# raise, like the unsplittable-predicate rule (Jena's writer emits the
+# raw byte and produces non-well-formed output; failing loudly is the
+# honest distributed-sink contract).
+_XML_ILLEGAL = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f￾￿]")
+
+
 def _xml_esc(s: str) -> str:
-    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    if _XML_ILLEGAL.search(s):
+        raise ValueError(
+            "cannot serialize control character in RDF/XML (XML 1.0 has no "
+            f"representation): {s!r}"
+        )
+    # \r must go out as a character reference: expat (and every XML
+    # parser) performs end-of-line normalization on literal CR
+    return (
+        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        .replace("\r", "&#xD;")
+    )
 
 
 def _xml_attr_esc(s: str) -> str:
