@@ -13,7 +13,10 @@ language tags, custom datatypes, and Turtle-abbreviatable numerics.
 
 import string
 
+import pytest
 from hypothesis import given, settings, strategies as st
+
+pytestmark = pytest.mark.slow  # ~85 s of generated examples
 
 from jena_spark.parsers.rdfxml import parse_rdfxml
 from jena_spark.parsers.turtle import parse_trig, parse_turtle
