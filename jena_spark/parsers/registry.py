@@ -17,6 +17,7 @@ from .turtle import parse_turtle, parse_trig
 from .rdfxml import parse_rdfxml
 from .jsonld import parse_jsonld
 from .rdfjson import parse_rdfjson, parse_trix
+from .binrdf import parse_rdf_thrift, parse_rdf_protobuf
 
 Quad = Tuple[Optional[str], str, str, str]
 
@@ -32,6 +33,11 @@ EXT_TO_LANG = {
     "jsonld": "jsonld",
     "rj": "rdfjson",
     "trix": "trix",
+    # binary wire formats (riot/RDFLanguages.java RDFTHRIFT/RDFPROTO
+    # registrations); the string content column carries them latin-1-mapped
+    "trdf": "rdfthrift",
+    "rt": "rdfthrift",
+    "rpb": "rdfprotobuf",
 }
 
 RDF_LANGS = set(EXT_TO_LANG.values())
@@ -84,6 +90,10 @@ def parse_document(
             quads = [(None, s, p, o) for s, p, o in parse_rdfjson(content, base, alloc)]
         elif lang == "trix":
             quads = parse_trix(content, base, alloc)
+        elif lang == "rdfthrift":
+            quads = parse_rdf_thrift(content, alloc)
+        elif lang == "rdfprotobuf":
+            quads = parse_rdf_protobuf(content, alloc)
         else:
             return [], f"unsupported-lang:{lang}"
     except RDFSyntaxError as e:

@@ -321,6 +321,8 @@ def encode_term(t: Term) -> str:
 def decode_term(s: str) -> Term:
     """Parse one canonical N-Triples term string back into a Term.
     Used by tests and by the golden-file comparator."""
+    if s.startswith("<<(") and s.endswith(")>>"):
+        return Term(TRIPLE_TERM, s[3:-3])
     if s.startswith("<") and s.endswith(">"):
         return Term(IRI, unescape_iri(s[1:-1]))
     if s.startswith("_:"):

@@ -1,0 +1,350 @@
+"""RDF-Thrift / RDF-Protobuf binary codec tests.
+
+Wire-format pins use hand-computed byte vectors (independent of the
+writer, so reader and writer cannot share a bug), plus round trips and a
+W3C-corpus cross-check against the conformance-tested N-Triples parser.
+"""
+
+import glob
+import os
+
+import pytest
+
+from jena_spark.parsers.binrdf import (
+    _decimal_plain,
+    _java_double_str,
+    parse_rdf_protobuf,
+    parse_rdf_thrift,
+    write_rdf_protobuf,
+    write_rdf_thrift,
+)
+from jena_spark.parsers.ntriples import parse_ntriples
+from jena_spark.skolem import BNodeAllocator, doc_seed
+from jena_spark.terms import RDFSyntaxError
+from jena_spark.w3c import RDF_TESTS_DIR
+
+
+# ---------------------------------------------------------------------------
+# Java lexical-form helpers
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "v,expect",
+    [
+        (1.0, "1.0"),
+        (0.5, "0.5"),
+        (-2.25, "-2.25"),
+        (100.0, "100.0"),
+        (9999999.0, "9999999.0"),
+        (1e7, "1.0E7"),
+        (123456789.0, "1.23456789E8"),
+        (0.001, "0.001"),
+        (1e-4, "1.0E-4"),
+        (9.999e-4, "9.999E-4"),
+        (0.0, "0.0"),
+        (-0.0, "-0.0"),
+        (float("inf"), "Infinity"),
+        (float("-inf"), "-Infinity"),
+        (float("nan"), "NaN"),
+        (1.5e300, "1.5E300"),
+    ],
+)
+def test_java_double_str(v, expect):
+    assert _java_double_str(v) == expect
+
+
+@pytest.mark.parametrize(
+    "value,scale,expect",
+    [
+        (1234, 2, "12.34"),
+        (-1234, 2, "-12.34"),
+        (5, 0, "5"),
+        (5, 6, "0.000005"),
+        (5, -2, "500"),
+        (0, 2, "0.00"),
+        (10, 1, "1.0"),
+    ],
+)
+def test_decimal_plain(value, scale, expect):
+    assert _decimal_plain(value, scale) == expect
+
+
+# ---------------------------------------------------------------------------
+# Thrift: hand-computed wire vectors (compact protocol)
+# ---------------------------------------------------------------------------
+
+# prefixDecl row: RDF_StreamRow{1: RDF_PrefixDecl{1:"ex", 2:"http://ex/"}}
+T_PREFIX_ROW = bytes(
+    [0x1C, 0x18, 0x02]
+) + b"ex" + bytes([0x18, 0x0A]) + b"http://ex/" + bytes([0x00, 0x00])
+
+# triple row: S=<http://ex/s>, P=prefixName(ex:p), O="chat"@fr
+T_TRIPLE_ROW = (
+    bytes([0x2C])  # StreamRow field 2 (triple), struct
+    + bytes([0x1C])  # Triple field 1 (S term), struct
+    + bytes([0x1C, 0x18, 0x0B])  # Term field 1 iri; IRI field 1 binary len 11
+    + b"http://ex/s"
+    + bytes([0x00, 0x00])
+    + bytes([0x1C])  # Triple field 2 (P term)
+    + bytes([0x4C, 0x18, 0x02])  # Term field 4 prefixName; f1 "ex"
+    + b"ex"
+    + bytes([0x18, 0x01])
+    + b"p"
+    + bytes([0x00, 0x00])
+    + bytes([0x1C])  # Triple field 3 (O term)
+    + bytes([0x3C, 0x18, 0x04])  # Term field 3 literal; f1 lex "chat"
+    + b"chat"
+    + bytes([0x18, 0x02])
+    + b"fr"
+    + bytes([0x00, 0x00])
+    + bytes([0x00, 0x00])  # end Triple, end StreamRow
+)
+
+
+def test_thrift_wire_vector():
+    quads = parse_rdf_thrift(T_PREFIX_ROW + T_TRIPLE_ROW)
+    assert quads == [(None, "<http://ex/s>", "<http://ex/p>", '"chat"@fr')]
+
+
+def test_thrift_undeclared_prefix_fatal():
+    with pytest.raises(RDFSyntaxError):
+        parse_rdf_thrift(T_TRIPLE_ROW)  # no prefixDecl first
+
+
+def test_thrift_long_form_field_header():
+    # literal with langtag written via the long-form header
+    # (delta=0 → explicit zigzag field id), as a generated writer emitting
+    # IDL declaration order may produce
+    lit = (
+        bytes([0x18, 0x01])
+        + b"x"
+        + bytes([0x08, 0x04])  # type binary, long-form fid zigzag(2)=4
+        + bytes([0x02])
+        + b"en"
+        + bytes([0x00])
+    )
+    row = (
+        bytes([0x2C])
+        + bytes([0x1C, 0x1C, 0x18, 0x01]) + b"s" + bytes([0x00, 0x00])
+        + bytes([0x1C, 0x1C, 0x18, 0x01]) + b"p" + bytes([0x00, 0x00])
+        + bytes([0x1C, 0x3C]) + lit + bytes([0x00])
+        + bytes([0x00, 0x00])
+    )
+    quads = parse_rdf_thrift(row)
+    assert quads == [(None, "<s>", "<p>", '"x"@en')]
+
+
+def test_thrift_value_forms():
+    # valInteger 42 (term field 10, i64 zigzag 84), valDouble 0.5,
+    # valDecimal(1234, 2)
+    import struct as st
+
+    def term_struct(body):
+        return body + b"\x00"
+
+    s_term = bytes([0x1C, 0x18, 0x01]) + b"s" + bytes([0x00, 0x00])
+    p_term = bytes([0x1C, 0x18, 0x01]) + b"p" + bytes([0x00, 0x00])
+
+    def row(o_term):
+        return (
+            bytes([0x2C]) + bytes([0x1C]) + s_term + bytes([0x1C]) + p_term
+            + bytes([0x1C]) + o_term + bytes([0x00, 0x00])
+        )
+
+    o_int = term_struct(bytes([0xA6, 0x54]))  # header (10<<4)|6, varint 84
+    o_dbl = term_struct(bytes([0xB7]) + st.pack("<d", 0.5))  # (11<<4)|7
+    o_dec = term_struct(
+        bytes([0xCC])  # (12<<4)|12 struct
+        + bytes([0x16, 0xA4, 0x13])  # f1 i64 zigzag(1234)=2468
+        + bytes([0x15, 0x04])  # f2 i32 zigzag(2)=4
+        + bytes([0x00])
+    )
+    quads = parse_rdf_thrift(row(o_int) + row(o_dbl) + row(o_dec))
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    assert quads == [
+        (None, "<s>", "<p>", f'"42"^^<{xsd}integer>'),
+        (None, "<s>", "<p>", f'"0.5"^^<{xsd}double>'),
+        (None, "<s>", "<p>", f'"12.34"^^<{xsd}decimal>'),
+    ]
+
+
+def test_thrift_truncated_raises():
+    with pytest.raises(RDFSyntaxError):
+        parse_rdf_thrift(T_TRIPLE_ROW[:10])
+
+
+# ---------------------------------------------------------------------------
+# Protobuf: hand-computed wire vector
+# ---------------------------------------------------------------------------
+
+def _p_iri_term(iri: bytes) -> bytes:
+    msg = bytes([0x0A, len(iri)]) + iri
+    return bytes([0x0A, len(msg)]) + msg
+
+
+def test_protobuf_wire_vector():
+    s = _p_iri_term(b"http://ex/s")
+    p = _p_iri_term(b"http://ex/p")
+    lit = bytes([0x0A, 0x01]) + b"x" + bytes([0x48, 0x01])  # lex "x", simple=true
+    o = bytes([0x1A, len(lit)]) + lit
+    triple = (
+        bytes([0x0A, len(s)]) + s
+        + bytes([0x12, len(p)]) + p
+        + bytes([0x1A, len(o)]) + o
+    )
+    row = bytes([0x12, len(triple)]) + triple
+    data = bytes([len(row)]) + row  # delimited framing
+    assert parse_rdf_protobuf(data) == [
+        (None, "<http://ex/s>", "<http://ex/p>", '"x"')
+    ]
+
+
+def test_protobuf_unknown_field_skipped():
+    s = _p_iri_term(b"s")
+    p = _p_iri_term(b"p")
+    # literal with an unknown varint field 15 appended
+    lit = bytes([0x0A, 0x01]) + b"y" + bytes([0x48, 0x01]) + bytes([0x78, 0x07])
+    o = bytes([0x1A, len(lit)]) + lit
+    triple = (
+        bytes([0x0A, len(s)]) + s + bytes([0x12, len(p)]) + p
+        + bytes([0x1A, len(o)]) + o
+    )
+    row = bytes([0x12, len(triple)]) + triple
+    assert parse_rdf_protobuf(bytes([len(row)]) + row) == [
+        (None, "<s>", "<p>", '"y"')
+    ]
+
+
+def test_protobuf_base_row_ignored():
+    base_iri = bytes([0x0A, 0x09]) + b"http://b/"
+    row = bytes([0x22, len(base_iri)]) + base_iri  # StreamRow field 4 = base
+    assert parse_rdf_protobuf(bytes([len(row)]) + row) == []
+
+
+# ---------------------------------------------------------------------------
+# Round trips (writer → reader) for both formats
+# ---------------------------------------------------------------------------
+
+SAMPLE_QUADS = [
+    (None, "<http://ex/s>", "<http://ex/p>", "<http://ex/o>"),
+    (None, "_:b0", "<http://ex/p>", '"plain"'),
+    (None, "<http://ex/s>", "<http://ex/p>", '"chat"@fr'),
+    (None, "<http://ex/s>", "<http://ex/p>", '"dir"@he--rtl'),
+    (
+        None,
+        "<http://ex/s>",
+        "<http://ex/p>",
+        '"42"^^<http://www.w3.org/2001/XMLSchema#integer>',
+    ),
+    (
+        None,
+        "<http://ex/s>",
+        "<http://ex/p>",
+        '"12.34"^^<http://www.w3.org/2001/XMLSchema#decimal>',
+    ),
+    (
+        None,
+        "<http://ex/s>",
+        "<http://ex/p>",
+        '"0.5"^^<http://www.w3.org/2001/XMLSchema#double>',
+    ),
+    (
+        None,
+        "<http://ex/s>",
+        "<http://ex/p>",
+        '"esc\\"q\\nnl"^^<http://ex/dt>',
+    ),
+    ("<http://ex/g>", "<http://ex/s>", "<http://ex/p>", '"in graph"'),
+    (
+        None,
+        '<<(<http://ex/a> <http://ex/p> "o")>>',
+        "<http://ex/says>",
+        "<http://ex/b>",
+    ),
+]
+
+
+@pytest.mark.parametrize("fmt", ["thrift", "protobuf"])
+@pytest.mark.parametrize("encode_values", [False, True])
+@pytest.mark.parametrize("prefixes", [None, {"ex": "http://ex/"}])
+def test_round_trip(fmt, encode_values, prefixes):
+    write = write_rdf_thrift if fmt == "thrift" else write_rdf_protobuf
+    parse = parse_rdf_thrift if fmt == "thrift" else parse_rdf_protobuf
+    data = write(SAMPLE_QUADS, encode_values=encode_values, prefixes=prefixes)
+    assert parse(data) == SAMPLE_QUADS
+
+
+@pytest.mark.parametrize("fmt", ["thrift", "protobuf"])
+def test_value_encoding_changes_bytes_not_terms(fmt):
+    write = write_rdf_thrift if fmt == "thrift" else write_rdf_protobuf
+    parse = parse_rdf_thrift if fmt == "thrift" else parse_rdf_protobuf
+    plain = write(SAMPLE_QUADS, encode_values=False)
+    valued = write(SAMPLE_QUADS, encode_values=True)
+    assert plain != valued
+    assert parse(plain) == parse(valued) == SAMPLE_QUADS
+
+
+def test_latin1_string_content_round_trip():
+    data = write_rdf_thrift(SAMPLE_QUADS)
+    as_str = data.decode("latin-1")
+    assert parse_rdf_thrift(as_str) == SAMPLE_QUADS
+
+
+def test_bnode_alloc_remaps_labels():
+    alloc = BNodeAllocator(doc_seed("r", "p", "c"))
+    quads = parse_rdf_thrift(
+        write_rdf_thrift([(None, "_:x", "<p>", "_:x"), (None, "_:y", "<p>", "_:x")]),
+        alloc,
+    )
+    s0 = quads[0][1]
+    assert s0.startswith("_:B") and quads[0][3] == s0 and quads[1][3] == s0
+    assert quads[1][1] != s0
+
+
+def test_registry_dispatch():
+    from jena_spark.parsers.registry import parse_document
+
+    content = write_rdf_thrift(SAMPLE_QUADS[:3]).decode("latin-1")
+    quads, err = parse_document("r", "f.trdf", "c", None, content)
+    assert err is None and len(quads) == 3
+    content = write_rdf_protobuf(SAMPLE_QUADS[:3]).decode("latin-1")
+    quads, err = parse_document("r", "f.rpb", "c", None, content)
+    assert err is None and len(quads) == 3
+    # corrupt content → ([], error), never an exception
+    quads, err = parse_document("r", "f.trdf", "c", None, "\x1cgarbage")
+    assert quads == [] and err is not None
+
+
+# ---------------------------------------------------------------------------
+# W3C corpus cross-check: NT fixtures → binary → back, sets must match
+# ---------------------------------------------------------------------------
+
+@pytest.mark.skipif(
+    not os.path.isdir(RDF_TESTS_DIR), reason="reference W3C corpus not present"
+)
+@pytest.mark.parametrize("fmt", ["thrift", "protobuf"])
+def test_w3c_nt_corpus_round_trip(fmt):
+    write = write_rdf_thrift if fmt == "thrift" else write_rdf_protobuf
+    parse = parse_rdf_thrift if fmt == "thrift" else parse_rdf_protobuf
+    files = sorted(glob.glob(os.path.join(RDF_TESTS_DIR, "rdf-n-triples", "*.nt")))
+    assert len(files) > 50
+    parsed_docs = 0
+    for path in files:
+        with open(path, encoding="utf-8", newline="") as fh:
+            text = fh.read()
+        alloc = BNodeAllocator(doc_seed("w3c", os.path.basename(path), "r5"))
+        try:
+            triples = parse_ntriples(text, alloc)
+        except RDFSyntaxError:
+            continue  # bad-syntax fixture
+        quads = [(None, s, p, o) for s, p, o in triples]
+        # default form is lossless
+        assert sorted(parse(write(quads))) == sorted(quads), path
+        # value form normalizes derived numeric datatypes (xsd:byte et al →
+        # valInteger → xsd:integer, exactly as ThriftConvert round trips);
+        # after one normalization it must be a fixpoint
+        norm = parse(write(quads, encode_values=True))
+        again = parse(write(norm, encode_values=True))
+        assert sorted(again) == sorted(norm), path
+        parsed_docs += 1
+    assert parsed_docs > 30
