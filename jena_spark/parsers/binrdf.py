@@ -320,6 +320,16 @@ class _TWriter:
             elif typ == _T_STRUCT:
                 self._header(last, fid, typ)
                 self.out += val  # pre-serialized struct body (incl. STOP)
+            elif typ == _T_LIST:
+                self._header(last, fid, typ)
+                elem_t, payloads = val  # list of pre-serialized elements
+                if len(payloads) < 15:
+                    self.out.append((len(payloads) << 4) | elem_t)
+                else:
+                    self.out.append(0xF0 | elem_t)
+                    _varint(self.out, len(payloads))
+                for p in payloads:
+                    self.out += p
             else:
                 raise ValueError(f"unsupported thrift write type {typ}")
             last = fid
@@ -717,7 +727,10 @@ def _p_sint_field(out: bytearray, fid: int, v: int) -> None:
 # ---------------------------------------------------------------------------
 
 def _p_term_from(data: bytes, span, pmap: Dict[str, str], alloc) -> Term:
-    f = _p_read_message(data, span[0], span[1])
+    return _p_term_fields(data, _p_read_message(data, span[0], span[1]), pmap, alloc)
+
+
+def _p_term_fields(data: bytes, f: Dict[int, List[object]], pmap: Dict[str, str], alloc) -> Term:
     if 1 in f:  # iri
         m = _p_read_message(data, *f[1][-1])
         return mk_iri(_p_str(data, m[1][-1]) if 1 in m else "")
@@ -922,4 +935,204 @@ def write_rdf_protobuf(
         else:
             _p_len_field(body, 4, _p_term_to(decode_term(g), prefixes, encode_values))
             emit_row(3, bytes(body))
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# SPARQL result tuples: RDF_VarTuple then RDF_DataTuple rows
+# (BinaryRDF.thrift:116-122; riot/thrift/Binding2Thrift.java /
+# Thift2Binding.java — unbound variables travel as RDF_UNDEF)
+# ---------------------------------------------------------------------------
+
+def _undef_thrift() -> bytes:
+    return _t_struct([(7, _T_STRUCT, _t_struct([]))])
+
+
+def write_result_tuples_thrift(
+    varnames: List[str], rows: Iterable[List[Optional[str]]],
+    encode_values: bool = False,
+) -> bytes:
+    """Serialize a SPARQL result table (NT-encoded cells, None = unbound)
+    as one RDF_VarTuple followed by RDF_DataTuple rows."""
+    out = bytearray()
+    var_elems = [_t_struct([(1, _T_BINARY, v)]) for v in varnames]
+    out += _t_struct([(1, _T_LIST, (_T_STRUCT, var_elems))])
+    for row in rows:
+        elems = [
+            _undef_thrift() if c is None
+            else _term_to_thrift(decode_term(c), None, encode_values)
+            for c in row
+        ]
+        out += _t_struct([(1, _T_LIST, (_T_STRUCT, elems))])
+    return bytes(out)
+
+
+def read_result_tuples_thrift(data) -> Tuple[List[str], List[List[Optional[str]]]]:
+    r = _TReader(_coerce_bytes(data))
+    if r.at_eof():
+        raise RDFSyntaxError("empty thrift result stream (no RDF_VarTuple)")
+    vt = r.read_struct()
+    varnames = [
+        _as_str(v.get(1, b""), "var name") for v in vt.get(1, [])
+    ]
+    rows: List[List[Optional[str]]] = []
+    pmap: Dict[str, str] = {}
+    while not r.at_eof():
+        dt = r.read_struct()
+        row: List[Optional[str]] = []
+        for f in dt.get(1, []):
+            if 7 in f:  # RDF_UNDEF = unbound
+                row.append(None)
+            else:
+                row.append(_term_from_fields(f, pmap, None).nt())
+        rows.append(row)
+    return varnames, rows
+
+
+def write_result_tuples_protobuf(
+    varnames: List[str], rows: Iterable[List[Optional[str]]],
+    encode_values: bool = False,
+) -> bytes:
+    """Length-delimited RDF_VarTuple + RDF_DataTuple messages
+    (riot/protobuf/Binding2Protobuf.java:56,70)."""
+    out = bytearray()
+
+    def emit(payload: bytes) -> None:
+        _varint(out, len(payload))
+        out.extend(payload)
+
+    vt = bytearray()
+    for v in varnames:
+        inner = bytearray()
+        _p_str_field(inner, 1, v)
+        _p_len_field(vt, 1, bytes(inner))
+    emit(bytes(vt))
+    for row in rows:
+        body = bytearray()
+        for c in row:
+            if c is None:
+                _p_len_field(body, 1, b"\x42\x00")  # term oneof: undefined(8) empty
+            else:
+                _p_len_field(body, 1, _p_term_to(decode_term(c), None, encode_values))
+        emit(bytes(body))
+    return bytes(out)
+
+
+def read_result_tuples_protobuf(data) -> Tuple[List[str], List[List[Optional[str]]]]:
+    buf = _coerce_bytes(data)
+    pos, n = 0, len(buf)
+    if pos >= n:
+        raise RDFSyntaxError("empty protobuf result stream (no RDF_VarTuple)")
+    size, pos = _read_varint(buf, pos)
+    vt = _p_read_message(buf, pos, pos + size)
+    pos += size
+    varnames = []
+    for span in vt.get(1, []):
+        m = _p_read_message(buf, *span)
+        varnames.append(_p_str(buf, m[1][-1]) if 1 in m else "")
+    rows: List[List[Optional[str]]] = []
+    pmap: Dict[str, str] = {}
+    while pos < n:
+        size, pos = _read_varint(buf, pos)
+        dt = _p_read_message(buf, pos, pos + size)
+        pos += size
+        row: List[Optional[str]] = []
+        for span in dt.get(1, []):
+            f = _p_read_message(buf, *span)
+            if 8 in f:  # undefined = unbound
+                row.append(None)
+            else:
+                row.append(_p_term_fields(buf, f, pmap, None).nt())
+        rows.append(row)
+    return varnames, rows
+
+
+# ---------------------------------------------------------------------------
+# Binary RDF Patch rows (BinaryRDF.thrift:126-165; the reference's
+# rdfpatch binary reader/writer use these thrift rows with the same
+# compact protocol)
+# ---------------------------------------------------------------------------
+
+_PATCH_TXN = {0: "TX", 1: "TC", 2: "TA", 3: "Segment"}
+_PATCH_TXN_INV = {v: k for k, v in _PATCH_TXN.items()}
+
+PatchRow = Tuple  # ("H",name,val) | ("A"/"D",g,s,p,o) | ("PA",g,pfx,iri) | ("PD",g,pfx) | ("TX",)
+
+
+def read_patch_rows_thrift(data) -> List[PatchRow]:
+    """RDF_Patch_Row stream → neutral row tuples (graph None = default)."""
+    r = _TReader(_coerce_bytes(data))
+    pmap: Dict[str, str] = {}
+    out: List[PatchRow] = []
+
+    def term(f) -> str:
+        return _term_from_fields(f, pmap, None).nt()
+
+    while not r.at_eof():
+        row = r.read_struct()
+        if 1 in row:  # header {1: name, 2: value term}
+            h = row[1]
+            out.append(("H", _as_str(h.get(1, b""), "header name"), term(h.get(2, {}))))
+        elif 2 in row or 3 in row:  # dataAdd / dataDel
+            code = "A" if 2 in row else "D"
+            d = row[2] if 2 in row else row[3]
+            g = term(d[4]) if 4 in d else None
+            out.append((code, g, term(d.get(1, {})), term(d.get(2, {})), term(d.get(3, {}))))
+        elif 4 in row:  # prefixAdd {1: graphNode?, 2: prefix, 3: iriStr}
+            p = row[4]
+            g = term(p[1]) if 1 in p else None
+            out.append(("PA", g, _as_str(p.get(2, b""), "prefix"), _as_str(p.get(3, b""), "iri")))
+        elif 5 in row:  # prefixDel
+            p = row[5]
+            g = term(p[1]) if 1 in p else None
+            out.append(("PD", g, _as_str(p.get(2, b""), "prefix")))
+        elif 6 in row:  # txn enum (i32)
+            code = _PATCH_TXN.get(int(row[6]))
+            if code is None:
+                raise RDFSyntaxError(f"unknown PatchTxn value {row[6]}")
+            out.append((code,))
+        else:
+            raise RDFSyntaxError(f"unknown RDF_Patch_Row field {sorted(row)}")
+    return out
+
+
+def write_patch_rows_thrift(rows: Iterable[PatchRow]) -> bytes:
+    out = bytearray()
+
+    def term(enc: str) -> bytes:
+        return _term_to_thrift(decode_term(enc), None, False)
+
+    for row in rows:
+        code = row[0]
+        if code == "H":
+            body = _t_struct(
+                [(1, _T_BINARY, row[1]), (2, _T_STRUCT, term(row[2]))]
+            )
+            out += _t_struct([(1, _T_STRUCT, body)])
+        elif code in ("A", "D"):
+            g, s, p, o = row[1], row[2], row[3], row[4]
+            fields = [
+                (1, _T_STRUCT, term(s)),
+                (2, _T_STRUCT, term(p)),
+                (3, _T_STRUCT, term(o)),
+            ]
+            if g is not None:
+                fields.append((4, _T_STRUCT, term(g)))
+            out += _t_struct([(2 if code == "A" else 3, _T_STRUCT, _t_struct(fields))])
+        elif code == "PA":
+            fields = []
+            if row[1] is not None:
+                fields.append((1, _T_STRUCT, term(row[1])))
+            fields += [(2, _T_BINARY, row[2]), (3, _T_BINARY, row[3])]
+            out += _t_struct([(4, _T_STRUCT, _t_struct(fields))])
+        elif code == "PD":
+            fields = []
+            if row[1] is not None:
+                fields.append((1, _T_STRUCT, term(row[1])))
+            fields.append((2, _T_BINARY, row[2]))
+            out += _t_struct([(5, _T_STRUCT, _t_struct(fields))])
+        elif code in _PATCH_TXN_INV:
+            out += _t_struct([(6, _T_I32, _PATCH_TXN_INV[code])])
+        else:
+            raise ValueError(f"unknown patch row code {code!r}")
     return bytes(out)

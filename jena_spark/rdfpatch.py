@@ -148,6 +148,72 @@ def parse_patch(text: str) -> PatchLog:
     return log
 
 
+def parse_patch_binary(data) -> PatchLog:
+    """Parse a binary (thrift RDF_Patch_Row stream) patch → PatchLog.
+    Same transaction semantics as the text reader: TA discards the open
+    transaction, records outside TX..TC form one implicit transaction,
+    Segment rows are markers and ignored (the reference's binary patch
+    reader dispatches the same visitor as the text one)."""
+    from .parsers.binrdf import read_patch_rows_thrift
+
+    log = PatchLog()
+    cur: Optional[List[Tuple[str, Quad]]] = None
+    implicit: List[Tuple[str, Quad]] = []
+    for row in read_patch_rows_thrift(data):
+        code = row[0]
+        if code == "H":
+            log.headers[row[1]] = row[2]
+        elif code == "TX":
+            if cur is not None:
+                raise PatchException("nested TX")
+            cur = []
+        elif code == "TC":
+            if cur is None:
+                raise PatchException("TC without TX")
+            log.txns.append(cur)
+            cur = None
+        elif code == "TA":
+            if cur is None:
+                raise PatchException("TA without TX")
+            cur = None
+        elif code == "Segment":
+            pass
+        elif code == "PA":
+            # binary prefixes carry the IRI as a plain string
+            log.prefixes[row[2]] = row[3]
+        elif code == "PD":
+            log.prefixes.pop(row[2], None)
+        else:  # A / D
+            (cur if cur is not None else implicit).append(
+                (code, (row[1], row[2], row[3], row[4]))
+            )
+    if cur is not None:
+        raise PatchException("binary patch ends inside a transaction")
+    if implicit:
+        log.txns.append(implicit)
+    return log
+
+
+def patch_to_binary(patch: "str | PatchLog") -> bytes:
+    """Serialize a PatchLog as a binary thrift RDF_Patch_Row stream
+    (headers, prefix adds, then each transaction as TX..rows..TC)."""
+    from .parsers.binrdf import write_patch_rows_thrift
+
+    if isinstance(patch, str):
+        patch = parse_patch(patch)
+    rows: List[tuple] = []
+    for name, value in patch.headers.items():
+        rows.append(("H", name, value))
+    for pfx, iri in patch.prefixes.items():
+        rows.append(("PA", None, pfx, iri))
+    for txn in patch.txns:
+        rows.append(("TX",))
+        for code, (g, s, p, o) in txn:
+            rows.append((code, g, s, p, o))
+        rows.append(("TC",))
+    return write_patch_rows_thrift(rows)
+
+
 def apply_patch(
     store: DataFrame, patch: "str | PatchLog", assume_distinct: bool = False
 ) -> DataFrame:

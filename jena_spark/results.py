@@ -260,3 +260,30 @@ def quads_to_nquads(quads: DataFrame) -> DataFrame:
             F.concat_ws(" ", "subj", "pred", "obj"), g, F.lit(" .")
         ).alias("value")
     )
+
+
+def results_to_thrift(df: DataFrame, limit: Optional[int] = None,
+                      encode_values: bool = False) -> bytes:
+    """Binary SPARQL results (thrift RDF_VarTuple + RDF_DataTuple rows,
+    riot/thrift/Binding2Thrift.java) — collects, like the JSON/XML
+    single-document writers; unbound cells travel as RDF_UNDEF."""
+    from .parsers.binrdf import write_result_tuples_thrift
+
+    rows = df.limit(limit).collect() if limit else df.collect()
+    cols = list(df.columns)
+    return write_result_tuples_thrift(
+        cols, ([_encode_cell(v) for v in r] for r in rows), encode_values
+    )
+
+
+def results_to_protobuf(df: DataFrame, limit: Optional[int] = None,
+                        encode_values: bool = False) -> bytes:
+    """Binary SPARQL results, protobuf framing
+    (riot/protobuf/Binding2Protobuf.java delimited messages)."""
+    from .parsers.binrdf import write_result_tuples_protobuf
+
+    rows = df.limit(limit).collect() if limit else df.collect()
+    cols = list(df.columns)
+    return write_result_tuples_protobuf(
+        cols, ([_encode_cell(v) for v in r] for r in rows), encode_values
+    )

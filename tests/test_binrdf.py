@@ -348,3 +348,116 @@ def test_w3c_nt_corpus_round_trip(fmt):
         assert sorted(again) == sorted(norm), path
         parsed_docs += 1
     assert parsed_docs > 30
+
+
+# ---------------------------------------------------------------------------
+# SPARQL result tuples (RDF_VarTuple / RDF_DataTuple)
+# ---------------------------------------------------------------------------
+
+RESULT_VARS = ["s", "name", "age"]
+RESULT_ROWS = [
+    ["<http://ex/a>", '"Alice"@en', '"30"^^<http://www.w3.org/2001/XMLSchema#integer>'],
+    ["<http://ex/b>", None, '"12.5"^^<http://www.w3.org/2001/XMLSchema#decimal>'],
+    ["_:b9", '"m\\u00fcller"' if False else '"müller"', None],
+]
+
+
+@pytest.mark.parametrize("fmt", ["thrift", "protobuf"])
+@pytest.mark.parametrize("encode_values", [False, True])
+def test_result_tuples_round_trip(fmt, encode_values):
+    from jena_spark.parsers.binrdf import (
+        read_result_tuples_protobuf,
+        read_result_tuples_thrift,
+        write_result_tuples_protobuf,
+        write_result_tuples_thrift,
+    )
+
+    write = write_result_tuples_thrift if fmt == "thrift" else write_result_tuples_protobuf
+    read = read_result_tuples_thrift if fmt == "thrift" else read_result_tuples_protobuf
+    data = write(RESULT_VARS, RESULT_ROWS, encode_values)
+    varnames, rows = read(data)
+    assert varnames == RESULT_VARS
+    assert rows == RESULT_ROWS
+
+
+@pytest.mark.parametrize("fmt", ["thrift", "protobuf"])
+def test_result_tuples_empty_stream_raises(fmt):
+    from jena_spark.parsers.binrdf import (
+        read_result_tuples_protobuf,
+        read_result_tuples_thrift,
+    )
+
+    read = read_result_tuples_thrift if fmt == "thrift" else read_result_tuples_protobuf
+    with pytest.raises(RDFSyntaxError):
+        read(b"")
+
+
+def test_result_tuples_many_vars_long_list_header():
+    # >14 vars forces the thrift long-form list header (0xF? + varint size)
+    from jena_spark.parsers.binrdf import (
+        read_result_tuples_thrift,
+        write_result_tuples_thrift,
+    )
+
+    names = [f"v{i}" for i in range(20)]
+    row = [f"<http://ex/{i}>" for i in range(20)]
+    varnames, rows = read_result_tuples_thrift(write_result_tuples_thrift(names, [row]))
+    assert varnames == names and rows == [row]
+
+
+# ---------------------------------------------------------------------------
+# Binary RDF Patch rows
+# ---------------------------------------------------------------------------
+
+def test_patch_binary_round_trip():
+    from jena_spark.rdfpatch import parse_patch, parse_patch_binary, patch_to_binary
+
+    text = "\n".join(
+        [
+            'H id <uuid:0000-1111> .',
+            'PA "ex" <http://ex/> .',
+            "TX .",
+            "A <http://ex/s> <http://ex/p> <http://ex/o> .",
+            "A <http://ex/s> <http://ex/p> \"lit\"@fr <http://ex/g> .",
+            "D <http://ex/s> <http://ex/q> <http://ex/o2> .",
+            "TC .",
+            "TX .",
+            "A <http://ex/x> <http://ex/p> <http://ex/y> .",
+            "TA .",
+        ]
+    )
+    log = parse_patch(text)
+    assert len(log.txns) == 1  # aborted txn discarded
+    blob = patch_to_binary(text)
+    log2 = parse_patch_binary(blob)
+    assert log2.headers == log.headers
+    assert log2.prefixes == log.prefixes
+    assert log2.txns == log.txns
+
+
+def test_patch_binary_abort_and_segment():
+    from jena_spark.parsers.binrdf import write_patch_rows_thrift
+    from jena_spark.rdfpatch import parse_patch_binary
+
+    rows = [
+        ("TX",),
+        ("A", None, "<s>", "<p>", "<o>"),
+        ("TA",),  # discarded
+        ("Segment",),
+        ("TX",),
+        ("A", "<g>", "<s>", "<p>", "<o2>"),
+        ("TC",),
+        ("PD", None, "gone"),
+    ]
+    log = parse_patch_binary(write_patch_rows_thrift(rows))
+    assert log.txns == [[("A", ("<g>", "<s>", "<p>", "<o2>"))]]
+    assert log.prefixes == {}
+
+
+def test_patch_binary_unterminated_txn_raises():
+    from jena_spark.parsers.binrdf import write_patch_rows_thrift
+    from jena_spark.rdfpatch import PatchException, parse_patch_binary
+
+    blob = write_patch_rows_thrift([("TX",), ("A", None, "<s>", "<p>", "<o>")])
+    with pytest.raises(PatchException):
+        parse_patch_binary(blob)
