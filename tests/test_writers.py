@@ -204,3 +204,88 @@ def test_rdfxml_unsplittable_predicate_raises(spark):
         _split_pred("http://e/123/456/")  # no NCName suffix
     ns, local = _split_pred("http://e/ns#name1")
     assert (ns, local) == ("http://e/ns#", "name1")
+
+
+# ---------------------------------------------------------------------------
+# Binary RDF sinks (RDF-Thrift / RDF-Protobuf chunk streams)
+# ---------------------------------------------------------------------------
+
+QUADS = [
+    (None, "<http://e/a>", "<http://e/p>", '"v1"'),
+    (None, "<http://e/a>", "<http://e/n>",
+     '"7"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+    ("<http://e/g1>", "<http://e/b>", "<http://e/p>", '"hola"@es'),
+    ("<http://e/g1>", "_:x", "<http://e/ref>", "_:y"),
+    ("<http://e/g2>", "<http://e/c>", "<http://e/p>",
+     '"3.5"^^<http://www.w3.org/2001/XMLSchema#double>'),
+]
+
+
+def _parse_binary(fmt, blob):
+    from jena_spark.parsers.binrdf import parse_rdf_protobuf, parse_rdf_thrift
+
+    return (parse_rdf_thrift if fmt == "thrift" else parse_rdf_protobuf)(blob)
+
+
+def _qsort(quads):
+    return sorted(quads, key=lambda q: (q[0] or "", q[1], q[2], q[3]))
+
+
+def test_binary_chunks_roundtrip_quads(spark):
+    import pytest
+
+    from jena_spark.writers import binary_chunks
+
+    df = spark.createDataFrame(
+        QUADS, ["graph", "subj", "pred", "obj"]
+    ).repartition(4)
+    for fmt in ("thrift", "protobuf"):
+        chunks = [bytes(r["value"]) for r in binary_chunks(df, fmt).collect()]
+        assert chunks
+        # concatenation in ANY order is one valid self-delimiting stream
+        got = _parse_binary(fmt, b"".join(reversed(chunks)))
+        assert _qsort(got) == _qsort(QUADS)
+        # each chunk is independently decodable
+        per_chunk = [q for c in chunks for q in _parse_binary(fmt, c)]
+        assert _qsort(per_chunk) == _qsort(QUADS)
+    with pytest.raises(KeyError):
+        binary_chunks(df, "cbor")
+
+
+def test_binary_chunks_triples_prefixes_and_chunking(spark):
+    from jena_spark.writers import binary_chunks
+
+    rows = [
+        (f"<http://e/s{i}>", "<http://e/p>",
+         f'"{i}"^^<http://www.w3.org/2001/XMLSchema#integer>')
+        for i in range(25)
+    ]
+    df = spark.createDataFrame(rows, ["subj", "pred", "obj"]).coalesce(1)
+    for fmt in ("thrift", "protobuf"):
+        chunks = [
+            bytes(r["value"])
+            for r in binary_chunks(
+                df, fmt, encode_values=True,
+                prefixes={"e": "http://e/"}, rows_per_chunk=10,
+            ).collect()
+        ]
+        assert len(chunks) == 3  # 10 + 10 + 5
+        for c in chunks:  # prefix table re-declared per chunk
+            got = _parse_binary(fmt, c)
+            assert all(g is None for g, *_ in got)
+        got = _parse_binary(fmt, b"".join(chunks))
+        assert sorted((s, p, o) for _, s, p, o in got) == sorted(rows)
+
+
+def test_write_binary_rdf_file(spark, tmp_path):
+    from jena_spark.writers import write_binary_rdf
+
+    df = spark.createDataFrame(
+        QUADS, ["graph", "subj", "pred", "obj"]
+    ).repartition(3)
+    for fmt, ext in (("thrift", "trdf"), ("protobuf", "rpb")):
+        path = str(tmp_path / f"out.{ext}")
+        write_binary_rdf(df, path, fmt, prefixes={"e": "http://e/"})
+        with open(path, "rb") as f:
+            got = _parse_binary(fmt, f.read())
+        assert _qsort(got) == _qsort(QUADS)
