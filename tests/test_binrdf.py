@@ -461,3 +461,96 @@ def test_patch_binary_unterminated_txn_raises():
     blob = write_patch_rows_thrift([("TX",), ("A", None, "<s>", "<p>", "<o>")])
     with pytest.raises(PatchException):
         parse_patch_binary(blob)
+
+
+# ---------------------------------------------------------------------------
+# Property-based round trips (arbitrary generated quads, both formats)
+# ---------------------------------------------------------------------------
+
+import string as _string
+
+from hypothesis import given, settings as h_settings, strategies as hst
+
+from jena_spark.terms import escape_literal as _esc
+
+_h_iri = hst.builds(
+    lambda p: f"<http://t.example/{p}>",
+    hst.text(
+        alphabet=_string.ascii_letters + _string.digits + "-._~!$&'()*+,;=:@/?#",
+        min_size=1, max_size=12,
+    ),
+)
+_h_bnode = hst.builds(lambda n: f"_:b{n}", hst.integers(0, 3))
+_h_lex = hst.text(min_size=0, max_size=20).filter(
+    lambda s: all(not (0xD800 <= ord(c) <= 0xDFFF) for c in s)
+)
+_h_lit = hst.one_of(
+    hst.builds(lambda v: f'"{_esc(v)}"', _h_lex),
+    hst.builds(
+        lambda v, t: f'"{_esc(v)}"@{t}',
+        _h_lex, hst.sampled_from(["en", "en-GB", "de", "zh-Hant"]),
+    ),
+    hst.builds(
+        lambda v, t, d: f'"{_esc(v)}"@{t}--{d}',
+        _h_lex, hst.sampled_from(["he", "ar"]), hst.sampled_from(["ltr", "rtl"]),
+    ),
+    hst.builds(
+        lambda v, d: f'"{_esc(v)}"^^<http://t.example/dt/{d}>',
+        _h_lex, hst.text(alphabet=_string.ascii_lowercase, min_size=1, max_size=6),
+    ),
+)
+_h_obj_simple = hst.one_of(_h_iri, _h_bnode, _h_lit)
+_h_subj_simple = hst.one_of(_h_iri, _h_bnode)
+# one level of RDF-star triple terms in subject/object position
+_h_tterm = hst.builds(
+    lambda s, p, o: f"<<({s} {p} {o})>>", _h_subj_simple, _h_iri, _h_obj_simple
+)
+_h_quads = hst.lists(
+    hst.tuples(
+        hst.one_of(hst.none(), _h_iri),
+        hst.one_of(_h_subj_simple, _h_tterm),
+        _h_iri,
+        hst.one_of(_h_obj_simple, _h_tterm),
+    ),
+    min_size=0, max_size=12,
+)
+
+
+@h_settings(max_examples=150, deadline=None)
+@given(_h_quads, hst.sampled_from([None, {"t": "http://t.example/"}]))
+def test_binary_roundtrip_property(quads, prefixes):
+    for write, parse in (
+        (write_rdf_thrift, parse_rdf_thrift),
+        (write_rdf_protobuf, parse_rdf_protobuf),
+    ):
+        assert parse(write(quads, prefixes=prefixes)) == quads
+
+
+@h_settings(max_examples=60, deadline=None)
+@given(
+    hst.lists(
+        hst.tuples(
+            _h_iri, _h_iri,
+            hst.one_of(
+                hst.builds(
+                    lambda n: f'"{n}"^^<http://www.w3.org/2001/XMLSchema#integer>',
+                    hst.integers(-(2**63) + 1, 2**63 - 1),
+                ),
+                hst.builds(
+                    lambda b: f'"{str(b).lower()}"'
+                    '^^<http://www.w3.org/2001/XMLSchema#boolean>',
+                    hst.booleans(),
+                ),
+            ),
+        ),
+        min_size=0, max_size=8,
+    )
+)
+def test_binary_value_encoding_property(rows):
+    # canonical integer/boolean lexical forms survive VALUE encoding exactly
+    quads = [(None, s, p, o) for s, p, o in rows]
+    for write, parse in (
+        (write_rdf_thrift, parse_rdf_thrift),
+        (write_rdf_protobuf, parse_rdf_protobuf),
+    ):
+        assert parse(write(quads, encode_values=True)) == quads
