@@ -44,6 +44,7 @@ first).
 
 from __future__ import annotations
 
+import functools
 import math
 import struct as _struct
 from typing import Dict, Iterable, List, Optional, Tuple
@@ -257,12 +258,20 @@ class _TReader:
         if typ == _T_STRUCT:
             return self.read_struct()
         if typ in (_T_LIST, _T_SET):
+            if pos >= len(data):
+                raise RDFSyntaxError("truncated collection header in thrift stream")
             head = data[pos]
             pos += 1
             elem_t = head & 0x0F
             size = head >> 4
             if size == 0x0F:
                 size, pos = _read_varint(data, pos)
+            # spec-compliant compact encoding spends >=1 byte per element
+            # (bools in collections are full bytes), so a size beyond the
+            # remaining stream is corrupt — and, unchecked, a crafted
+            # zero-consume element type would loop for 2^n iterations
+            if size > len(data) - pos:
+                raise RDFSyntaxError("collection size exceeds thrift stream length")
             self.pos = pos
             return [self._read_value(elem_t) for _ in range(size)]
         if typ == _T_MAP:
@@ -270,6 +279,10 @@ class _TReader:
             if size == 0:
                 self.pos = pos
                 return {}
+            if size > len(data) - pos:
+                raise RDFSyntaxError("map size exceeds thrift stream length")
+            if pos >= len(data):
+                raise RDFSyntaxError("truncated map header in thrift stream")
             head = data[pos]
             pos += 1
             self.pos = pos
@@ -567,6 +580,42 @@ def _skip_quoted(s: str, i: int) -> int:
 # RDF-Thrift stream read / write
 # ---------------------------------------------------------------------------
 
+def _decode_guard(fn):
+    """Contract for every binary reader: ANY malformation of the
+    untrusted byte stream surfaces as RDFSyntaxError — never a stray
+    IndexError/TypeError/AttributeError from type-confused thrift fields
+    or mis-shaped protobuf spans.  Inside the extraction pipeline an
+    unexpected exception type escapes ``parse_document``'s error
+    handling (registry.py) and kills the whole Spark stage; a corrupt
+    document must instead become one lineage error row.  Internal codec
+    correctness is pinned separately by the hand-computed wire vectors
+    in tests/test_binrdf.py, so this net cannot hide a wrong-answer bug.
+    """
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except RDFSyntaxError:
+            raise
+        except (
+            IndexError,
+            KeyError,
+            TypeError,
+            AttributeError,
+            ValueError,
+            OverflowError,
+            RecursionError,
+            _struct.error,
+        ) as e:
+            raise RDFSyntaxError(
+                f"malformed binary RDF stream ({fn.__name__}): "
+                f"{type(e).__name__}: {e}"
+            ) from None
+
+    return wrapped
+
+
 def _coerce_bytes(data) -> bytes:
     if isinstance(data, bytes):
         return data
@@ -582,6 +631,7 @@ def _coerce_bytes(data) -> bytes:
     raise RDFSyntaxError("binary RDF content must be bytes or latin-1 string")
 
 
+@_decode_guard
 def parse_rdf_thrift(data, alloc: Optional[BNodeAllocator] = None) -> List[Quad]:
     """Parse an RDF-Thrift stream → quads of NT-encoded term strings
     (graph None for triple rows; named graph for quad rows).
@@ -861,6 +911,7 @@ def _p_term_to(t: Term, pmap: Optional[Dict[str, str]], encode_values: bool) -> 
     return bytes(out)
 
 
+@_decode_guard
 def parse_rdf_protobuf(data, alloc: Optional[BNodeAllocator] = None) -> List[Quad]:
     """Parse an RDF-Protobuf stream of length-delimited RDF_StreamRow
     messages (ProtobufRDF.java:129 parseDelimitedFrom) → quads."""
@@ -967,6 +1018,7 @@ def write_result_tuples_thrift(
     return bytes(out)
 
 
+@_decode_guard
 def read_result_tuples_thrift(data) -> Tuple[List[str], List[List[Optional[str]]]]:
     r = _TReader(_coerce_bytes(data))
     if r.at_eof():
@@ -1018,6 +1070,7 @@ def write_result_tuples_protobuf(
     return bytes(out)
 
 
+@_decode_guard
 def read_result_tuples_protobuf(data) -> Tuple[List[str], List[List[Optional[str]]]]:
     buf = _coerce_bytes(data)
     pos, n = 0, len(buf)
@@ -1059,6 +1112,7 @@ _PATCH_TXN_INV = {v: k for k, v in _PATCH_TXN.items()}
 PatchRow = Tuple  # ("H",name,val) | ("A"/"D",g,s,p,o) | ("PA",g,pfx,iri) | ("PD",g,pfx) | ("TX",)
 
 
+@_decode_guard
 def read_patch_rows_thrift(data) -> List[PatchRow]:
     """RDF_Patch_Row stream → neutral row tuples (graph None = default)."""
     r = _TReader(_coerce_bytes(data))

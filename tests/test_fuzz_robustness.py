@@ -1,0 +1,165 @@
+"""Parser robustness fuzz: garbage can NEVER escape as anything but
+``RDFSyntaxError``.
+
+``parse_document`` (parsers/registry.py) converts ``RDFSyntaxError`` into
+a lineage error row; any OTHER exception type escapes the mapInPandas UDF
+and kills the whole Spark stage — at corpus scale, one corrupt document
+must never take down a job.  The reference's parsers sit behind the same
+contract (riot/system/ErrorHandlerFactory: all reader errors funnel
+through RiotException).
+
+Three real crashes found by this fuzz (binary readers leaking
+IndexError / AttributeError / TypeError on corrupt bytes) and one hang
+(a crafted thrift collection header with a zero-consume element type and
+a 2^40 size looping forever) are pinned individually below; the sweeps
+keep the whole surface honest.
+"""
+
+import random
+
+import pytest
+
+from jena_spark.parsers.binrdf import (
+    parse_rdf_protobuf,
+    parse_rdf_thrift,
+    read_patch_rows_thrift,
+    read_result_tuples_protobuf,
+    read_result_tuples_thrift,
+    write_patch_rows_thrift,
+    write_rdf_protobuf,
+    write_rdf_thrift,
+    write_result_tuples_protobuf,
+    write_result_tuples_thrift,
+)
+from jena_spark.parsers.registry import parse_document
+from jena_spark.terms import RDFSyntaxError
+
+LANGS = [
+    "turtle", "ntriples", "nquads", "trig", "rdfxml",
+    "jsonld", "rdfjson", "trix", "rdfthrift", "rdfprotobuf",
+]
+
+# fragments chosen to reach deep parser states: directives, quoting,
+# RDF-star, XML/JSON structure, binary-looking bytes, escapes
+FRAGS = [
+    '@prefix ', 'p: <http://e/>', '.', '<<(', ')>>', '"""', '"', '@en--ltr',
+    '^^', '<a xmlns="x">', '</a>', '{"@id":"a"', '}', '[', ']', '(', ')',
+    'GRAPH', '_:b', '\\u00', '%2', '{"a":{"b":{', 'true', '1e', '<rdf:RDF',
+    'BASE', 'PREFIX : <>', '\x00', '\x82', '\xff', '0.', ';', ',', 'a ',
+    '<s> <p> ', '\n', '\t', '<?xml version="1.0"?>', '<!--', '-->',
+    '<![CDATA[', 'rdf:parseType="Collection"', 'rdf:li', '&amp;', '&x;',
+    '\x19', '\x1c', '\xf0', '\x0b',
+]
+
+
+def test_garbage_never_escapes_parse_document():
+    rng = random.Random(7)
+    for _ in range(6000):
+        lang = rng.choice(LANGS)
+        r = rng.random()
+        if r < 0.35:
+            content = "".join(
+                chr(rng.randint(0, 255)) for _ in range(rng.randint(0, 80))
+            )
+        elif r < 0.45:
+            content = "".join(
+                chr(rng.randint(0, 0x2FFF)) for _ in range(rng.randint(0, 40))
+            )
+        else:
+            content = "".join(
+                rng.choice(FRAGS) for _ in range(rng.randint(0, 12))
+            )
+        # must return (quads, err) — never raise
+        quads, err = parse_document("r", "f.bin", "c", lang, content)
+        assert err is None or isinstance(err, str)
+
+
+def _mutation_sweep(parse, blob, rng, n_mut=1200):
+    # every truncation point, then random flip/delete/insert mutations
+    for i in range(len(blob) + 1):
+        try:
+            parse(blob[:i])
+        except RDFSyntaxError:
+            pass
+    for _ in range(n_mut):
+        b = bytearray(blob)
+        for _ in range(rng.randint(1, 4)):
+            op = rng.random()
+            if op < 0.5 and b:
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            elif op < 0.8 and b:
+                del b[rng.randrange(len(b))]
+            else:
+                b.insert(rng.randrange(len(b) + 1), rng.randrange(256))
+        try:
+            parse(bytes(b))
+        except RDFSyntaxError:
+            pass
+
+
+QUADS = [
+    (None, "<http://ex/s>", "<http://ex/p>", '"plain"'),
+    ("<http://ex/g>", "_:b0", "<http://ex/p>", '"chat"@fr--ltr'),
+    (None, "<http://ex/s>", "<http://ex/p>",
+     '"42"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+    (None, '<<(<http://ex/a> <http://ex/p> "o")>>',
+     "<http://ex/says>", "<http://ex/b>"),
+]
+
+
+@pytest.mark.parametrize(
+    "parse,blob",
+    [
+        (parse_rdf_thrift,
+         write_rdf_thrift(QUADS, encode_values=True, prefixes={"ex": "http://ex/"})),
+        (parse_rdf_protobuf,
+         write_rdf_protobuf(QUADS, encode_values=True, prefixes={"ex": "http://ex/"})),
+        (read_patch_rows_thrift,
+         write_patch_rows_thrift([
+             ("TX",), ("A", None, "<s>", "<p>", '"o"@en'),
+             ("PA", None, "ex", "http://ex/"), ("TC",),
+         ])),
+        (read_result_tuples_thrift,
+         write_result_tuples_thrift(["x", "y"], [["<a>", None], ['"v"', "_:b"]])),
+        (read_result_tuples_protobuf,
+         write_result_tuples_protobuf(["x", "y"], [["<a>", None], ['"v"', "_:b"]])),
+    ],
+    ids=["thrift", "protobuf", "patch", "res_thrift", "res_proto"],
+)
+def test_binary_mutations_never_escape(parse, blob):
+    _mutation_sweep(parse, blob, random.Random(99))
+
+
+# ---------------------------------------------------------------------------
+# Pins for the specific crashes/hang the sweep originally found
+# ---------------------------------------------------------------------------
+
+def test_thrift_type_confused_field_is_syntax_error():
+    # triple row whose subject field is a BOOL instead of a struct
+    # (was AttributeError: 'bool' object has no attribute 'get')
+    with pytest.raises(RDFSyntaxError):
+        parse_rdf_thrift(b"rdf:li")
+    with pytest.raises(RDFSyntaxError):
+        parse_rdf_thrift('"""\x00PREFIX : <>,<![CDATA[.-->BASE')
+
+
+def test_protobuf_bad_span_is_syntax_error():
+    # was TypeError: _p_read_message() takes 3 positional arguments...
+    blob = bytes([0x05, 0x15, 0x72, 0x03, 0x8B]) + bytes(range(40))
+    with pytest.raises(RDFSyntaxError):
+        parse_rdf_protobuf(blob)
+
+
+def test_thrift_huge_collection_size_raises_fast():
+    # field 1 = LIST of BOOL_TRUE (consumes 0 bytes/element) with a 2^40
+    # size — before the cap this looped ~forever instead of raising
+    huge = bytearray([0x19, 0xF1])
+    u = 1 << 40
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        huge.append(b | 0x80 if u else b)
+        if not u:
+            break
+    with pytest.raises(RDFSyntaxError):
+        parse_rdf_thrift(bytes(huge))
