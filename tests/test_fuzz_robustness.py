@@ -163,3 +163,59 @@ def test_thrift_huge_collection_size_raises_fast():
             break
     with pytest.raises(RDFSyntaxError):
         parse_rdf_thrift(bytes(huge))
+
+
+# ---------------------------------------------------------------------------
+# Query-side parsers: SPARQL text and CDT literal lexical forms
+# ---------------------------------------------------------------------------
+
+def test_garbage_sparql_never_escapes():
+    """Malformed query text must raise RDFSyntaxError (the API contract
+    verified by the driver harness), never a stray exception type."""
+    from jena_spark.ops.sparql import _parse_query
+
+    frags = [
+        'SELECT ', '?x', ' WHERE ', '{', '}', '?s ?p ?o', '.', 'FILTER',
+        '(', ')', 'OPTIONAL', 'UNION', 'GRAPH', '?g', 'PREFIX : <>',
+        'BASE <http://e/>', 'ORDER BY', 'GROUP BY', 'HAVING', 'LIMIT',
+        '10', 'OFFSET', 'ASK', 'CONSTRUCT', 'DESCRIBE', 'BIND', 'AS',
+        'VALUES', 'UNDEF', '"lit"', "'''q'''", '@en', '^^xsd:int', '<<',
+        '>>', '{|', '|}', '~', 'EXISTS', 'NOT', 'MINUS', 'SERVICE',
+        'SILENT', 'COUNT(*)', 'DISTINCT', '*', '/', '|', '^', '+', '!',
+        'a', '0.5e', ';', ',', '\\u0041', '#c\n', 'INSERT DATA',
+        'DELETE', 'WITH', 'USING', 'LOAD', '\x00', 'π',
+    ]
+    rng = random.Random(5)
+    for _ in range(8000):
+        q = " ".join(rng.choice(frags) for _ in range(rng.randint(0, 14)))
+        if rng.random() < 0.15:
+            q = "".join(chr(rng.randint(0, 0x2FF)) for _ in range(rng.randint(0, 60)))
+        try:
+            _parse_query(q, "http://base/")
+        except RDFSyntaxError:
+            pass
+
+
+def test_garbage_cdt_literals_raise_only_cdterror():
+    """cdt:List/Map lexical forms come from DATA (documents), parsed
+    inside pandas UDFs at query time; the eval sites turn CdtError into
+    SPARQL expression errors (nulls) — any other type would kill the
+    stage."""
+    from jena_spark.cdt import CdtError, parse_list_lexical, parse_map_lexical
+
+    frags = [
+        '[', ']', '{', '}', ',', ':', '"a"', "'b'", '1', '0.5', 'true',
+        'null', '<http://e/i>', '_:b', '"x"@en', '"1"^^xsd:int', '\\"',
+        '\\\\', ' ', '<<(', ')>>', 'π', '\x00', '"unterminated', '^^<',
+        '@', '--', '[[[[', '{}{}',
+    ]
+    rng = random.Random(11)
+    for _ in range(8000):
+        s = "".join(rng.choice(frags) for _ in range(rng.randint(0, 14)))
+        if rng.random() < 0.25:
+            s = "".join(chr(rng.randint(0, 0x2FF)) for _ in range(rng.randint(0, 60)))
+        for fn in (parse_list_lexical, parse_map_lexical):
+            try:
+                fn(s)
+            except (CdtError, RecursionError):
+                pass
