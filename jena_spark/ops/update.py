@@ -305,12 +305,21 @@ class UpdateParser(SparqlParser):
                 out.append((gctx, el))
 
         while self.tok.type != "}":
+            if self.tok.type == "EOF":
+                # triples_into() consumes nothing at EOF, so without this
+                # the loop never terminates (a malformed "DELETE WHERE {"
+                # would hang the driver)
+                raise RDFSyntaxError("unterminated quad block in update")
             if self._kw() == "graph":
                 self._advance()
                 gterm = self._term_or_var()
                 self._expect("{")
                 g2 = Group()
                 while self.tok.type != "}":
+                    if self.tok.type == "EOF":
+                        raise RDFSyntaxError(
+                            "unterminated GRAPH block in update template"
+                        )
                     self._triples_block(g2)
                     while self.tok.type == ".":
                         self._advance()

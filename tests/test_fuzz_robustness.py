@@ -219,3 +219,50 @@ def test_garbage_cdt_literals_raise_only_cdterror():
                 fn(s)
             except (CdtError, RecursionError):
                 pass
+
+
+def test_unterminated_update_quad_block_raises():
+    """'DELETE WHERE {' used to spin forever in _quad_block (the EOF
+    token satisfies neither the '}' loop exit nor any consumer) —
+    a malformed update could hang the driver."""
+    from jena_spark.ops.update import UpdateParser
+
+    for q in ["DELETE WHERE {", "INSERT DATA {", "INSERT DATA { GRAPH <g> {"]:
+        with pytest.raises(RDFSyntaxError):
+            UpdateParser(q, "http://base/").parse_update()
+
+
+def test_garbage_update_and_patch_never_escape():
+    from jena_spark.ops.update import UpdateParser
+    from jena_spark.rdfpatch import PatchException, parse_patch
+
+    ufrags = [
+        'INSERT DATA', 'DELETE DATA', 'DELETE WHERE', 'INSERT', 'DELETE',
+        'WHERE', '{', '}', '<s> <p> "o" .', 'GRAPH <g>', ';', 'WITH <g>',
+        'USING', 'NAMED', 'CLEAR', 'DROP', 'CREATE', 'COPY', 'MOVE', 'ADD',
+        'LOAD', 'SILENT', 'ALL', 'DEFAULT', 'GRAPH', 'TO', 'INTO',
+        'PREFIX : <>', 'BASE <http://e/>', '?v', '"lit"@en', '_:b', '.',
+        'FILTER(1)', '\x00', 'π', '<<(', ')>>',
+    ]
+    pfrags = [
+        'TX .', 'TC .', 'TA .', 'H', 'A', 'D', 'PA', 'PD', '.', '<s>',
+        '<p>', '"o"', '_:b', '"x"@en--ltr', 'id', '<uuid:x>', 'prev',
+        '\n', '\x00', 'π', '"""', '<<(',
+    ]
+    rng = random.Random(3)
+    for _ in range(6000):
+        q = " ".join(rng.choice(ufrags) for _ in range(rng.randint(0, 12)))
+        if rng.random() < 0.15:
+            q = "".join(chr(rng.randint(0, 0x2FF)) for _ in range(rng.randint(0, 60)))
+        try:
+            UpdateParser(q, "http://base/").parse_update()
+        except RDFSyntaxError:
+            pass
+    for _ in range(6000):
+        t = " ".join(rng.choice(pfrags) for _ in range(rng.randint(0, 12)))
+        if rng.random() < 0.15:
+            t = "".join(chr(rng.randint(0, 0x2FF)) for _ in range(rng.randint(0, 60)))
+        try:
+            parse_patch(t)
+        except (PatchException, RDFSyntaxError):
+            pass
