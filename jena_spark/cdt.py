@@ -484,7 +484,11 @@ def _time_key(raw: str):
     # across month/year boundaries so tz adjustment below compares correctly.
     yy, mm = int(y), int(mo)
     yy -= 1 if mm <= 2 else 0
-    era = (yy if yy >= 0 else yy - 399) // 400
+    # Hinnant writes (y >= 0 ? y : y-399) / 400 for C++ TRUNCATING
+    # division; Python // already floors, so the -399 pre-correction
+    # would double-correct negative years (wrong era at 400-year
+    # boundaries: -0400-02-29 and -0400-03-01 collided)
+    era = yy // 400
     yoe = yy - era * 400
     doy = (153 * (mm + (-3 if mm > 2 else 9)) + 2) // 5 + int(d) - 1
     doe = yoe * 365 + yoe // 4 - yoe // 100 + doy

@@ -2160,12 +2160,17 @@ _CDT_SUFFIXES = (
     "^^<http://w3id.org/awslabs/neptune/SPARQL-CDTs/List>",
     "^^<http://w3id.org/awslabs/neptune/SPARQL-CDTs/Map>",
 )
-_cdt_data_cache: "dict[int, bool]" = {}
+_cdt_data_cache: "dict[tuple, bool]" = {}
 
 
 def _data_has_cdt(df: DataFrame) -> bool:
     try:
-        key = df.semanticHash()
+        # semanticHash alone is plan-based and goes stale when the files
+        # under the same path are overwritten (e.g. by the update/patch
+        # sinks); part-file names are fresh UUIDs on every write, so
+        # folding inputFiles() in makes the key track the data snapshot.
+        # Both are driver-side metadata — no job.
+        key = (df.semanticHash(), hash(tuple(sorted(df.inputFiles()))))
     except Exception:
         key = None
     if key is not None and key in _cdt_data_cache:
@@ -2178,6 +2183,8 @@ def _data_has_cdt(df: DataFrame) -> bool:
                 cond = e if cond is None else (cond | e)
     has = cond is not None and not df.filter(cond).isEmpty()
     if key is not None:
+        while len(_cdt_data_cache) >= 512:  # bound a long-lived driver
+            _cdt_data_cache.pop(next(iter(_cdt_data_cache)))
         _cdt_data_cache[key] = has
     return has
 

@@ -46,6 +46,7 @@ from __future__ import annotations
 
 import functools
 import math
+import re
 import struct as _struct
 from typing import Dict, Iterable, List, Optional, Tuple
 
@@ -443,31 +444,40 @@ _XSD_INT_TYPES = frozenset(
 )
 
 
+# strict XSD lexical grammars: Python int()/float() are wider (they
+# accept "1_0", Unicode digits, "infinity"), and value-encoding an
+# ill-formed literal would silently rewrite it into a different,
+# well-formed one on decode — the reference only value-encodes literals
+# its XSD parse accepts and ships the rest verbatim
+_XSD_INT_LEX = re.compile(r"^[+-]?[0-9]+$")
+_XSD_DEC_LEX = re.compile(r"^[+-]?(?:[0-9]+(?:\.[0-9]*)?|\.[0-9]+)$")
+_XSD_DBL_LEX = re.compile(
+    r"^(?:[+-]?(?:[0-9]+(?:\.[0-9]*)?|\.[0-9]+)(?:[eE][+-]?[0-9]+)?|[+-]?INF|NaN)$"
+)
+
+
 def _try_value_fields(t: Term) -> Optional[Tuple[int, int, object]]:
     """ThriftConvert.toThriftValue (ThriftConvert.java:70-125): encode
     integer/decimal/double literals by value when lexically valid and in
     range; returns the (fid, type, value) triple for the union."""
     lex = t.lex.strip()
     if t.datatype in _XSD_INT_TYPES:
-        try:
-            v = int(lex)
-        except ValueError:
+        if not _XSD_INT_LEX.match(lex):
             return None
+        v = int(lex)
         if _I64_MIN <= v <= _I64_MAX:
             return (10, _T_I64, v)
         return None
     if t.datatype == XSD_DOUBLE:
-        try:
-            return (11, _T_DOUBLE, float(lex))
-        except ValueError:
+        if not _XSD_DBL_LEX.match(lex):
             return None
+        return (11, _T_DOUBLE, float(lex))
     if t.datatype == XSD_DECIMAL:
-        try:
-            ip, _, fp = lex.partition(".")
-            scale = len(fp)
-            v = int((ip + fp) or "0")
-        except ValueError:
+        if not _XSD_DEC_LEX.match(lex):
             return None
+        ip, _, fp = lex.partition(".")
+        scale = len(fp)
+        v = int(ip + fp) if (ip.strip("+-") or fp) else 0
         if _I64_MIN <= v <= _I64_MAX:
             return (12, _T_STRUCT, _t_struct([(1, _T_I64, v), (2, _T_I32, scale)]))
         return None
@@ -1077,6 +1087,10 @@ def read_result_tuples_protobuf(data) -> Tuple[List[str], List[List[Optional[str
     if pos >= n:
         raise RDFSyntaxError("empty protobuf result stream (no RDF_VarTuple)")
     size, pos = _read_varint(buf, pos)
+    if pos + size > n:
+        # without this a final LEN span can end past the buffer and
+        # Python slicing silently truncates the string instead of erroring
+        raise RDFSyntaxError("truncated protobuf result stream (var tuple)")
     vt = _p_read_message(buf, pos, pos + size)
     pos += size
     varnames = []
@@ -1087,6 +1101,8 @@ def read_result_tuples_protobuf(data) -> Tuple[List[str], List[List[Optional[str
     pmap: Dict[str, str] = {}
     while pos < n:
         size, pos = _read_varint(buf, pos)
+        if pos + size > n:
+            raise RDFSyntaxError("truncated protobuf result stream (data tuple)")
         dt = _p_read_message(buf, pos, pos + size)
         pos += size
         row: List[Optional[str]] = []

@@ -154,6 +154,7 @@ def apply_patch_batch(target_dir: str, n_parts: int = 16):
         dels = last.filter(F.col("op") == "D").drop("op")
         touched = [r["p_part"] for r in last.select("p_part").distinct().collect()]
         if not touched:
+            last.unpersist()
             return
 
         quad_cols = ["graph", "subj", "pred", "obj"]
@@ -204,6 +205,8 @@ def apply_patch_batch(target_dir: str, n_parts: int = 16):
                 os.path.join(target_dir, f"p_part={k}"), ignore_errors=True
             )
         nxt.unpersist()
+        last.unpersist()  # symmetric with nxt: thousands of micro-batches
+        # would otherwise pin one checkpointed RDD each until GC
 
     return apply
 

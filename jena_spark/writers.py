@@ -372,6 +372,15 @@ def rdfxml_lines(
         t = decode_term(obj)
         attrs = nsdecl
         if t.lang is not None:
+            if "--" in t.lang:
+                # RDF 1.2 base-direction literal: RDF/XML has no syntax
+                # for it, and emitting the raw tag would round-trip to a
+                # DIFFERENT literal (plain langString with a bogus BCP47
+                # tag) — refuse like triple terms above
+                raise ValueError(
+                    "RDF/XML cannot serialize directional language "
+                    f"literals (RDF 1.2): @{t.lang}"
+                )
             attrs += f' xml:lang="{t.lang}"'
         elif t.datatype is not None and t.datatype != _XSD_STRING:
             attrs += f' rdf:datatype="{_xml_attr_esc(t.datatype)}"'

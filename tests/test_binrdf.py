@@ -554,3 +554,59 @@ def test_binary_value_encoding_property(rows):
         (write_rdf_protobuf, parse_rdf_protobuf),
     ):
         assert parse(write(quads, encode_values=True)) == quads
+
+
+def test_truncated_protobuf_result_stream_raises():
+    """A row-length varint claiming more bytes than remain must raise —
+    before the check, a final LEN span sliced past the buffer and Python
+    silently returned a shortened string."""
+    from jena_spark.parsers.binrdf import (
+        read_result_tuples_protobuf,
+        write_result_tuples_protobuf,
+    )
+    from jena_spark.terms import RDFSyntaxError
+
+    blob = write_result_tuples_protobuf(["x"], [['"some long literal"']])
+    for cut in range(1, len(blob)):
+        try:
+            names, rows = read_result_tuples_protobuf(blob[:cut])
+        except RDFSyntaxError:
+            continue
+        # any prefix that parses must be a clean row boundary, never a
+        # mangled term
+        assert names == ["x"]
+        for row in rows:
+            assert row == ['"some long literal"']
+
+
+def test_ill_formed_numerics_not_value_encoded():
+    """Python int()/float() accept '1_0', Unicode digits, 'infinity' —
+    value-encoding those would silently rewrite an ill-formed literal
+    into a different well-formed one.  They must ship verbatim."""
+    X = "http://www.w3.org/2001/XMLSchema#"
+    bad = [
+        (None, "<http://ex/s>", "<http://ex/p>", f'"1_0"^^<{X}integer>'),
+        (None, "<http://ex/s>", "<http://ex/p>", f'"١٢"^^<{X}integer>'),
+        (None, "<http://ex/s>", "<http://ex/p>", f'"1_0.5"^^<{X}double>'),
+        (None, "<http://ex/s>", "<http://ex/p>", f'"infinity"^^<{X}double>'),
+        (None, "<http://ex/s>", "<http://ex/p>", f'"1._5"^^<{X}decimal>'),
+        (None, "<http://ex/s>", "<http://ex/p>", f'"nan"^^<{X}double>'),
+    ]
+    good = [
+        (None, "<http://ex/s>", "<http://ex/p>", f'"-INF"^^<{X}double>'),
+        (None, "<http://ex/s>", "<http://ex/p>", f'"NaN"^^<{X}double>'),
+        (None, "<http://ex/s>", "<http://ex/p>", f'".5"^^<{X}decimal>'),
+        (None, "<http://ex/s>", "<http://ex/p>", f'"-.5"^^<{X}decimal>'),
+        (None, "<http://ex/s>", "<http://ex/p>", f'"5."^^<{X}decimal>'),
+    ]
+    for fmt_write, fmt_parse in (
+        (write_rdf_thrift, parse_rdf_thrift),
+        (write_rdf_protobuf, parse_rdf_protobuf),
+    ):
+        assert fmt_parse(fmt_write(bad, encode_values=True)) == bad
+        got = fmt_parse(fmt_write(good, encode_values=True))
+        # valid lexical forms DO value-encode; NaN/INF/decimal forms
+        # come back in the Java canonical lexical form
+        assert [o.split("^^")[0] for _, _, _, o in got] == [
+            '"-Infinity"', '"NaN"', '"0.5"', '"-0.5"', '"5"'
+        ]

@@ -148,6 +148,14 @@ def test_date_key_monotonic_and_collision_free():
     )
     # tz normalization across a year boundary: same instant, same key
     assert _time_key("2024-01-01T00:00:00+14:00") == _time_key("2023-12-31T10:00:00Z")
+    # negative years: the C++ truncating-division era idiom, ported
+    # verbatim, double-corrected under Python floor division — these two
+    # consecutive days at a 400-year era boundary collided
+    assert _time_key("-0400-03-01") - _time_key("-0400-02-29") == 86400
+    # every era-boundary crossing steps exactly one day
+    for a, b in [("-0401-12-31", "-0400-01-01"), ("-0001-12-31", "0000-01-01"),
+                 ("0000-12-31", "0001-01-01"), ("0399-12-31", "0400-01-01")]:
+        assert _time_key(b) - _time_key(a) == 86400, (a, b)
 
 
 CDT_LIST = "http://w3id.org/awslabs/neptune/SPARQL-CDTs/List"
@@ -222,3 +230,25 @@ def test_cdt_probe_cached_and_overridable(spark):
     q2 = Q()
     sp._resolve_cdt(q2, tri, True)
     assert q2.uses_cdt is True
+
+
+def test_cdt_probe_not_stale_after_overwrite(spark, tmp_path):
+    """The CDT-presence probe caches by (semanticHash, inputFiles); a
+    plan-only key went stale when the files under the same path were
+    overwritten — CDT literals added by an update would then compare
+    lexically (wrong) in CDT-silent queries."""
+    from jena_spark.ops.sparql import _data_has_cdt
+
+    path = str(tmp_path / "store")
+    plain = [("<http://e/a>", "<http://e/p>", '"v"')]
+    with_cdt = plain + [
+        ("<http://e/b>", "<http://e/p>", f'"[1, 2]"^^<{CDT_LIST}>'),
+    ]
+    spark.createDataFrame(plain, ["subj", "pred", "obj"]).write.mode(
+        "overwrite"
+    ).parquet(path)
+    assert _data_has_cdt(spark.read.parquet(path)) is False
+    spark.createDataFrame(with_cdt, ["subj", "pred", "obj"]).write.mode(
+        "overwrite"
+    ).parquet(path)
+    assert _data_has_cdt(spark.read.parquet(path)) is True

@@ -289,3 +289,18 @@ def test_write_binary_rdf_file(spark, tmp_path):
         with open(path, "rb") as f:
             got = _parse_binary(fmt, f.read())
         assert _qsort(got) == _qsort(QUADS)
+
+
+def test_rdfxml_dirlang_literal_raises(spark):
+    """RDF/XML has no base-direction syntax; emitting xml:lang="en--ltr"
+    would round-trip to a DIFFERENT literal — refuse like triple terms."""
+    import pytest
+
+    from jena_spark.writers import rdfxml_lines
+
+    df = spark.createDataFrame(
+        [("<http://t.example/s>", "<http://t.example/p#q>", '"x"@en--ltr')],
+        ["subj", "pred", "obj"],
+    )
+    with pytest.raises(Exception, match="directional language"):
+        rdfxml_lines(df.coalesce(1)).collect()

@@ -42,10 +42,12 @@ wait_quiet() {
   return 1
 }
 
+# usage: scaling_campaign.sh [attempts] [N] [tag]
+ATTEMPTS="${1:-4}"
 N="${2:-4}"      # level N; 4N is derived inside scaling.py
 TAG="${3:-r5}"
 good=0
-for runidx in 1 2 3 4; do
+for runidx in $(seq 1 "$ATTEMPTS"); do
   ceil=$(wait_quiet) || { echo "no quiet window" >> "$LOG"; exit 1; }
   SPARK_DRIVER_MEMORY=24g python tools/scaling.py 150000 "$N" 16 \
     > "/tmp/scaling_${TAG}_run${runidx}.log" 2>&1
