@@ -266,3 +266,29 @@ def test_garbage_update_and_patch_never_escape():
             parse_patch(t)
         except (PatchException, RDFSyntaxError):
             pass
+
+
+def test_garbage_iri_and_term_codec_never_escape():
+    from jena_spark.iri import resolve
+    from jena_spark.terms import decode_term, encode_term
+
+    rng = random.Random(13)
+    ifr = ['http://', 'a/b', '../', './', '//h', '?q', '#f', ':', '%2',
+           '%zz', 'π', '\x00', 'file:', 'urn:x', '[::1]', '@', ' ', '\\',
+           'mailto:a', '..', 'a:b:c']
+    tfr = ['<http://e/a>', '_:b', '"x"', '"x"@en', '"x"@en--ltr',
+           '^^<http://e/d>', '<<(', ')>>', '"', '\\', '\\u00', '@', '--',
+           'π', '\x00', '<', '>', ' ', '"""', "'", '<a b>']
+    for _ in range(6000):
+        base = "".join(rng.choice(ifr) for _ in range(rng.randint(0, 6))) or "http://e/"
+        ref = "".join(rng.choice(ifr) for _ in range(rng.randint(0, 6)))
+        try:
+            resolve(base, ref)
+        except RDFSyntaxError:
+            pass
+    for _ in range(6000):
+        s = "".join(rng.choice(tfr) for _ in range(rng.randint(0, 8)))
+        try:
+            encode_term(decode_term(s))
+        except RDFSyntaxError:
+            pass
