@@ -290,3 +290,75 @@ def test_patch_batch_untouched_partitions_not_rewritten(spark, tmp_path):
     quads = _store_quads(spark, store)
     assert (None, "<http://e/x>", "<http://e/ONLY>", '"1"') in quads
     assert len(quads) == 201
+
+
+@pytest.mark.slow  # ~100 s: 12 trials x 2 apply paths x parquet round trips
+def test_patch_apply_matches_set_model_random_sequences(spark, tmp_path):
+    """Model-based check: random patch op sequences (incl. A-then-D and
+    D-then-A of the SAME quad within one patch/batch — the ordering the
+    run-coalescing and the seq/max_by sink must both honor) against a
+    plain Python set model, through BOTH apply paths."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from jena_spark.rdfpatch import apply_patch
+    from jena_spark.streaming import apply_patch_batch
+
+    rng = random.Random(17)
+    quads_pool = [
+        (g, f"<http://e/s{i}>", "<http://e/p>", f'"{v}"')
+        for g in (None, "<http://e/g>")
+        for i in range(3)
+        for v in ("x", "y")
+    ]
+
+    def fmt(q):
+        g, s, p, o = q
+        return f"{s} {p} {o} {g} ." if g else f"{s} {p} {o} ."
+
+    for trial in range(12):
+        model = set(rng.sample(quads_pool, rng.randint(0, 6)))
+        store_rows = sorted(model, key=lambda q: (q[0] or "", q[1], q[3]))
+        ops = []
+        m = set(model)
+        for _ in range(rng.randint(1, 14)):
+            q = rng.choice(quads_pool)
+            if rng.random() < 0.5:
+                if q not in m:
+                    ops.append(("A", q)); m.add(q)
+            else:
+                if q in m:
+                    ops.append(("D", q)); m.discard(q)
+
+        df = spark.createDataFrame(
+            store_rows or [], "graph string, subj string, pred string, obj string"
+        )
+        # path 1: text patch through apply_patch
+        text = "TX .\n" + "".join(f"{c} {fmt(q)}\n" for c, q in ops) + "TC .\n"
+        got = {
+            (r["graph"], r["subj"], r["pred"], r["obj"])
+            for r in apply_patch(df, text).collect()
+        }
+        assert got == m, (trial, "apply_patch", sorted(ops))
+
+        # path 2: seq-tagged micro-batch through the partitioned sink
+        target = str(tmp_path / f"store{trial}")
+        df.withColumn(
+            "p_part", F.pmod(F.xxhash64(F.col("pred")), F.lit(4)).cast("int")
+        ).write.mode("overwrite").partitionBy("p_part").parquet(target)
+        batch = spark.createDataFrame(
+            [(c, q[0], q[1], q[2], q[3], i) for i, (c, q) in enumerate(ops)],
+            "op string, graph string, subj string, pred string, obj string, seq long",
+        )
+        apply_patch_batch(target, n_parts=4)(batch, trial)
+        try:
+            got2 = {
+                (r["graph"], r["subj"], r["pred"], r["obj"])
+                for r in spark.read.parquet(target)
+                .select("graph", "subj", "pred", "obj")
+                .collect()
+            }
+        except Exception:
+            got2 = set()  # store fully emptied: all partition dirs removed
+        assert got2 == m, (trial, "apply_patch_batch", sorted(ops))
