@@ -1,0 +1,146 @@
+"""Differential property-path testing: random path expressions vs
+DuckDB recursive-CTE mirrors.
+
+The W3C property-path suite and the fixed oracles cover chosen shapes;
+this sweep generates random nested path expressions — sequence,
+alternative, inverse, `+`, `*`, `?` up to depth 3 — over random edge
+sets and checks `?s <path> ?o` against a per-construct SQL mirror
+(closures as recursive CTEs with UNION dedup, zero-length paths as
+all-node self-pairs per SPARQL 1.1 §9.3).  Both sides are compared
+DISTINCT (ALT/SEQ are bags in SPARQL; reachability is what the mirror
+pins).
+"""
+
+import random
+
+import duckdb
+import pytest
+
+PREDS = [f"<http://e/p{i}>" for i in range(3)]
+NODES = [f"<http://e/n{i}>" for i in range(5)]
+
+
+def _gen_store(rng):
+    quads = set()
+    for _ in range(rng.randint(6, 18)):
+        quads.add((rng.choice(NODES), rng.choice(PREDS), rng.choice(NODES)))
+    return sorted(quads)
+
+
+def _gen_path(rng, depth=0):
+    kinds = ["link"] * 3 + (
+        ["inv", "seq", "alt", "plus", "star", "opt"] if depth < 3 else []
+    )
+    k = rng.choice(kinds)
+    if k == "link":
+        return ("link", rng.choice(PREDS))
+    if k == "inv":
+        return ("inv", _gen_path(rng, depth + 1))
+    if k in ("seq", "alt"):
+        return (k, _gen_path(rng, depth + 1), _gen_path(rng, depth + 1))
+    return (k, _gen_path(rng, depth + 1))
+
+
+def _to_sparql(p):
+    k = p[0]
+    if k == "link":
+        return p[1]
+    if k == "inv":
+        return f"(^{_to_sparql(p[1])})"
+    if k == "seq":
+        return f"({_to_sparql(p[1])}/{_to_sparql(p[2])})"
+    if k == "alt":
+        return f"({_to_sparql(p[1])}|{_to_sparql(p[2])})"
+    mark = {"plus": "+", "star": "*", "opt": "?"}[k]
+    return f"({_to_sparql(p[1])}){mark}"
+
+
+class _Mirror:
+    """Compile a path AST to DuckDB CTEs returning (src, dst) pairs."""
+
+    def __init__(self):
+        self.ctes = [
+            "nodes AS (SELECT subj AS n FROM quads UNION SELECT obj FROM quads)"
+        ]
+        self.i = 0
+
+    def fresh(self):
+        self.i += 1
+        return f"e{self.i}"
+
+    def compile(self, p):
+        k = p[0]
+        name = self.fresh()
+        if k == "link":
+            lit = p[1].replace("'", "''")
+            body = f"SELECT subj AS src, obj AS dst FROM quads WHERE pred = '{lit}'"
+        elif k == "inv":
+            a = self.compile(p[1])
+            body = f"SELECT dst AS src, src AS dst FROM {a}"
+        elif k == "seq":
+            a, b = self.compile(p[1]), self.compile(p[2])
+            body = (
+                f"SELECT DISTINCT a.src, b.dst FROM {a} a "
+                f"JOIN {b} b ON a.dst = b.src"
+            )
+        elif k == "alt":
+            a, b = self.compile(p[1]), self.compile(p[2])
+            body = f"SELECT src, dst FROM {a} UNION SELECT src, dst FROM {b}"
+        elif k == "plus":
+            a = self.compile(p[1])
+            body = (
+                f"SELECT src, dst FROM {a} UNION "
+                f"SELECT {a}.src, c.dst FROM {a} JOIN {name} c "
+                f"ON {a}.dst = c.src"
+            )
+        elif k == "star":
+            a = self.compile(("plus", p[1]))
+            body = (
+                f"SELECT n AS src, n AS dst FROM nodes "
+                f"UNION SELECT src, dst FROM {a}"
+            )
+        elif k == "opt":
+            a = self.compile(p[1])
+            body = (
+                f"SELECT n AS src, n AS dst FROM nodes "
+                f"UNION SELECT src, dst FROM {a}"
+            )
+        self.ctes.append(f"{name} AS ({body})")
+        return name
+
+    def sql(self, p):
+        top = self.compile(p)
+        return (
+            "WITH RECURSIVE "
+            + ", ".join(self.ctes)
+            + f" SELECT DISTINCT src, dst FROM {top}"
+        )
+
+
+@pytest.mark.slow  # each query pays full compile+collect
+def test_random_paths_match_duckdb(spark):
+    from jena_spark.ops.sparql import sparql_select
+
+    rng = random.Random(31)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        for trial in range(25):
+            rows = _gen_store(rng)
+            path = _gen_path(rng)
+            con = duckdb.connect()
+            con.execute(
+                "CREATE TABLE quads (subj VARCHAR, pred VARCHAR, obj VARCHAR)"
+            )
+            con.executemany("INSERT INTO quads VALUES (?, ?, ?)", rows)
+            want = sorted(tuple(r) for r in con.execute(_Mirror().sql(path)).fetchall())
+            con.close()
+
+            tri = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+            q = f"SELECT DISTINCT ?s ?o WHERE {{ ?s {_to_sparql(path)} ?o }} "
+            got = sorted(
+                (r["s"], r["o"]) for r in sparql_select(tri, q).collect()
+            )
+            assert got == want, (trial, q, rows[:6], got[:6], want[:6])
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
