@@ -104,3 +104,94 @@ def test_random_bgps_match_duckdb(spark):
             assert got == want, (trial, q, rows[:6], got[:5], want[:5])
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+@pytest.mark.slow
+def test_random_union_and_optional_match_duckdb(spark):
+    """UNION compares as a BAG (duplicates across branches must be
+    kept, absent variables NULL-padded); OPTIONAL mirrors as LEFT JOIN
+    on the shared-variable equalities (single OPTIONAL => always
+    well-designed)."""
+    from jena_spark.ops.sparql import sparql_select
+
+    rng = random.Random(29)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        for trial in range(12):
+            rows = _gen_store(rng)
+            con = duckdb.connect()
+            con.execute(
+                "CREATE TABLE quads (subj VARCHAR, pred VARCHAR, obj VARCHAR)"
+            )
+            con.executemany("INSERT INTO quads VALUES (?, ?, ?)", rows)
+            tri = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+
+            # --- UNION: bag compare with NULL padding ---
+            pa, pb = _gen_bgp(rng), _gen_bgp(rng)
+            sqla, va = _sql_mirror(pa)
+            sqlb, vb = _sql_mirror(pb)
+            allv = sorted(set(va) | set(vb))
+
+            def pad(sql, have):
+                cols = ", ".join(
+                    f"q.{v[1:]}" if v in have else f"NULL AS {v[1:]}"
+                    for v in allv
+                )
+                return f"SELECT {cols} FROM ({sql}) q"
+
+            want = sorted(
+                tuple(r)
+                for r in con.execute(
+                    pad(sqla, va) + " UNION ALL " + pad(sqlb, vb)
+                ).fetchall()
+            )
+            q = (
+                "SELECT " + " ".join(allv) + " WHERE { { "
+                + " . ".join(" ".join(p) for p in pa)
+                + " } UNION { "
+                + " . ".join(" ".join(p) for p in pb)
+                + " } }"
+            )
+            got = sorted(
+                tuple(r[v[1:]] for v in allv)
+                for r in sparql_select(tri, q).collect()
+            )
+            assert got == want, (trial, "union", q, got[:5], want[:5])
+
+            # --- OPTIONAL: left-join mirror ---
+            base = _gen_bgp(rng)
+            opt = [next(
+                pat for pat in _gen_bgp(rng) + _gen_bgp(rng)
+                if any(t.startswith("?") for t in pat)
+            )]  # single optional pattern, at least one variable
+            bsql, bv = _sql_mirror(base)
+            osql, ov = _sql_mirror(opt)
+            shared = sorted(set(bv) & set(ov))
+            allv = sorted(set(bv) | set(ov))
+            on = (
+                " AND ".join(f"b.{v[1:]} = o.{v[1:]}" for v in shared)
+                or "TRUE"
+            )
+            cols = ", ".join(
+                f"b.{v[1:]}" if v in bv else f"o.{v[1:]}" for v in allv
+            )
+            want = sorted(
+                tuple(r)
+                for r in con.execute(
+                    f"SELECT {cols} FROM ({bsql}) b LEFT JOIN ({osql}) o ON {on}"
+                ).fetchall()
+            )
+            q = (
+                "SELECT " + " ".join(allv) + " WHERE { "
+                + " . ".join(" ".join(p) for p in base)
+                + " OPTIONAL { " + " ".join(opt[0]) + " } }"
+            )
+            got = sorted(
+                tuple(r[v[1:]] for v in allv)
+                for r in sparql_select(tri, q).collect()
+            )
+            assert got == want, (trial, "optional", q, got[:5], want[:5])
+            con.close()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
