@@ -41,6 +41,11 @@ LIST_DT = CDT + "List"
 MAP_DT = CDT + "Map"
 XSD = "http://www.w3.org/2001/XMLSchema#"
 
+# encoded-term suffixes that mark a cdt:List / cdt:Map literal — shared by
+# the query-time CDT activation probe (ops/sparql._data_has_cdt) and the
+# build-time has_cdt metadata writers (materialize, streaming patch sink)
+CDT_TERM_SUFFIXES = (f"^^<{LIST_DT}>", f"^^<{MAP_DT}>")
+
 _LIST_SUFFIX = f'"^^<{LIST_DT}>'
 _MAP_SUFFIX = f'"^^<{MAP_DT}>'
 

@@ -93,6 +93,10 @@ def materialize(
     # the dedup shuffle (3x the work, racing to populate the same blocks)
     salted.persist()
     salted.count()
+    # build-time CDT flag: one early-exit filter over the warm cache, so a
+    # CDT-silent query over this store never pays a probe scan
+    # (ops/sparql._meta_has_cdt reads it back)
+    has_cdt = _has_cdt_terms(salted)
     paths = {}
 
     def write_perm(perm: str) -> tuple[str, str]:
@@ -119,7 +123,36 @@ def materialize(
                 paths[perm] = path
     finally:
         salted.unpersist()
+    _write_meta(out_dir, {
+        "layout": "string",
+        "n_partitions": n_partitions,
+        "n_salts": n_salts,
+        "has_cdt": has_cdt,
+    })
     return paths
+
+
+def _has_cdt_terms(df: DataFrame) -> bool:
+    """Does any subj/obj term carry a cdt:List / cdt:Map datatype?  One
+    column-pruned, early-exit scan — at build time the data is being read
+    end-to-end anyway, so this is where the flag is cheap to compute."""
+    from .cdt import CDT_TERM_SUFFIXES
+
+    cond = None
+    for c in ("subj", "obj", "term"):
+        if c in df.columns:
+            for suf in CDT_TERM_SUFFIXES:
+                e = F.col(c).endswith(suf)
+                cond = e if cond is None else (cond | e)
+    return cond is not None and not df.filter(cond).isEmpty()
+
+
+def _write_meta(out_dir: str, meta: dict) -> None:
+    import json
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
 
 
 ENC_PERMUTATIONS: Dict[str, Sequence[str]] = {
@@ -233,17 +266,17 @@ def materialize_encoded(
                 paths[perm] = path
     finally:
         salted.unpersist()
-    # layout metadata for partition pruning at query time
-    import json
-
-    meta = {
+    # layout metadata for partition pruning at query time; has_cdt comes
+    # from the freshly written node table (distinct terms — far smaller
+    # than the triple set, column-pruned, early exit)
+    _write_meta(out_dir, {
+        "layout": "encoded",
         "n_partitions": n_partitions,
         "n_salts": n_salts,
         "hot_predicate_ids": [int(h) for h in hot_ids],
-    }
-    os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, "meta.json"), "w") as f:
-        json.dump(meta, f)
+        "has_cdt": _has_cdt_terms(
+            spark.read.parquet(os.path.join(out_dir, "nodes"))),
+    })
     return paths
 
 

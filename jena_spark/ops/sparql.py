@@ -2153,14 +2153,83 @@ _CDT_ACTIVE: "contextvars.ContextVar[bool]" = contextvars.ContextVar(
 # probe the DATA once: does any subj/obj term carry a cdt:List/cdt:Map
 # datatype?  The probe is one column-pruned scan with early exit on the
 # first hit, cached by the DataFrame's semantic hash so repeated queries
-# over the same store pay it once.  At warehouse scale this flag belongs
-# in table metadata written at materialize time — the `cdt=` override on
-# the entry points is that hook (pass cdt=False to skip the probe).
-_CDT_SUFFIXES = (
-    "^^<http://w3id.org/awslabs/neptune/SPARQL-CDTs/List>",
-    "^^<http://w3id.org/awslabs/neptune/SPARQL-CDTs/Map>",
-)
+# over the same store pay it once.  Round 6: stores built by materialize
+# (and kept fresh by the patch sink) carry a build-time ``has_cdt`` flag
+# in meta.json — _meta_has_cdt reads it and skips the probe entirely, so
+# at warehouse scale the default path costs zero scans; `cdt=` on the
+# entry points remains the explicit override.
+from ..cdt import CDT_TERM_SUFFIXES as _CDT_SUFFIXES
+
 _cdt_data_cache: "dict[tuple, bool]" = {}
+
+
+def _meta_has_cdt(df: DataFrame) -> Optional[bool]:
+    """Build-time ``has_cdt`` from store metadata — zero probe jobs.
+
+    ``materialize``/``materialize_encoded`` write the flag into the store's
+    meta.json at build time (they scan every term anyway) and the patch
+    sink keeps it fresh per micro-batch, so a query over such a store never
+    pays the probe scan.  Trusted only when the plan is a pure file scan
+    (filters/projections over one relation): a union or join with
+    in-memory rows (LocalRelation) could carry CDT literals invisible to
+    ``inputFiles()``, so those shapes fall back to the data probe — the
+    safe direction.
+    """
+    import json as _json
+    import os as _os
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return None
+    # markers could only false-POSITIVE via a literal in a filter string,
+    # which just falls back to the probe — never returns a wrong flag
+    for marker in ("Union", "LocalRelation", "LogicalRDD", "Join"):
+        if marker in plan:
+            return None
+    metas = set()
+    for f in files:
+        p = f[len("file:"):] if f.startswith("file:") else f
+        d = _os.path.dirname(p)
+        found = None
+        for _ in range(4):  # part file → p_part dir → perm dir → store root
+            cand = _os.path.join(d, "meta.json")
+            if _os.path.isfile(cand):
+                found = cand
+                break
+            nd = _os.path.dirname(d)
+            if nd == d:
+                break
+            d = nd
+        if found is None:
+            return None
+        metas.add(found)
+    if len(metas) != 1:  # files from two different stores: don't guess
+        return None
+    try:
+        with open(next(iter(metas))) as fh:
+            meta = _json.load(fh)
+    except Exception:
+        return None
+    v = meta.get("has_cdt")
+    return v if isinstance(v, bool) else None
+
+
+def _probe_has_cdt(df: DataFrame) -> bool:
+    """One column-pruned scan with early exit on the first CDT literal."""
+    cond = None
+    for c in ("subj", "obj"):
+        if c in df.columns:
+            for suf in _CDT_SUFFIXES:
+                e = F.col(c).endswith(suf)
+                cond = e if cond is None else (cond | e)
+    return cond is not None and not df.filter(cond).isEmpty()
 
 
 def _data_has_cdt(df: DataFrame) -> bool:
@@ -2175,13 +2244,9 @@ def _data_has_cdt(df: DataFrame) -> bool:
         key = None
     if key is not None and key in _cdt_data_cache:
         return _cdt_data_cache[key]
-    cond = None
-    for c in ("subj", "obj"):
-        if c in df.columns:
-            for suf in _CDT_SUFFIXES:
-                e = F.col(c).endswith(suf)
-                cond = e if cond is None else (cond | e)
-    has = cond is not None and not df.filter(cond).isEmpty()
+    has = _meta_has_cdt(df)
+    if has is None:
+        has = _probe_has_cdt(df)
     if key is not None:
         while len(_cdt_data_cache) >= 512:  # bound a long-lived driver
             _cdt_data_cache.pop(next(iter(_cdt_data_cache)))

@@ -204,6 +204,37 @@ def apply_patch_batch(target_dir: str, n_parts: int = 16):
             shutil.rmtree(
                 os.path.join(target_dir, f"p_part={k}"), ignore_errors=True
             )
+        # keep the store's build-time CDT flag fresh (ops/sparql.
+        # _meta_has_cdt trusts it): OR in the delta's CDT presence — the
+        # check is delta-sized, never a store scan.  Deletes only ever
+        # leave a conservative true, which costs a pessimized plan, never
+        # a wrong answer.
+        import json
+
+        from .cdt import CDT_TERM_SUFFIXES
+
+        meta_path = os.path.join(target_dir, "meta.json")
+        try:
+            with open(meta_path) as f:
+                meta = json.load(f)
+        except OSError:
+            # a pre-existing store with no meta must NOT get a flag derived
+            # from this delta alone (its old rows are unknown) — only a
+            # store this sink created from scratch starts at has_cdt=False
+            meta = {"layout": "quads", "n_partitions": n_parts}
+            if exists:
+                meta["has_cdt"] = None
+            else:
+                meta["has_cdt"] = False
+        if meta.get("has_cdt") is False:
+            cond = None
+            for c in ("subj", "obj"):
+                for suf in CDT_TERM_SUFFIXES:
+                    e = F.col(c).endswith(suf)
+                    cond = e if cond is None else (cond | e)
+            meta["has_cdt"] = not adds.filter(cond).isEmpty()
+        with open(meta_path, "w") as f:
+            json.dump(meta, f)
         nxt.unpersist()
         last.unpersist()  # symmetric with nxt: thousands of micro-batches
         # would otherwise pin one checkpointed RDD each until GC
