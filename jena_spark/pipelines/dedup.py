@@ -214,9 +214,21 @@ def jaccard_pairs(
     and computes |A∩B| with ``array_intersect`` — two joins total and no
     exploded shingle shuffle (an explode-join was ~10× slower at 5k docs:
     the candidate set grows quadratically inside near-dup clusters).
+
+    Round 6: each shingle is hashed to a 64-bit long (``xxhash64``, pure
+    JVM) INSIDE the array before the join — set Jaccard is invariant
+    under an injective hash, so the value (and the DuckDB oracle, which
+    keeps computing on raw shingle strings) is unchanged while the join
+    ships 8 bytes per shingle instead of a k-char string (~5× less
+    payload on k=5; this was the single most expensive bench query).
+    A 64-bit collision inside one pair's union would need ~2^32 shingles
+    per doc — not a realistic document.
     Returns (id_a, id_b, jaccard)."""
     sets = docs.select(
-        F.col(id_col).alias("id"), _shingles(text_col, k).alias("sh")
+        F.col(id_col).alias("id"),
+        # NB: one-arg lambda — F.xxhash64 itself is variadic and
+        # F.transform would feed it (element, index)
+        F.transform(_shingles(text_col, k), lambda x: F.xxhash64(x)).alias("sh"),
     ).filter(F.size("sh") > 0)
     a = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
