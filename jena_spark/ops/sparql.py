@@ -2199,9 +2199,14 @@ def _meta_has_cdt(df: DataFrame) -> Optional[bool]:
         d = _os.path.dirname(p)
         found = None
         for _ in range(4):  # part file → p_part dir → perm dir → store root
-            cand = _os.path.join(d, "meta.json")
-            if _os.path.isfile(cand):
-                found = cand
+            # _meta.json = patch-sink sidecar (underscore keeps it out of
+            # Spark's file listing); meta.json = materialize store root
+            for name in ("_meta.json", "meta.json"):
+                cand = _os.path.join(d, name)
+                if _os.path.isfile(cand):
+                    found = cand
+                    break
+            if found:
                 break
             nd = _os.path.dirname(d)
             if nd == d:

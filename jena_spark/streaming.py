@@ -157,6 +157,19 @@ def apply_patch_batch(target_dir: str, n_parts: int = 16):
             last.unpersist()
             return
 
+        # Migrate a legacy Spark-visible meta.json BEFORE reading the
+        # store: sitting next to the p_part= dirs it is listed as a data
+        # file, the footer check throws, the except below would treat
+        # the store as EMPTY, and this batch's touched partitions would
+        # be rewritten without their pre-existing rows (data loss).
+        meta_path = os.path.join(target_dir, "_meta.json")
+        legacy_meta = os.path.join(target_dir, "meta.json")
+        if os.path.isfile(legacy_meta):
+            if os.path.exists(meta_path):
+                os.remove(legacy_meta)
+            else:
+                os.rename(legacy_meta, meta_path)
+
         quad_cols = ["graph", "subj", "pred", "obj"]
         try:
             cur = spark.read.parquet(target_dir)
@@ -213,11 +226,15 @@ def apply_patch_batch(target_dir: str, n_parts: int = 16):
 
         from .cdt import CDT_TERM_SUFFIXES
 
-        meta_path = os.path.join(target_dir, "meta.json")
+        # "_"-prefixed so Spark's parquet reader skips it (the sidecar
+        # lives NEXT TO the p_part= dirs; a legacy bare meta.json was
+        # renamed before the store read above)
         try:
             with open(meta_path) as f:
                 meta = json.load(f)
         except OSError:
+            meta = None
+        if meta is None:
             # a pre-existing store with no meta must NOT get a flag derived
             # from this delta alone (its old rows are unknown) — only a
             # store this sink created from scratch starts at has_cdt=False

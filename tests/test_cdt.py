@@ -347,14 +347,14 @@ def test_patch_sink_keeps_cdt_meta_fresh(spark, tmp_path):
         [(1, "A", None, "<http://e/a>", "<http://e/p>", '"v"')],
         "seq long, op string, graph string, subj string, pred string, obj string")
     apply(b1, 0)
-    with open(store + "/meta.json") as f:
+    with open(store + "/_meta.json") as f:
         assert json.load(f)["has_cdt"] is False
     b2 = spark.createDataFrame(
         [(1, "A", None, "<http://e/b>", "<http://e/p>",
           f'"[1]"^^<{CDT_LIST}>')],
         "seq long, op string, graph string, subj string, pred string, obj string")
     apply(b2, 1)
-    with open(store + "/meta.json") as f:
+    with open(store + "/_meta.json") as f:
         assert json.load(f)["has_cdt"] is True
     # deletes leave a conservative true
     b3 = spark.createDataFrame(
@@ -362,5 +362,5 @@ def test_patch_sink_keeps_cdt_meta_fresh(spark, tmp_path):
           f'"[1]"^^<{CDT_LIST}>')],
         "seq long, op string, graph string, subj string, pred string, obj string")
     apply(b3, 2)
-    with open(store + "/meta.json") as f:
+    with open(store + "/_meta.json") as f:
         assert json.load(f)["has_cdt"] is True

@@ -362,3 +362,38 @@ def test_patch_apply_matches_set_model_random_sequences(spark, tmp_path):
         except Exception:
             got2 = set()  # store fully emptied: all partition dirs removed
         assert got2 == m, (trial, "apply_patch_batch", sorted(ops))
+
+
+def test_legacy_meta_json_in_store_root_does_not_lose_rows(spark, tmp_path):
+    """A store carrying the pre-round-6 Spark-visible meta.json next to
+    its p_part= dirs must be readable: the sidecar is renamed to
+    _meta.json BEFORE the store read.  Regression: the footer error the
+    bare json caused was swallowed by the store-read fallback, the
+    store was treated as empty, and every touched partition lost its
+    pre-existing rows."""
+    import json
+    import os
+
+    from jena_spark.streaming import apply_patch_batch
+
+    store = str(tmp_path / "quads")
+    apply = apply_patch_batch(store, n_parts=4)
+    schema = ("seq long, op string, graph string, subj string, "
+              "pred string, obj string")
+    apply(spark.createDataFrame(
+        [(1, "A", None, "<http://e/a>", "<http://e/p>", '"v1"')],
+        schema), 0)
+    # simulate the legacy layout
+    os.rename(os.path.join(store, "_meta.json"),
+              os.path.join(store, "meta.json"))
+    # second batch adds a quad with the SAME predicate → same p_part;
+    # under the bug, <a> vanished because cur read as empty
+    apply(spark.createDataFrame(
+        [(1, "A", None, "<http://e/b>", "<http://e/p>", '"v2"')],
+        schema), 1)
+    got = {(r["subj"], r["obj"]) for r in
+           spark.read.parquet(store).select("subj", "obj").collect()}
+    assert got == {("<http://e/a>", '"v1"'), ("<http://e/b>", '"v2"')}
+    assert not os.path.exists(os.path.join(store, "meta.json"))
+    with open(os.path.join(store, "_meta.json")) as f:
+        assert json.load(f)["has_cdt"] is False
