@@ -663,9 +663,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return brute.unionByName(ivf)
 
     def mm_metadata(spark, sf):
+        # real PNG/WAV decode (pipelines/multimodal.py): the synthesized
+        # payload dimensions are functions of the text length, so the
+        # decoded metadata is SQL-mirrorable; video rows stay opaque and
+        # contribute byte-level checks instead
         media = mm.media_from_documents(_read(spark, sf, "documents"))
         meta = mm.extract_metadata(media)
-        return meta.select("media_id", "n_bytes", "sha256", "media_type")
+        vid = F.col("media_type") == "video"
+        return meta.select(
+            "media_id", "media_type", "width", "height", "channels",
+            "bit_depth", "sample_rate", "n_frames",
+            F.when(vid, F.col("n_bytes")).alias("video_bytes"),
+            F.when(vid, F.col("sha256")).alias("video_sha256"),
+        )
 
     def link_blocked_levenshtein(spark, sf):
         # entity-linking scoring stage with a SQL oracle: block on the
@@ -1331,10 +1341,19 @@ def oracle_sql() -> dict[str, str]:
     )
 
     o["mm_metadata"] = (
+        # mirror of the REAL decode: width/height/frames are functions of
+        # octet_length(text) by construction of the synthesizer
         "SELECT CAST(doc_id AS BIGINT) AS media_id, "
-        "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
-        "sha256(text) AS sha256, "
-        "['image', 'audio', 'video'][(doc_id % 3) + 1] AS media_type "
+        "['image', 'audio', 'video'][(doc_id % 3) + 1] AS media_type, "
+        "CASE WHEN doc_id % 3 = 0 THEN CAST(1 + octet_length(encode(text)) % 31 AS BIGINT) END AS width, "
+        "CASE WHEN doc_id % 3 = 0 THEN CAST(1 + octet_length(encode(text)) % 17 AS BIGINT) END AS height, "
+        "CASE WHEN doc_id % 3 IN (0, 1) THEN CAST(1 AS BIGINT) END AS channels, "
+        "CASE WHEN doc_id % 3 = 0 THEN CAST(8 AS BIGINT) "
+        "     WHEN doc_id % 3 = 1 THEN CAST(16 AS BIGINT) END AS bit_depth, "
+        "CASE WHEN doc_id % 3 = 1 THEN CAST(8000 AS BIGINT) END AS sample_rate, "
+        "CASE WHEN doc_id % 3 = 1 THEN CAST(1 + octet_length(encode(text)) % 100 AS BIGINT) END AS n_frames, "
+        "CASE WHEN doc_id % 3 = 2 THEN CAST(octet_length(encode(text)) AS BIGINT) END AS video_bytes, "
+        "CASE WHEN doc_id % 3 = 2 THEN sha256(text) END AS video_sha256 "
         "FROM documents"
     )
 

@@ -1,22 +1,40 @@
-"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+with REAL pure-stdlib codecs for PNG and WAV.
 
 Design (SURVEY.md driver brief): image/audio/video payloads are opaque
 ``binary`` columns with typed metadata; decode / feature-extract /
-resize / frame-sample run as Arrow-batched pandas UDFs over
-``mapInPandas``.  The actual codec libraries are not present in this
-container, so the decode step is STUBBED (deterministic fake header
-parse, or NotImplementedError for real codecs) — the Spark-side plumbing
-(schema, batching, partitioning, UDF signature) is real and tested.
+frame-sample run as Arrow-batched pandas UDFs over ``mapInPandas``.
+
+Codec status:
+- PNG: real decoder (``decode_png``) — chunk walk with CRC verification,
+  zlib inflate, full scanline-filter reconstruction (None/Sub/Up/
+  Average/Paeth per RFC 2083 §6), 8-bit depth, grayscale/RGB/palette-
+  index/gray+alpha/RGBA channel layouts, non-interlaced.  Plus a
+  minimal grayscale encoder (``encode_png``) used by the deterministic
+  synthesizer and the round-trip tests.
+- WAV: real PCM parser (``decode_wav``) — RIFF chunk walk, fmt/data,
+  sample-rate/bit-depth/channel/frame-count extraction — and a PCM16
+  mono encoder (``encode_wav``).
+- Video: still an opaque-bytes stub (a demuxer is genuinely out of
+  scope for this container); ``frame_sample`` demonstrates the 1→N
+  fan-out shape on deterministic byte offsets.
+
+The synthesizer ``media_from_documents`` emits REAL PNG/WAV payloads
+whose decoded properties are pure functions of the document text length
+(width = 1 + L % 31, height = 1 + L % 17, audio frames = 1 + L % 100),
+so the driver's DuckDB oracle can mirror the decoded metadata without
+being able to run the codecs itself.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
     LongType,
@@ -24,6 +42,201 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+# ---------------------------------------------------------------------------
+# PNG codec (RFC 2083): pure stdlib, 8-bit depth, non-interlaced
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color_type → samples/pixel
+
+
+class MediaDecodeError(ValueError):
+    """Malformed or unsupported media payload."""
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(data: bytes) -> dict:
+    """Decode a PNG to raw pixels.  Returns ``{width, height, channels,
+    bit_depth, color_type, pixels}`` with ``pixels`` = ``bytes`` of
+    length width*height*channels in scanline order (palette images
+    yield palette indices).  Raises :class:`MediaDecodeError` on
+    malformed input; 16-bit depth and Adam7 interlacing are detected
+    and rejected explicitly."""
+    if len(data) < 8 or data[:8] != _PNG_SIG:
+        raise MediaDecodeError("not a PNG: bad signature")
+    pos, ihdr, idat, seen_end = 8, None, bytearray(), False
+    while pos < len(data):
+        if pos + 8 > len(data):
+            raise MediaDecodeError("truncated chunk header")
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length or pos + 12 + length > len(data):
+            raise MediaDecodeError("truncated chunk body")
+        (crc,) = struct.unpack(
+            ">I", data[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise MediaDecodeError(f"CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            seen_end = True
+            break
+        pos += 12 + length
+    if ihdr is None or not seen_end:
+        raise MediaDecodeError("missing IHDR or IEND")
+    width, height, depth, color_type, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise MediaDecodeError("unknown compression/filter method")
+    if interlace != 0:
+        raise MediaDecodeError("Adam7 interlacing not supported")
+    if depth != 8:
+        raise MediaDecodeError(f"bit depth {depth} not supported (8 only)")
+    if color_type not in _CHANNELS:
+        raise MediaDecodeError(f"bad color type {color_type}")
+    if width == 0 or height == 0:
+        raise MediaDecodeError("zero dimension")
+    channels = _CHANNELS[color_type]
+    stride = width * channels
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise MediaDecodeError(f"IDAT inflate failed: {e}") from e
+    if len(raw) != (stride + 1) * height:
+        raise MediaDecodeError(
+            f"decompressed size {len(raw)} != {(stride + 1) * height}"
+        )
+    # scanline reconstruction — RFC 2083 §6.  a = left, b = up, c = up-left
+    out = bytearray(stride * height)
+    bpp = channels  # bytes per pixel at depth 8
+    for y in range(height):
+        f = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        prev_off = (y - 1) * stride
+        if f == 0:  # None
+            pass
+        elif f == 1:  # Sub
+            for x in range(bpp, stride):
+                line[x] = (line[x] + line[x - bpp]) & 0xFF
+        elif f == 2:  # Up
+            if y:
+                for x in range(stride):
+                    line[x] = (line[x] + out[prev_off + x]) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                b = out[prev_off + x] if y else 0
+                line[x] = (line[x] + ((a + b) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                b = out[prev_off + x] if y else 0
+                c = out[prev_off + x - bpp] if (y and x >= bpp) else 0
+                line[x] = (line[x] + _paeth(a, b, c)) & 0xFF
+        else:
+            raise MediaDecodeError(f"bad filter type {f} on row {y}")
+        out[y * stride : (y + 1) * stride] = line
+    return {
+        "width": width,
+        "height": height,
+        "channels": channels,
+        "bit_depth": depth,
+        "color_type": color_type,
+        "pixels": bytes(out),
+    }
+
+
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(width: int, height: int, pixels: bytes) -> bytes:
+    """Minimal grayscale-8 PNG encoder (filter 0 per scanline)."""
+    if len(pixels) != width * height:
+        raise ValueError("pixels length != width*height")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + pixels[y * width : (y + 1) * width] for y in range(height)
+    )
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+
+
+# ---------------------------------------------------------------------------
+# WAV codec: RIFF/PCM, pure stdlib
+# ---------------------------------------------------------------------------
+
+
+def decode_wav(data: bytes) -> dict:
+    """Parse a RIFF/WAVE PCM payload → ``{sample_rate, channels,
+    bit_depth, n_frames}``.  Raises :class:`MediaDecodeError` on
+    malformed input or non-PCM encodings."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise MediaDecodeError("not a WAV: bad RIFF header")
+    pos, fmt, n_data = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise MediaDecodeError("truncated WAV chunk")
+        if cid == b"fmt ":
+            if length < 16:
+                raise MediaDecodeError("short fmt chunk")
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            n_data = length
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+    if fmt is None or n_data is None:
+        raise MediaDecodeError("missing fmt or data chunk")
+    audio_format, channels, rate, _byte_rate, _align, bits = fmt
+    if audio_format != 1:
+        raise MediaDecodeError(f"non-PCM format {audio_format}")
+    if channels == 0 or bits % 8:
+        raise MediaDecodeError("bad channel count or bit depth")
+    frame_size = channels * bits // 8
+    if n_data % frame_size:
+        raise MediaDecodeError("data size not a frame multiple")
+    return {
+        "sample_rate": rate,
+        "channels": channels,
+        "bit_depth": bits,
+        "n_frames": n_data // frame_size,
+    }
+
+
+def encode_wav(samples: list, sample_rate: int = 8000) -> bytes:
+    """PCM16 mono WAV encoder."""
+    body = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    chunks = b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+    chunks += b"data" + struct.pack("<I", len(body)) + body
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+# ---------------------------------------------------------------------------
+# Spark-side pipeline
+# ---------------------------------------------------------------------------
 
 MEDIA_SCHEMA = StructType(
     [
@@ -39,62 +252,157 @@ META_SCHEMA = StructType(
         StructField("n_bytes", LongType(), False),
         StructField("sha256", StringType(), False),
         StructField("media_type", StringType(), False),
-        StructField("fake_width", LongType(), True),
-        StructField("fake_height", LongType(), True),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("channels", LongType(), True),
+        StructField("bit_depth", LongType(), True),
+        StructField("sample_rate", LongType(), True),
+        StructField("n_frames", LongType(), True),
+        StructField("decode_error", StringType(), True),
     ]
 )
 
 
-def media_from_documents(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Deterministic binary payloads from document text (no external
-    media in the sandbox): payload = utf-8 bytes, media_type by id mod 3."""
-    return docs.select(
-        F.col(id_col).cast("long").alias("media_id"),
-        F.encode(F.col(text_col), "UTF-8").alias("payload"),
-        F.element_at(
-            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.col(id_col) % 3 + 1).cast("int"),
-        ).alias("media_type"),
-    )
+def _synth_payload(doc_id: int, text: str) -> tuple:
+    """(payload, media_type): REAL PNG / WAV bytes for image/audio rows,
+    opaque utf-8 for video.  All decoded properties are functions of
+    len(utf8(text)) so a SQL oracle can mirror them."""
+    b = text.encode("utf-8")
+    n = len(b)
+    kind = ("image", "audio", "video")[doc_id % 3]
+    if kind == "image":
+        w, h = 1 + n % 31, 1 + n % 17
+        pix = (b * (w * h // max(n, 1) + 1))[: w * h] if n else b"\x00" * (w * h)
+        return encode_png(w, h, pix), kind
+    if kind == "audio":
+        frames = 1 + n % 100
+        samples = [((b[i % n] if n else 0) - 128) * 256 for i in range(frames)]
+        return encode_wav(samples, 8000), kind
+    return b, kind
+
+
+def media_from_documents(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic media synthesis (no external media in the sandbox):
+    image rows carry real PNGs, audio rows real WAVs, video rows opaque
+    utf-8 bytes.  Arrow-batched — the codec work runs distributed."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, kinds = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                p, k = _synth_payload(int(did), text or "")
+                payloads.append(p)
+                kinds.append(k)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "payload": payloads,
+                    "media_type": kinds,
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(synth, MEDIA_SCHEMA)
 
 
 def extract_metadata(media: DataFrame) -> DataFrame:
-    """The decode stage: Arrow-batched ``mapInPandas``.  Real pipeline
-    would call PIL/ffmpeg here; the stub derives deterministic fake
-    dimensions from the payload hash so tests exercise the full dataflow."""
+    """The decode stage: Arrow-batched ``mapInPandas`` running the REAL
+    codecs — PNG scanline reconstruction for images, RIFF/PCM parse for
+    audio; video stays opaque (n_bytes/sha256 only).  A payload that
+    fails to decode yields a row with ``decode_error`` set instead of
+    failing the stage (at 100 TB a poison payload must not kill the
+    job)."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            shas, widths, heights = [], [], []
-            for payload, mtype in zip(pdf["payload"], pdf["media_type"]):
+            rows = []
+            for mid, payload, mtype in zip(
+                pdf["media_id"], pdf["payload"], pdf["media_type"]
+            ):
                 b = bytes(payload)
-                h = hashlib.sha256(b).hexdigest()
-                shas.append(h)
-                if mtype == "image":
-                    widths.append(16 + int(h[:4], 16) % 4080)
-                    heights.append(16 + int(h[4:8], 16) % 4080)
-                else:
-                    widths.append(None)
-                    heights.append(None)
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
-                    "sha256": shas,
-                    "media_type": pdf["media_type"],
-                    "fake_width": pd.array(widths, dtype="Int64"),
-                    "fake_height": pd.array(heights, dtype="Int64"),
+                row = {
+                    "media_id": int(mid),
+                    "n_bytes": len(b),
+                    "sha256": hashlib.sha256(b).hexdigest(),
+                    "media_type": mtype,
+                    "width": None,
+                    "height": None,
+                    "channels": None,
+                    "bit_depth": None,
+                    "sample_rate": None,
+                    "n_frames": None,
+                    "decode_error": None,
                 }
-            )
+                try:
+                    if mtype == "image":
+                        img = decode_png(b)
+                        row.update(
+                            width=img["width"],
+                            height=img["height"],
+                            channels=img["channels"],
+                            bit_depth=img["bit_depth"],
+                        )
+                    elif mtype == "audio":
+                        wav = decode_wav(b)
+                        row.update(
+                            channels=wav["channels"],
+                            bit_depth=wav["bit_depth"],
+                            sample_rate=wav["sample_rate"],
+                            n_frames=wav["n_frames"],
+                        )
+                except MediaDecodeError as e:
+                    row["decode_error"] = str(e)
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=[f.name for f in META_SCHEMA])
 
     return media.mapInPandas(decode, META_SCHEMA)
 
 
-def decode_image(payload: bytes) -> "object":
-    """Real image decode — requires PIL, not available in this container."""
+def image_features(media: DataFrame) -> DataFrame:
+    """Feature extraction over DECODED pixels (mean/min/max luminance):
+    the real-decode analog of an embedding stage.  Image rows only."""
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("mean_px", StringType(), False),  # decimal string
+            StructField("min_px", LongType(), False),
+            StructField("max_px", LongType(), False),
+        ]
+    )
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload, mtype in zip(
+                pdf["media_id"], pdf["payload"], pdf["media_type"]
+            ):
+                if mtype != "image":
+                    continue
+                px = decode_png(bytes(payload))["pixels"]
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "mean_px": f"{sum(px) / len(px):.6f}",
+                        "min_px": min(px),
+                        "max_px": max(px),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return media.mapInPandas(feats, schema)
+
+
+def decode_image(payload: bytes) -> dict:
+    """Decode an image payload.  PNG is decoded for real
+    (:func:`decode_png`); other formats (JPEG/GIF/...) would need codec
+    libraries this container doesn't ship."""
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
     raise NotImplementedError(
-        "image decode requires PIL/opencv — not installed in this environment; "
-        "the pipeline treats payloads as opaque binary (see extract_metadata)"
+        "only PNG decode is implemented pure-Python; JPEG/GIF/... require "
+        "PIL/opencv which are not installed in this environment"
     )
 
 

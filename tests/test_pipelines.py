@@ -97,24 +97,125 @@ def test_fingerprint_ws_insensitive(spark):
 
 
 def test_multimodal_metadata_and_frames(spark):
+    import hashlib
+
     docs = spark.createDataFrame(
         [(i, "payload " * (i + 1)) for i in range(6)], ["doc_id", "text"]
     )
     media = mm.media_from_documents(docs)
-    meta = mm.extract_metadata(media).collect()
+    meta = {r["media_id"]: r for r in mm.extract_metadata(media).collect()}
     assert len(meta) == 6
-    imgs = [r for r in meta if r["media_type"] == "image"]
-    assert all(r["fake_width"] is not None for r in imgs)
-    auds = [r for r in meta if r["media_type"] != "image"]
-    assert all(r["fake_width"] is None for r in auds)
+    assert all(r["decode_error"] is None for r in meta.values())
+    for i, r in meta.items():
+        n = len(("payload " * (i + 1)).encode())
+        if r["media_type"] == "image":
+            # REAL decode of the synthesized PNG
+            assert (r["width"], r["height"]) == (1 + n % 31, 1 + n % 17)
+            assert (r["channels"], r["bit_depth"]) == (1, 8)
+        elif r["media_type"] == "audio":
+            assert r["sample_rate"] == 8000
+            assert r["n_frames"] == 1 + n % 100
+            assert (r["channels"], r["bit_depth"]) == (1, 16)
+        else:  # video rows stay opaque utf-8 bytes
+            assert r["n_bytes"] == n
+            assert r["sha256"] == hashlib.sha256(
+                ("payload " * (i + 1)).encode()
+            ).hexdigest()
     frames = mm.frame_sample(media, every_n=8)
     vids = {r["media_id"] for r in frames.collect()}
     assert vids == {2, 5}  # doc_id % 3 == 2 → video
 
 
-def test_decode_image_is_stubbed():
+def test_image_features_from_decoded_pixels(spark):
+    docs = spark.createDataFrame(
+        [(0, "abc"), (3, "zzzz")], ["doc_id", "text"]
+    )
+    media = mm.media_from_documents(docs)
+    feats = {r["media_id"]: r for r in mm.image_features(media).collect()}
+    # doc 0: n=3, w=4, h=4 → pixels = b"abc" tiled to 16 bytes
+    pix = (b"abc" * 6)[:16]
+    assert feats[0]["min_px"] == min(pix) and feats[0]["max_px"] == max(pix)
+    assert abs(float(feats[0]["mean_px"]) - sum(pix) / 16) < 1e-6
+    assert feats[3]["min_px"] == feats[3]["max_px"] == ord("z")
+
+
+def test_png_decoder_reconstructs_all_filter_types():
+    """Hand-filter scanlines with each of Sub/Up/Average/Paeth and check
+    the decoder inverts them exactly (RFC 2083 §6)."""
+    import random
+    import struct
+    import zlib
+
+    rng = random.Random(7)
+    w, h = 13, 5
+    pixels = bytes(rng.randrange(256) for _ in range(w * h))
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    raw = bytearray()
+    for y, f in enumerate([0, 1, 2, 3, 4]):
+        row = pixels[y * w : (y + 1) * w]
+        up = pixels[(y - 1) * w : y * w] if y else bytes(w)
+        raw.append(f)
+        for x in range(w):
+            a = row[x - 1] if x else 0
+            b = up[x]
+            c = up[x - 1] if (x and y) else 0
+            if f == 0:
+                raw.append(row[x])
+            elif f == 1:
+                raw.append((row[x] - a) & 0xFF)
+            elif f == 2:
+                raw.append((row[x] - b) & 0xFF)
+            elif f == 3:
+                raw.append((row[x] - ((a + b) >> 1)) & 0xFF)
+            else:
+                raw.append((row[x] - paeth(a, b, c)) & 0xFF)
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(bytes(raw)))
+           + chunk(b"IEND", b""))
+    img = mm.decode_png(png)
+    assert img["pixels"] == pixels
+    assert (img["width"], img["height"], img["channels"]) == (w, h, 1)
+
+
+def test_png_roundtrip_and_malformed_inputs():
+    pix = bytes(range(24))
+    png = mm.encode_png(6, 4, pix)
+    img = mm.decode_png(png)
+    assert img["pixels"] == pix and img["width"] == 6 and img["height"] == 4
+    with pytest.raises(mm.MediaDecodeError):
+        mm.decode_png(b"not a png at all")
+    with pytest.raises(mm.MediaDecodeError):
+        mm.decode_png(png[:-8])  # truncated IEND
+    corrupted = bytearray(png)
+    corrupted[20] ^= 0xFF  # flip an IHDR byte → CRC mismatch
+    with pytest.raises(mm.MediaDecodeError):
+        mm.decode_png(bytes(corrupted))
+    assert mm.decode_image(png)["pixels"] == pix
     with pytest.raises(NotImplementedError):
-        mm.decode_image(b"\x89PNG")
+        mm.decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
+
+
+def test_wav_roundtrip_and_malformed_inputs():
+    samples = [0, 100, -100, 32767, -32768]
+    wav = mm.encode_wav(samples, sample_rate=44100)
+    info = mm.decode_wav(wav)
+    assert info == {"sample_rate": 44100, "channels": 1,
+                    "bit_depth": 16, "n_frames": 5}
+    with pytest.raises(mm.MediaDecodeError):
+        mm.decode_wav(b"RIFFxxxxNOPE")
+    with pytest.raises(mm.MediaDecodeError):
+        mm.decode_wav(wav[:20])  # truncated
 
 
 def test_linking_pr_gates(spark):
