@@ -46,21 +46,32 @@ def with_salted_partition(
     over ``n_salts`` salt buckets keyed by subject hash (deterministic, so
     a rewritten partition reproduces byte-identical content).
 
-    ``auto_detect_hot=True`` measures the predicate histogram (one cheap
-    agg over the already-shuffled data) and salts every predicate above
-    ``hot_fraction_threshold`` of total rows — at 100 TB this is an
-    AQE-style guard against vocabulary we didn't anticipate.
+    ``auto_detect_hot=True`` measures the predicate histogram and salts
+    every predicate above ``hot_fraction_threshold`` of total rows — at
+    100 TB this is an AQE-style guard against vocabulary we didn't
+    anticipate.  ONE scan: the grouped histogram (predicate-cardinality
+    sized, tiny after the partial agg) is persisted, and both the total
+    and the hot set are derived from it — the input is never read twice.
+    For an ALREADY-WRITTEN store prefer :func:`rebalance_hot_partitions`,
+    which detects skew from partition file sizes without any data scan.
     """
     hot = list(hot_predicates)
     if auto_detect_hot:
-        total = triples.count()
-        if total > 0:
-            hist = (
-                triples.groupBy("pred").count()
-                .filter(F.col("count") > int(total * hot_fraction_threshold))
-                .select("pred").collect()
-            )
-            hot = sorted({r["pred"] for r in hist} | set(hot))
+        hist = triples.groupBy("pred").count()
+        hist.persist()
+        try:
+            total = (hist.agg(F.sum("count").alias("t")).collect()[0]["t"]
+                     or 0)
+            if total > 0:
+                rows = (
+                    hist.filter(
+                        F.col("count")
+                        > int(total * hot_fraction_threshold)
+                    ).select("pred").collect()
+                )
+                hot = sorted({r["pred"] for r in rows} | set(hot))
+        finally:
+            hist.unpersist()
     is_hot = F.col("pred").isin(hot)
     salt = F.pmod(F.xxhash64("subj"), F.lit(n_salts))
     base = F.pmod(F.xxhash64("pred"), F.lit(n_partitions))
@@ -196,7 +207,7 @@ def materialize_encoded(
         for r in spark.createDataFrame([(p,) for p in hot_predicates], ["p"])
         .select(F.xxhash64("p").alias("h"))
         .collect()
-    ]
+    ] if hot_predicates else []
 
     if node_table is None:
         node_table = build_node_table(triples)
@@ -278,6 +289,155 @@ def materialize_encoded(
             spark.read.parquet(os.path.join(out_dir, "nodes"))),
     })
     return paths
+
+
+def _wrap64(x: int) -> int:
+    """Simulate JVM 64-bit long wraparound (the engine computes
+    ``p_id + salt`` JVM-side before pmod)."""
+    return (x + 2**63) % 2**64 - 2**63
+
+
+def rebalance_hot_partitions(
+    spark: SparkSession,
+    out_dir: str,
+    skew_factor: float = 4.0,
+    hot_fraction_threshold: float = 0.5,
+    permutations: Sequence[str] = ("spo", "pos", "osp"),
+) -> dict:
+    """Post-write skew repair for an encoded store — the 100 TB-correct
+    alternative to ``auto_detect_hot``'s pre-write histogram scan:
+
+    1. DETECT from write statistics, not data: the per-``p_part``
+       directory byte sizes of the already-written table (pure
+       filesystem metadata — zero rows read).  A partition bigger than
+       ``skew_factor`` × the median is skewed.
+    2. DIAGNOSE with a partition-pruned scan of ONLY the oversized
+       partitions: any ``p_id`` holding more than
+       ``hot_fraction_threshold`` of its partition's rows is hot.
+    3. REPAIR only the affected partitions: the hot predicates' source
+       partitions plus their ``n_salts`` salt targets are re-assigned
+       and rewritten via dynamic partition overwrite — every other
+       partition's files are never opened or replaced.
+
+    Updates ``meta.json``'s ``hot_predicate_ids`` so
+    :func:`choose_index_encoded`'s pruning follows the new layout.
+    Returns ``{"detected_hot_ids": [...], "partitions_rewritten":
+    [...]}``.  Cost is proportional to the skew, not the store.
+    """
+    import json
+    import shutil
+    import statistics
+
+    meta_path = os.path.join(out_dir, "meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    if meta.get("layout") != "encoded":
+        raise ValueError(
+            "rebalance_hot_partitions requires an encoded store "
+            f"(layout={meta.get('layout')!r})"
+        )
+    n = meta["n_partitions"]
+    n_salts = meta["n_salts"]
+    known_hot = set(meta.get("hot_predicate_ids", []))
+
+    # 1. detection from directory sizes (first permutation is
+    # representative: all three share the same p_part assignment)
+    lead = os.path.join(out_dir, permutations[0])
+    sizes: Dict[int, int] = {}
+    for name in os.listdir(lead):
+        if not name.startswith("p_part="):
+            continue
+        d = os.path.join(lead, name)
+        sizes[int(name.split("=", 1)[1])] = sum(
+            os.path.getsize(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+    if not sizes:
+        return {"detected_hot_ids": [], "partitions_rewritten": []}
+    med = statistics.median(sizes.values())
+    fat = sorted(k for k, v in sizes.items() if v > skew_factor * max(med, 1))
+    if not fat:
+        return {"detected_hot_ids": [], "partitions_rewritten": []}
+
+    # 2. partition-pruned diagnosis of the fat partitions only
+    hist = (
+        spark.read.parquet(lead)
+        .filter(F.col("p_part").isin([int(k) for k in fat]))
+        .groupBy("p_part", "p_id")
+        .count()
+    )
+    hist.persist()
+    try:
+        totals = hist.groupBy("p_part").agg(F.sum("count").alias("total"))
+        new_hot = sorted(
+            r["p_id"]
+            for r in hist.join(totals, "p_part")
+            .filter(F.col("count") > hot_fraction_threshold * F.col("total"))
+            .select("p_id")
+            .distinct()
+            .collect()
+            if r["p_id"] not in known_hot
+        )
+    finally:
+        hist.unpersist()
+    if not new_hot:
+        return {"detected_hot_ids": [], "partitions_rewritten": []}
+
+    # 3. affected partition set: each new hot id's current home plus all
+    # of its salt targets (≤ 1 + n_salts per predicate, independent of
+    # store size)
+    affected = set()
+    for h in new_hot:
+        affected.add(h % n)  # Python % == pmod for positive n
+        for s in range(n_salts):
+            affected.add(_wrap64(h + s) % n)
+    affected = sorted(int(k) for k in affected)
+
+    all_hot = sorted(known_hot | set(new_hot))
+    salt = F.pmod(F.xxhash64(F.col("s_id")), F.lit(n_salts))
+    reassign = F.when(
+        F.col("p_id").isin([int(h) for h in all_hot]),
+        F.pmod(F.col("p_id") + salt, F.lit(n)),
+    ).otherwise(F.pmod(F.col("p_id"), F.lit(n)))
+
+    for perm in permutations:
+        path = os.path.join(out_dir, perm)
+        cur = spark.read.parquet(path).filter(F.col("p_part").isin(affected))
+        keep = [c for c in cur.columns if c != "p_part"]
+        nxt = (
+            cur.select(*keep)
+            .withColumn("p_part", reassign)
+            .repartition(F.col("p_part"))
+            .sortWithinPartitions(*ENC_PERMUTATIONS[perm])
+        )
+        # pin BEFORE overwriting — the plan reads the files being replaced
+        nxt = nxt.localCheckpoint(eager=True)
+        (
+            nxt.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("p_part")
+            .parquet(path)
+        )
+        # dynamic overwrite never touches a partition absent from the
+        # output — an affected partition emptied by the move keeps stale
+        # files; drop those directories explicitly
+        remaining = {
+            r["p_part"] for r in nxt.select("p_part").distinct().collect()
+        }
+        for k in set(affected) - remaining:
+            shutil.rmtree(
+                os.path.join(path, f"p_part={k}"), ignore_errors=True
+            )
+        nxt.unpersist()
+
+    meta["hot_predicate_ids"] = [int(h) for h in all_hot]
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    return {
+        "detected_hot_ids": [int(h) for h in new_hot],
+        "partitions_rewritten": affected,
+    }
 
 
 def choose_index_encoded(

@@ -296,3 +296,95 @@ def test_stream_dedup_multichunk_min(spark, tmp_path):
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
     got = [(r["keep_id"], r["text"]) for r in spark.read.parquet(out).collect()]
     assert got == [(1, "alpha")]
+
+
+def test_rebalance_hot_partitions_detects_and_repairs_skew(spark, tmp_path):
+    """Post-write skew repair: detection from p_part directory FILE
+    SIZES (no data scan), diagnosis partition-pruned to the fat
+    partitions, repair rewriting only the affected partitions —
+    untouched partition files stay byte-identical."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from jena_spark.materialize import (
+        choose_index_encoded,
+        materialize_encoded,
+        rebalance_hot_partitions,
+    )
+
+    hot_pred = "<http://e/hot>"
+    rows = [
+        (f"<http://e/s{i}>", hot_pred, f"<http://e/o{i % 7}>")
+        for i in range(2000)
+    ]
+    rows += [
+        (f"<http://e/s{i}>", f"<http://e/p{j}>", f'"v{i}"')
+        for i in range(10)
+        for j in range(12)
+    ]
+    tri = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    out = str(tmp_path / "enc")
+    # build WITHOUT salting: the hot predicate lands in one fat partition
+    materialize_encoded(
+        tri, out, n_partitions=16, n_salts=4, hot_predicates=()
+    )
+    hot_id = (
+        spark.createDataFrame([(hot_pred,)], ["t"])
+        .select(F.xxhash64("t").alias("h")).collect()[0]["h"]
+    )
+
+    def perm_rows(perm):
+        return {
+            (r["s_id"], r["p_id"], r["o_id"])
+            for r in spark.read.parquet(os.path.join(out, perm)).collect()
+        }
+
+    def part_files(perm):
+        files = {}
+        base = os.path.join(out, perm)
+        for d in os.listdir(base):
+            if d.startswith("p_part="):
+                k = int(d.split("=", 1)[1])
+                for f in sorted(os.listdir(os.path.join(base, d))):
+                    if f.endswith(".parquet"):
+                        with open(os.path.join(base, d, f), "rb") as fh:
+                            files.setdefault(k, []).append(fh.read())
+        return files
+
+    before = {perm: perm_rows(perm) for perm in ("spo", "pos", "osp")}
+    files_before = part_files("spo")
+    hot_part_before = {
+        r["p_part"]
+        for r in spark.read.parquet(os.path.join(out, "spo"))
+        .filter(F.col("p_id") == hot_id).select("p_part").distinct().collect()
+    }
+    assert len(hot_part_before) == 1  # unsalted: one fat partition
+
+    res = rebalance_hot_partitions(spark, out, skew_factor=2.5)
+    assert res["detected_hot_ids"] == [hot_id]
+    affected = set(res["partitions_rewritten"])
+    assert hot_part_before <= affected
+
+    # rows preserved exactly, in every permutation
+    for perm in ("spo", "pos", "osp"):
+        assert perm_rows(perm) == before[perm], perm
+    # the hot predicate now spans multiple partitions
+    hot_parts_after = {
+        r["p_part"]
+        for r in spark.read.parquet(os.path.join(out, "spo"))
+        .filter(F.col("p_id") == hot_id).select("p_part").distinct().collect()
+    }
+    assert len(hot_parts_after) > 1
+    # untouched partitions were never rewritten (byte-identical files)
+    files_after = part_files("spo")
+    for k, blobs in files_before.items():
+        if k not in affected:
+            assert files_after.get(k) == blobs, k
+    # meta now carries the detected id, and the pruned index read still
+    # returns every hot-predicate triple
+    got = choose_index_encoded(spark, out, p=hot_pred)
+    assert got.count() == 2000
+    # idempotent: a second pass detects nothing new
+    res2 = rebalance_hot_partitions(spark, out, skew_factor=2.5)
+    assert res2["detected_hot_ids"] == []
