@@ -1794,12 +1794,33 @@ def _typed(e: Expr, avail: Optional[set] = None) -> Tuple[F.Column, str]:
             return F.when(
                 _stringish(targs[0][0], targs[0][1]), plain(0).rlike(pat)
             ), "bool"
+        def str2_compat(res: F.Column) -> F.Column:
+            # §17.4.3.2 argument compatibility: both args string literals,
+            # arg2 simple/xsd:string or sharing arg1's language tag — else
+            # evaluation error (NodeFunctions.checkTwoArgumentStringLiterals)
+            (c1, t1), (c2, t2) = targs[0], targs[1]
+            compat = (
+                _stringish(c1, t1)
+                & _stringish(c2, t2)
+                & (
+                    (_lang_of(c2, t2) == "")
+                    | (_lang_of(c2, t2) == _lang_of(c1, t1))
+                )
+            )
+            return F.when(compat, res)
+
         if name == "CONTAINS":
-            return plain(0).contains(plain(1)), "bool"
+            return str2_compat(plain(0).contains(plain(1))), "bool"
         if name == "STRSTARTS":
-            return plain(0).startswith(plain(1)), "bool"
+            return str2_compat(plain(0).startswith(plain(1))), "bool"
         if name == "STRLEN":
-            return F.length(plain(0)), "num"
+            # arg must be a string literal (checkAndGetStringLiteral) —
+            # STRLEN(5) / STRLEN(<iri>) is an evaluation error, not a
+            # length of the lexical form.  STR(...) results ('plain') are
+            # always strings.
+            return F.when(
+                _stringish(targs[0][0], targs[0][1]), F.length(plain(0))
+            ), "num"
         if name == "STR":
             return plain(0), "plain"
         if name == "LANG":
@@ -1848,7 +1869,7 @@ def _typed(e: Expr, avail: Optional[set] = None) -> Tuple[F.Column, str]:
                 "term",
             )
         if name == "STRENDS":
-            return plain(0).endswith(plain(1)), "bool"
+            return str2_compat(plain(0).endswith(plain(1))), "bool"
         if name in ("STRBEFORE", "STRAFTER"):
             # §17.4.3: args must be compatible string literals (arg2 is
             # simple/xsd:string, or both share a language tag); not-found
@@ -1891,7 +1912,11 @@ def _typed(e: Expr, avail: Optional[set] = None) -> Tuple[F.Column, str]:
             res = s.substr(pos, ln)
             if t == "plain":
                 return res, "plain"
-            return tf.rebuild_literal(c, res), "term"
+            # source must be a string literal (§17.4.3.3) — SUBSTR over
+            # an IRI or a numeric literal is an evaluation error
+            return F.when(
+                _stringish(c, t), tf.rebuild_literal(c, res)
+            ), "term"
         if name == "REPLACE":
             from ..terms import decode_term
 
