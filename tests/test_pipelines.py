@@ -454,3 +454,84 @@ def test_dedup_clusters_chain_diameter(spark):
     assert {r["cluster_id"] for r in out.collect()} == {0}
     with _pytest.raises(RuntimeError):
         dd.dedup_clusters(docs, pairs, max_iter=2).collect()
+
+
+# --- PNG/WAV codec property tests (hypothesis) ----------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as hst
+
+
+@settings(max_examples=60, deadline=None)
+@given(hst.data())
+def test_png_decode_inverts_any_filtered_encoding(data):
+    """Property: for ANY pixel matrix and ANY per-row filter choice, the
+    decoder reconstructs the original pixels (encoder-independent — the
+    filtered stream is built by the test, not by encode_png)."""
+    import struct
+    import zlib
+
+    w = data.draw(hst.integers(1, 24))
+    h = data.draw(hst.integers(1, 12))
+    pixels = bytes(
+        data.draw(
+            hst.lists(
+                hst.integers(0, 255), min_size=w * h, max_size=w * h
+            )
+        )
+    )
+    filters = data.draw(hst.lists(hst.integers(0, 4), min_size=h, max_size=h))
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    raw = bytearray()
+    for y in range(h):
+        row = pixels[y * w : (y + 1) * w]
+        up = pixels[(y - 1) * w : y * w] if y else bytes(w)
+        f = filters[y]
+        raw.append(f)
+        for x in range(w):
+            a = row[x - 1] if x else 0
+            b = up[x]
+            c = up[x - 1] if (x and y) else 0
+            d = (0, a, b, (a + b) >> 1, paeth(a, b, c))[f]
+            raw.append((row[x] - d) & 0xFF)
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(bytes(raw)))
+           + chunk(b"IEND", b""))
+    img = mm.decode_png(png)
+    assert img["pixels"] == pixels
+
+
+@settings(max_examples=40, deadline=None)
+@given(hst.binary(min_size=0, max_size=300))
+def test_codec_fuzz_never_leaks_exceptions(blob):
+    """Arbitrary bytes (optionally signature-prefixed) must raise only
+    MediaDecodeError — any other exception type would escape the
+    mapInPandas UDF and kill a whole Spark stage."""
+    for payload in (blob, b"\x89PNG\r\n\x1a\n" + blob, b"RIFF" + blob):
+        for dec in (mm.decode_png, mm.decode_wav):
+            try:
+                dec(payload)
+            except mm.MediaDecodeError:
+                pass
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    hst.lists(hst.integers(-32768, 32767), min_size=0, max_size=200),
+    hst.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_roundtrip_property(samples, rate):
+    info = mm.decode_wav(mm.encode_wav(samples, rate))
+    assert info == {"sample_rate": rate, "channels": 1, "bit_depth": 16,
+                    "n_frames": len(samples)}
