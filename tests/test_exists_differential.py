@@ -75,6 +75,98 @@ def _exists_sql(inner, outer_first):
     return f"EXISTS (SELECT 1 FROM {frm} WHERE {where})"
 
 
+def _simple_cond(rng, outer_vars, outer_first):
+    """An error-free boolean condition over one outer var, returned as
+    (sparql, sql).  Restricted to isIRI / =<iri-const> so the mirror
+    never needs §17 three-valued error logic (an IRI-vs-literal '='
+    is plain false, not an error) — the point of THIS layer is the
+    boolean nesting around EXISTS, not expression errors (those are
+    test_filter_differential.py's job)."""
+    v = rng.choice(sorted(outer_vars))
+    ref = outer_first[v]
+    if rng.random() < 0.5:
+        return f"isIRI({v})", f"{ref} LIKE '<%'"
+    const = rng.choice(VOCAB_S)
+    return f"{v} = {const}", f"{ref} = '{const}'"
+
+
+@pytest.mark.slow  # ~2 min
+def test_exists_nested_in_boolean_exprs_match_duckdb(spark):
+    """EXISTS inside && / || / ! — the engine precomputes a marker
+    column per EXISTS via a distinct-key left join and substitutes it
+    into the expression (ops/sparql.py); this sweep checks that whole
+    mechanism against DuckDB evaluating the same boolean directly."""
+    from jena_spark.ops.sparql import sparql_select
+
+    rng = random.Random(61)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        for trial in range(15):
+            rows = sorted(
+                {
+                    (rng.choice(VOCAB_S), rng.choice(VOCAB_P), rng.choice(VOCAB_O))
+                    for _ in range(rng.randint(10, 45))
+                }
+            )
+            outer = _gen_pats(rng, 1, 2, VARS)
+            inner = _gen_pats(rng, 1, 2, VARS)
+
+            con = duckdb.connect()
+            con.execute(
+                "CREATE TABLE quads (subj VARCHAR, pred VARCHAR, obj VARCHAR)"
+            )
+            con.executemany("INSERT INTO quads VALUES (?, ?, ?)", rows)
+            outer_first, outer_conds = _outer_sql(outer)
+            ex_sql = _exists_sql(inner, outer_first)
+            ex_sp = "EXISTS { " + " . ".join(" ".join(p) for p in inner) + " }"
+            if rng.random() < 0.4:
+                ex_sql, ex_sp = f"(NOT {ex_sql})", f"(!{ex_sp})"
+            cond_sp, cond_sql = _simple_cond(
+                rng, set(outer_first), outer_first
+            )
+            shape = rng.random()
+            if shape < 0.45:
+                filt_sp = f"({cond_sp} && {ex_sp})"
+                filt_sql = f"(({cond_sql}) AND {ex_sql})"
+            elif shape < 0.9:
+                filt_sp = f"({cond_sp} || {ex_sp})"
+                filt_sql = f"(({cond_sql}) OR {ex_sql})"
+            else:  # two EXISTS combined
+                filt_sp = f"({ex_sp} || (!{ex_sp}))"
+                filt_sql = "TRUE"
+
+            sel = ", ".join(
+                f"{ref} AS {v[1:]}" for v, ref in sorted(outer_first.items())
+            )
+            frm = ", ".join(f"quads t{i}" for i in range(len(outer)))
+            where = " AND ".join(outer_conds + [filt_sql])
+            want = sorted(
+                tuple(r)
+                for r in con.execute(
+                    f"SELECT {sel} FROM {frm} WHERE {where}"
+                ).fetchall()
+            )
+            con.close()
+
+            vars_sorted = sorted(outer_first)
+            q = (
+                "SELECT "
+                + " ".join(vars_sorted)
+                + " WHERE { "
+                + " . ".join(" ".join(p) for p in outer)
+                + f" FILTER {filt_sp} }}"
+            )
+            tri = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+            got = sorted(
+                tuple(r[v[1:]] for v in vars_sorted)
+                for r in sparql_select(tri, q).collect()
+            )
+            assert got == want, (trial, q, got[:5], want[:5], len(got), len(want))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
 @pytest.mark.slow  # ~2-3 min
 def test_random_exists_match_duckdb(spark):
     from jena_spark.ops.sparql import sparql_select
