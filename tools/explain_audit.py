@@ -31,6 +31,11 @@ AUDIT = [
     "cdt_fold_unfold",
     "rdf_patch_apply",
     "path_distinct_2hop",
+    # round 6: the remaining bench heavy-hitters
+    "dedup_jaccard",
+    "dedup_simhash",
+    "mm_metadata",
+    "alg_window_rank",
 ]
 
 
