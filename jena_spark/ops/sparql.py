@@ -3809,8 +3809,19 @@ def _sparql_construct_body(triples: DataFrame, q: "ConstructQuery") -> DataFrame
         out = row if out is None else out.unionAll(row)
     if out is None:
         raise RDFSyntaxError("empty CONSTRUCT template")
+    # §16.2: an instantiation with an unbound variable, a literal in
+    # subject position, or a non-IRI predicate produces an illegal RDF
+    # triple and is silently SKIPPED, never an error (reference:
+    # sparql/core/TemplateLib — found by test_construct_differential,
+    # which reached "?a ?a ..." templates with ?a bound to a literal).
+    # A subject may be an IRI, bnode, or (RDF 1.2 internal) composed
+    # term — anything but a literal; a predicate must be a plain IRI.
     return out.filter(
-        F.col("subj").isNotNull() & F.col("pred").isNotNull() & F.col("obj").isNotNull()
+        F.col("subj").isNotNull() & F.col("pred").isNotNull()
+        & F.col("obj").isNotNull()
+        & ~F.col("subj").startswith('"')
+        & F.col("pred").startswith("<")
+        & ~F.col("pred").startswith("<<(")
     ).dropDuplicates()
 
 
