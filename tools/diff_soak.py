@@ -58,6 +58,7 @@ def main():
         ("test_minus_differential", "test_random_minus_match_duckdb"),
         ("test_update_differential", "test_random_update_sequences_match_model"),
         ("test_subquery_differential", "test_random_subqueries_match_duckdb"),
+        ("test_construct_differential", "test_random_construct_match_model"),
         ("test_order_differential", "test_random_order_by_is_sound_and_lossless"),
     ]
     master = random.Random(seed)
