@@ -59,6 +59,12 @@ def main():
         ("test_update_differential", "test_random_update_sequences_match_model"),
         ("test_subquery_differential", "test_random_subqueries_match_duckdb"),
         ("test_construct_differential", "test_random_construct_match_model"),
+        (
+            "test_path_differential",
+            "test_random_nps_and_quantifier_paths_match_duckdb",
+        ),
+        ("test_values_differential", "test_random_values_blocks_match_duckdb"),
+        ("test_describe_differential", "test_random_describe_match_model"),
         ("test_order_differential", "test_random_order_by_is_sound_and_lossless"),
     ]
     master = random.Random(seed)
