@@ -66,6 +66,11 @@ def main():
         ("test_values_differential", "test_random_values_blocks_match_duckdb"),
         ("test_describe_differential", "test_random_describe_match_model"),
         ("test_bind_differential", "test_random_mid_group_bind_match_duckdb"),
+        ("test_optional_differential", "test_sequential_optionals_match_duckdb"),
+        (
+            "test_optional_differential",
+            "test_filter_scoped_inside_optional_match_duckdb",
+        ),
         ("test_order_differential", "test_random_order_by_is_sound_and_lossless"),
     ]
     master = random.Random(seed)
