@@ -264,6 +264,12 @@ class SelectQuery:
     having: Optional[Expr] = None
     having_aggs: List[AggItem] = field(default_factory=list)  # hidden aggs
     proj_exprs: List[Tuple["Expr", str]] = field(default_factory=list)
+    # GROUP BY (expr [AS ?v]) keys: computed per solution BEFORE the
+    # groupBy; aliasless keys get a __gexprN name and never project
+    group_exprs: List[Tuple["Expr", str]] = field(default_factory=list)
+    # hoisted aggregate ARGUMENT expressions (AVG(expr) etc.): per-
+    # solution columns named __aexprN, referenced by AggItem.var
+    agg_arg_exprs: List[Tuple["Expr", str]] = field(default_factory=list)
     # FROM / FROM NAMED graph IRIs (encoded terms) — dataset construction
     datasets: Optional[Tuple[List[str], List[str]]] = None
     # resolved BASE, threaded to the compiler for IRI()/URI() (set on the
@@ -384,6 +390,7 @@ class SparqlParser:
         self.resolver = IRIResolver(base or "http://sparql.local/")
         self._allow_aggs = False
         self._agg_hoist: List[AggItem] = []
+        self._agg_arg_hoist: List[Tuple[Expr, str]] = []
         self._anon_n = 0  # anonymous-variable counter ([] in patterns)
         # blank-node label scoping: a label may appear in only ONE basic
         # graph pattern of the query (dawg syn-bad-34/37/38, blabel-cross-*)
@@ -513,7 +520,9 @@ class SparqlParser:
         """SELECT clause through solution modifiers (stops at '}' / EOF) —
         reused for subqueries (Grammar/main.jj SubSelect)."""
         outer_hoist, outer_allow = self._agg_hoist, self._allow_aggs
+        outer_arg_hoist = self._agg_arg_hoist
         self._agg_hoist, self._allow_aggs = [], False
+        self._agg_arg_hoist = []
         self._expect(T_KEYWORD, "select")
         distinct = False
         if self._kw() == "distinct":
@@ -567,6 +576,7 @@ class SparqlParser:
             self._advance()
         where = self._group()
         group_by: List[str] = []
+        group_exprs: List[Tuple[Expr, str]] = []
         order: List[Tuple[Expr, bool]] = []
         limit = offset = None
         having: Optional[Expr] = None
@@ -575,8 +585,28 @@ class SparqlParser:
             if kw == "group":
                 self._advance()
                 self._expect(T_KEYWORD, "by")
-                while self.tok.type == T_VAR:
-                    group_by.append(self._advance().value)
+                while True:
+                    if self.tok.type == T_VAR:
+                        group_by.append(self._advance().value)
+                    elif self.tok.type == T_LPAREN:
+                        # GroupCondition '(' Expression ('AS' Var)? ')'
+                        # (§19.8 grammar [20]; reference evaluates the
+                        # expr per solution and keys the group on it —
+                        # sparql/core/VarExprList in OpGroup)
+                        self._advance()
+                        e = self._expr()
+                        alias = None
+                        if self.tok.type == T_KEYWORD and self._kw() == "as":
+                            self._advance()
+                            alias = self._expect(T_VAR).value
+                        self._expect(T_RPAREN)
+                        if alias is None:
+                            # aliasless key: groupable, never projected
+                            alias = f"__gexpr{len(group_exprs)}"
+                        group_exprs.append((e, alias))
+                        group_by.append(alias)
+                    else:
+                        break
                 if not group_by:
                     raise RDFSyntaxError("GROUP BY needs variables")
             elif kw == "having":
@@ -651,6 +681,16 @@ class SparqlParser:
                 raise RDFSyntaxError(
                     f"projection alias already in scope: {clash}"
                 )
+        if group_exprs:
+            scope = _inscope_vars(where.elements)
+            clash = [
+                a for _, a in group_exprs
+                if not a.startswith("__gexpr") and a in scope
+            ]
+            if clash:
+                raise RDFSyntaxError(
+                    f"GROUP BY alias already in scope: {clash}"
+                )
         if aggregates or group_by or self._agg_hoist:
             missing = [v for v in variables if v not in group_by]
             if missing:
@@ -660,9 +700,11 @@ class SparqlParser:
         q = SelectQuery(
             variables, aggregates, group_by, distinct, where, order, limit, offset,
             having=having, having_aggs=self._agg_hoist, proj_exprs=proj_exprs,
-            datasets=datasets,
+            datasets=datasets, group_exprs=group_exprs,
+            agg_arg_exprs=self._agg_arg_hoist,
         )
         self._agg_hoist, self._allow_aggs = outer_hoist, outer_allow
+        self._agg_arg_hoist = outer_arg_hoist
         return q
 
     _AGG_FNS = {
@@ -702,7 +744,21 @@ class SparqlParser:
             if fn != "COUNT":
                 raise RDFSyntaxError(f"{fn}(*) not allowed")
         else:
-            var = self._expect(T_VAR).value
+            # the argument is a full Expression (§19.8 [127] Aggregate);
+            # a non-var argument is hoisted into a per-solution column
+            # computed before the group (the reference evaluates
+            # ExprAggregator arguments per binding — AggAvg etc. take an
+            # Expr, not a Var).  Nested aggregates are a syntax error.
+            outer_allow, self._allow_aggs = self._allow_aggs, False
+            try:
+                e = self._expr()
+            finally:
+                self._allow_aggs = outer_allow
+            if e.kind == "plainvar":
+                var = e.value
+            else:
+                var = f"__aexpr{len(self._agg_arg_hoist)}"
+                self._agg_arg_hoist.append((e, var))
         sep = " "
         var2: Optional[str] = None
         aorder: Optional[List[Tuple[Expr, bool]]] = None
@@ -3568,6 +3624,12 @@ def _compile_select(
     proj_aliases = [a for _, a in q.proj_exprs]
     grouped = bool(q.aggregates or q.group_by or q.having_aggs)
     if grouped:
+        # GROUP BY expression keys and hoisted aggregate arguments
+        # evaluate per solution first (OpExtend under OpGroup in the
+        # reference's algebra; ExprAggregator args per binding)
+        for e, alias in q.group_exprs + q.agg_arg_exprs:
+            col, kind = _typed(e, set(df.columns))
+            df = df.withColumn(alias, _term_of(col, kind))
         aggs = []
         posts = []
         for item in q.aggregates + q.having_aggs:

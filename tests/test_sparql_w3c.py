@@ -26,8 +26,8 @@ SUITES = [
     (SPARQL11_DIR, "subquery", 10),
     (SPARQL11_DIR, "bind", 10),
     (SPARQL11_DIR, "bindings", 10),
-    (SPARQL11_DIR, "grouping", 3),
-    (SPARQL11_DIR, "aggregates", 27),
+    (SPARQL11_DIR, "grouping", 4),     # round 6: GROUP BY (expr AS ?v)
+    (SPARQL11_DIR, "aggregates", 29),  # round 6: AVG(expr) arg hoisting
     (SPARQL11_DIR, "project-expression", 7),
     (SPARQL11_DIR, "functions", 70),
     (SPARQL11_DIR, "cast", 6),
