@@ -1480,6 +1480,15 @@ class SparqlParser:
         if self.tok.type == T_OP and self.tok.value == "!":
             self._advance()
             return Expr("not", args=[self._unary()])
+        if self.tok.type == T_OP and self.tok.value in ("-", "+"):
+            # UnaryExpression '-'/'+' (Grammar [118]) — desugared to
+            # 0∓e: identical numeric promotion (int-int→int,
+            # 0-decimal→decimal) and identical error-on-non-numeric
+            # behavior (XSDFuncOp.numNeg parity; only the sign of -0.0
+            # differs, which =/</> cannot observe)
+            op = self._advance().value
+            zero = Expr("const", mk_literal("0", datatype=XSD_INTEGER).nt())
+            return Expr("arith", op, [zero, self._unary()])
         if self.tok.type == T_LPAREN:
             self._advance()
             e = self._expr()

@@ -47,7 +47,7 @@ SUITES = [
     (DAWG_DIR, "bnode-coreference", 1),
     (DAWG_DIR, "graph", 12),
     (DAWG_DIR, "expr-equals", 12),
-    (DAWG_DIR, "expr-ops", 6),
+    (DAWG_DIR, "expr-ops", 7),  # round 6: unary minus
     (DAWG_DIR, "algebra", 14),
     (DAWG_DIR, "open-world", 18),
     (DAWG_DIR, "type-promotion", 30),
