@@ -271,6 +271,72 @@ def test_random_nps_and_quantifier_paths_match_duckdb(spark):
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
 
+GRAPHS = ["<http://e/g1>", "<http://e/g2>", "<http://e/g3>"]
+
+
+@pytest.mark.slow  # ~2 min
+def test_random_paths_under_graph_match_duckdb(spark):
+    """``GRAPH ?g { ?s <path> ?o }`` — the path (including transitive
+    closures) evaluates WITHIN one named graph at a time, never across
+    graphs, with ?g bound (reference: PathLib.execTriplePath under
+    OpGraph).  Mirror: the recursive-CTE mirror run per named graph
+    over only that graph's triples, unioned.  Cross-graph edges that
+    would join up a longer path are the bug this hunts."""
+    from jena_spark.ops.sparql import sparql_select
+
+    rng = random.Random(103)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        for trial in range(15):
+            quads = set()
+            for _ in range(rng.randint(8, 24)):
+                quads.add(
+                    (
+                        rng.choice(GRAPHS + [None]),
+                        rng.choice(NODES),
+                        rng.choice(PREDS),
+                        rng.choice(NODES),
+                    )
+                )
+            rows = sorted(quads, key=lambda q: (q[0] or "", q[1], q[2], q[3]))
+            path = _gen_path(rng)
+
+            con = duckdb.connect()
+            con.execute(
+                "CREATE TABLE allq "
+                "(graph VARCHAR, subj VARCHAR, pred VARCHAR, obj VARCHAR)"
+            )
+            con.executemany("INSERT INTO allq VALUES (?, ?, ?, ?)", rows)
+            want = []
+            for g in GRAPHS:
+                con.execute("DROP TABLE IF EXISTS quads")
+                con.execute(
+                    "CREATE TABLE quads AS SELECT subj, pred, obj "
+                    "FROM allq WHERE graph = ?",
+                    [g],
+                )
+                want.extend(
+                    (g,) + tuple(r)
+                    for r in con.execute(_Mirror().sql(path)).fetchall()
+                )
+            want.sort()
+            con.close()
+
+            qdf = spark.createDataFrame(rows, ["graph", "subj", "pred", "obj"])
+            q = (
+                "SELECT DISTINCT ?g ?s ?o WHERE { GRAPH ?g { "
+                f"?s {_to_sparql(path)} ?o }} }}"
+            )
+            got = sorted(
+                (r["g"], r["s"], r["o"])
+                for r in sparql_select(qdf, q).collect()
+            )
+            assert got == want, (trial, q, rows[:6], got[:6], want[:6])
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
 @pytest.mark.slow  # each query pays full compile+collect
 def test_random_paths_match_duckdb(spark):
     from jena_spark.ops.sparql import sparql_select

@@ -63,6 +63,7 @@ def main():
             "test_path_differential",
             "test_random_nps_and_quantifier_paths_match_duckdb",
         ),
+        ("test_path_differential", "test_random_paths_under_graph_match_duckdb"),
         ("test_values_differential", "test_random_values_blocks_match_duckdb"),
         ("test_describe_differential", "test_random_describe_match_model"),
         ("test_bind_differential", "test_random_mid_group_bind_match_duckdb"),
