@@ -46,6 +46,23 @@ def main(argv=None):
         help="optional parquet of (repo, path, commit, lang, content) "
         "source files; defaults to the documents-derived corpus",
     )
+    ap.add_argument(
+        "--synth-files",
+        type=int,
+        default=None,
+        help="use the deterministic synthetic corpus with N files "
+        "instead (the scaling-protocol input; identical rows at any "
+        "parallelism)",
+    )
+    ap.add_argument("--doc-scale", type=int, default=1)
+    ap.add_argument(
+        "--reps",
+        type=int,
+        default=1,
+        help="run the job N times in this session and report per-rep "
+        "seconds plus the best (first rep is the JIT/Arrow warm-up; "
+        "the scaling protocol measures warm throughput)",
+    )
     ap.add_argument("--sparql", default=None, help="query for --job query")
     ap.add_argument("--out", default=None, help="store dir for materialize")
     ap.add_argument(
@@ -79,6 +96,15 @@ def main(argv=None):
     def files_df():
         if args.files_parquet:
             return spark.read.parquet(args.files_parquet)
+        if args.synth_files:
+            from jena_spark.sources import synth_source_files
+
+            return synth_source_files(
+                spark,
+                args.synth_files,
+                partitions=4 * parallelism,
+                doc_scale=args.doc_scale,
+            )
         return source_files_from_documents(spark, args.sf_dir)
 
     t0 = time.time()
@@ -86,26 +112,32 @@ def main(argv=None):
                "parallelism": parallelism}
 
     if args.job == "extract":
-        files = files_df()
-        tri = extract_triples(detect(files))
-        # per-partition lineage/metrics: one row per document with its
-        # triple count, parse error, and content sha256 (the per-row
-        # invariant vs the reference)
-        lin = lineage(files, tri)
-        rollup = lin.agg(
-            F.count("*").alias("files"),
-            F.sum(F.coalesce("triples_out", F.lit(0))).alias("triples"),
-            F.sum(
-                F.when(F.col("error").isNotNull(), 1).otherwise(0)
-            ).alias("errors"),
-        ).collect()[0]
+        rep_secs = []
+        for _ in range(max(1, args.reps)):
+            r0 = time.time()
+            files = files_df()
+            tri = extract_triples(detect(files))
+            # per-partition lineage/metrics: one row per document with
+            # its triple count, parse error, and content sha256 (the
+            # per-row invariant vs the reference)
+            lin = lineage(files, tri)
+            rollup = lin.agg(
+                F.count("*").alias("files"),
+                F.sum(F.coalesce("triples_out", F.lit(0))).alias("triples"),
+                F.sum(
+                    F.when(F.col("error").isNotNull(), 1).otherwise(0)
+                ).alias("errors"),
+            ).collect()[0]
+            rep_secs.append(round(time.time() - r0, 3))
         metrics.update(
             files=int(rollup["files"]),
             triples=int(rollup["triples"]),
             errors=int(rollup["errors"]),
         )
+        if len(rep_secs) > 1:
+            metrics["rep_sec"] = rep_secs
         metrics["triples_per_sec"] = round(
-            metrics["triples"] / max(time.time() - t0, 1e-9), 1
+            metrics["triples"] / min(rep_secs), 1
         )
     elif args.job == "materialize":
         from jena_spark.materialize import materialize_encoded
