@@ -67,6 +67,7 @@ def main():
         ("test_values_differential", "test_random_values_blocks_match_duckdb"),
         ("test_describe_differential", "test_random_describe_match_model"),
         ("test_bind_differential", "test_random_mid_group_bind_match_duckdb"),
+        ("test_rdfs_differential", "test_random_rdfs_closure_matches_rule_fixpoint"),
         ("test_optional_differential", "test_sequential_optionals_match_duckdb"),
         (
             "test_optional_differential",
