@@ -1226,7 +1226,10 @@ class SparqlParser:
 
         if m is None:  # exactly n
             if n == 0:
-                raise RDFSyntaxError("path{0} (zero-length only) not supported")
+                # {0}: the zero-length path — all graph-node self-pairs,
+                # independent of the inner path (P_FixedLength(path, 0);
+                # found by the fresh-seed differential soak)
+                return ("mod", p, "0")
             return seqk(n)
         if m == -1:  # {n,}
             if n == 0:
@@ -1238,7 +1241,7 @@ class SparqlParser:
             raise RDFSyntaxError(f"bad path quantifier {{{n},{m}}}")
         if n == 0:
             if m == 0:
-                raise RDFSyntaxError("path{0} (zero-length only) not supported")
+                return ("mod", p, "0")
             inner = ("alt", [seqk(k) for k in range(1, m + 1)]) if m > 1 else p
             return ("mod", inner, "?")
         if n == m:
@@ -3520,8 +3523,10 @@ def _compile_path(
                 out = r if out is None else out.unionAll(r)
             return out.distinct()
         if kind == "mod":
-            rel = ev(p[1])
             op = p[2]
+            if op == "0":  # zero-length only: never evaluates the inner
+                return ident()
+            rel = ev(p[1])
             if op == "+":
                 return closure(rel, what="path +")
             if op == "?":

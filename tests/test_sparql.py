@@ -578,6 +578,18 @@ def test_path_quantifiers(chain):
     assert ("<http://e/a>", "<http://e/c>") in got
     assert ("<http://e/a>", "<http://e/d>") not in got
     assert len(got) == 5
+    # {0}: the zero-length path — every graph node paired with itself,
+    # regardless of the inner predicate (P_FixedLength 0; the
+    # fresh-seed soak found this raising).  {0,0} is the same path.
+    for q in ("e:knows{0}", "e:nosuch{0,0}"):
+        out3 = sparql_select(
+            chain,
+            f"PREFIX e: <http://e/> SELECT ?x ?y WHERE {{ ?x {q} ?y }}",
+        )
+        got3 = set(rows(out3))
+        assert all(x == y for x, y in got3)
+        assert ("<http://e/a>", "<http://e/a>") in got3
+        assert ('"alice"', '"alice"') in got3  # literals are nodes too
     # {2,} unbounded lower bound
     out3 = sparql_select(
         chain,
