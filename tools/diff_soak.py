@@ -7,8 +7,11 @@ Usage:
 
     python tools/diff_soak.py [trials-per-layer] [seed]
 
-Exits non-zero on the first divergence, printing the layer, seed and
-trial so the failure can be turned into a fixed-seed regression test.
+Any failure (an output DIVERGENCE, or an engine ERROR like the
+path{0} raise this tool caught in round 6) prints the layer and the
+exact seed so it can be pinned as a fixed-seed regression test; the
+remaining layers still run, and the exit code is non-zero if anything
+failed.
 """
 
 import importlib.util
@@ -76,6 +79,7 @@ def main():
         ("test_order_differential", "test_random_order_by_is_sound_and_lossless"),
     ]
     master = random.Random(seed)
+    failures = 0
     for mod_name, fn_name in layers:
         mod = _load(mod_name)
         fn = getattr(mod, fn_name)
@@ -90,25 +94,41 @@ def main():
         # its built-in ~15-25 trials)
         per_call = 20
         calls = max(1, trials // per_call)
+        clean = 0
         try:
             for c in range(calls):
                 mod.random.Random = lambda _n, _s=layer_seed + c: orig_random_cls(_s)
                 try:
                     fn(spark)
+                    clean += 1
                 except AssertionError as e:
+                    failures += 1
                     print(
                         f"DIVERGENCE in {mod_name}.{fn_name} "
-                        f"(seed {layer_seed + c}): {e}",
+                        f"(seed {layer_seed + c}): {str(e)[:400]}",
                         flush=True,
                     )
-                    raise SystemExit(1)
+                    break  # move on to the next layer
+                except Exception as e:  # engine error, not a divergence
+                    failures += 1
+                    print(
+                        f"ERROR in {mod_name}.{fn_name} "
+                        f"(seed {layer_seed + c}): "
+                        f"{type(e).__name__}: {str(e)[:400]}",
+                        flush=True,
+                    )
+                    break
         finally:
             mod.random.Random = orig_random_cls
-        print(
-            f"  {mod_name}.{fn_name}: {calls} call(s) clean "
-            f"({time.time() - t0:.1f}s, seed {layer_seed})",
-            flush=True,
-        )
+        if clean == calls:
+            print(
+                f"  {mod_name}.{fn_name}: {calls} call(s) clean "
+                f"({time.time() - t0:.1f}s, seed {layer_seed})",
+                flush=True,
+            )
+    if failures:
+        print(f"soak FAILED: {failures} layer(s)")
+        raise SystemExit(1)
     print("soak clean")
 
 
