@@ -622,8 +622,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def text_profile(spark, sf):
         # langid + quality + token counts + fingerprint, ONE scan
         # (consolidates four former queries; every column family keeps
-        # its own oracle coverage inside the joined SQL mirror)
-        return ts.profile(_read(spark, sf, "documents"))
+        # its own oracle coverage inside the joined SQL mirror).
+        # Round 7: _spread — the local parquet is 1-4 input splits, which
+        # serialized this pure-map stage on a couple of cores at sf1
+        return ts.profile(_spread(_read(spark, sf, "documents")))
 
     def code_mention_counts(spark, sf):
         # code-identifier mention extraction (vectorized, JVM-side)
@@ -651,23 +653,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ann_topk(spark, sf):
         # brute-force cosine top-k (exact baseline) AND the IVF
         # bucketed variant, tagged by method — both ANN components stay
-        # oracle-checked in one driver row
-        emb = _read(spark, sf, "embeddings")
-        qv = [float((i * 37 % 19) - 9) / 10.0 for i in range(64)]
-        brute = sim.cosine_topk(emb, qv, k=20).select(
-            F.lit("brute").alias("method"), "vec_id", "cosine"
+        # oracle-checked in one driver row.  Round 7: one shared scan
+        # (sim.topk_brute_and_ivf) instead of three — identical rows;
+        # _spread splits the single-row-group local parquet across cores
+        return sim.topk_brute_and_ivf(
+            _spread(_read(spark, sf, "embeddings")),
+            [float((i * 37 % 19) - 9) / 10.0 for i in range(64)],
+            k=20, n_centroids=16, n_probe=4,
         )
-        ivf = sim.ivf_topk(emb, qv, k=20, n_centroids=16, n_probe=4).select(
-            F.lit("ivf").alias("method"), "vec_id", "cosine"
-        )
-        return brute.unionByName(ivf)
 
     def mm_metadata(spark, sf):
         # real PNG/WAV decode (pipelines/multimodal.py): the synthesized
         # payload dimensions are functions of the text length, so the
         # decoded metadata is SQL-mirrorable; video rows stay opaque and
         # contribute byte-level checks instead
-        media = mm.media_from_documents(_read(spark, sf, "documents"))
+        # _spread (round 7): the synth+decode mapInPandas stages inherit
+        # the scan's partitioning — 1-4 local input splits starved them
+        media = mm.media_from_documents(_spread(_read(spark, sf, "documents")))
         meta = mm.extract_metadata(media)
         vid = F.col("media_type") == "video"
         return meta.select(

@@ -18,10 +18,11 @@ Scale notes (100 TB design point):
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Iterator, Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 
 # ---------------------------------------------------------------------------
 # exact
@@ -77,30 +78,168 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc MinHash signature, textbook affine-permutation form:
     each shingle hashes ONCE (md5 → 60-bit int → mod P, P = 2^31-1),
-    then permutation i is min over shingles of (a_i·h + b_i) mod P —
-    one strong hash per shingle instead of ``num_perm`` of them (the
-    hashing dominated signature cost; this is ~5× cheaper at 8 perms).
-    Columns: id, mh_0..mh_{num_perm-1} (BIGINT)."""
-    df = docs.withColumn("__sh", _shingles(text_col, k)).filter(F.size("__sh") > 0)
-    hashed = df.withColumn(
-        "__h",
-        F.transform(
-            F.col("__sh"),
-            lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10)
-            .cast("long") % _MERSENNE,
-        ),
+    then permutation i is min over shingles of (a_i·h + b_i) mod P.
+    Columns: id, mh_0..mh_{num_perm-1} (BIGINT).
+
+    Round 7: the per-shingle chain (md5 → hex substring → base-16 parse
+    → mod, then num_perm affine transforms + array_min) used to run as
+    interpreted higher-order column functions — ~11 lambda evaluations
+    per character of input, the single most expensive expression tree in
+    the bench (16.6 s of the 19.9 s dedup_minhash_pairs at sf1).  It is
+    now ONE Arrow-batched ``mapInPandas`` stage: shingle→hash values are
+    memoized per batch (shared-vocabulary corpora repeat shingles
+    heavily) and the affine minima are a vectorized numpy
+    (num_perm × n_shingles) matrix + ``minimum.reduceat`` per document.
+    Everything is 64-bit INTEGER arithmetic, so the values are
+    bit-identical to the old column form (pinned by
+    tests/test_pipelines.py::test_minhash_signatures_exact_values and
+    the DuckDB oracle, which still computes the md5 formula itself).
+    The stage stays embarrassingly parallel — only (id, text) crosses
+    the Arrow boundary, no shuffle."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    consts = perm_consts(num_perm)
+    a_mat = np.array([a for a, _ in consts], dtype=np.int64)[:, None]
+    b_mat = np.array([b for _, b in consts], dtype=np.int64)[:, None]
+    id_field = docs.schema[id_col]
+    schema = StructType(
+        [StructField(id_field.name, id_field.dataType, True)]
+        + [StructField(f"mh_{i}", LongType(), True) for i in range(num_perm)]
+    )
+    md5 = hashlib.md5
+    M = _MERSENNE
+
+    def sig_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            null_ids: list = []
+            hashes: list = []
+            seg_lens: list = []
+            memo: dict = {}  # shingle → hashed value, batch-scoped
+            for did, text in zip(pdf[id_col].tolist(), pdf[text_col].tolist()):
+                if not isinstance(text, str):
+                    # null text → all-null signature row (JVM-form parity)
+                    null_ids.append(did)
+                    continue
+                n = len(text)
+                if n >= k:
+                    shset = {text[i : i + k] for i in range(n - k + 1)}
+                else:
+                    # mirrors the former column form exactly: sequence(1,
+                    # greatest(len-4,0)) over a too-short string yields the
+                    # whole text as the single (distinct) shingle
+                    shset = {text}
+                ids.append(did)
+                seg_lens.append(len(shset))
+                for s in shset:
+                    h = memo.get(s)
+                    if h is None:
+                        # == conv(substr(md5(s),1,15),16,10) % P: the first
+                        # 15 hex digits are the first 60 bits of the digest
+                        h = (
+                            int.from_bytes(md5(s.encode("utf-8")).digest()[:8],
+                                           "big")
+                            >> 4
+                        ) % M
+                        memo[s] = h
+                    hashes.append(h)
+            data: dict = {}
+            if ids:
+                h_arr = np.array(hashes, dtype=np.int64)
+                perms = (a_mat * h_arr + b_mat) % M  # (num_perm, n_shingles)
+                starts = np.zeros(len(ids), dtype=np.int64)
+                np.cumsum(seg_lens[:-1], out=starts[1:])
+                mins = np.minimum.reduceat(perms, starts, axis=1)
+            else:
+                mins = np.empty((num_perm, 0), dtype=np.int64)
+            data[id_field.name] = pd.Series(ids + null_ids, dtype=pdf[id_col].dtype)
+            nnull = len(null_ids)
+            for i in range(num_perm):
+                data[f"mh_{i}"] = pd.array(
+                    list(mins[i]) + [None] * nnull, dtype="Int64"
+                )
+            yield pd.DataFrame(data)
+
+    return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        sig_batches, schema
     )
 
-    def perm(a: int, b: int):
-        # NB: a 2-arg lambda would be treated by F.transform as
-        # (element, index) — bind the constants via closure, one arg.
-        return lambda h: (F.lit(a) * h + F.lit(b)) % _MERSENNE
 
-    sigs = [
-        F.array_min(F.transform(F.col("__h"), perm(a, b))).alias(f"mh_{i}")
-        for i, (a, b) in enumerate(perm_consts(num_perm))
-    ]
-    return hashed.select(F.col(id_col), *sigs)
+def hashed_shingle_sets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """(id, sorted distinct 64-bit shingle-hash array) — the exact-set
+    side of Jaccard verification, as one Arrow-batched stage with the
+    same batch-scoped shingle→hash memoization as
+    :func:`minhash_signatures` (the former in-plan ``transform(…,
+    xxhash64)`` was ~39M interpreted lambda evaluations at sf1).
+
+    The hash is the first 8 bytes of md5 (sign-wrapped into int64).
+    Set Jaccard is invariant under ANY injective hash, so the function
+    used here is an internal detail — the DuckDB oracle keeps computing
+    on raw shingle strings and agrees as long as no 64-bit collision
+    lands inside one pair's union, the same bound the previous
+    xxhash64 encoding relied on.  Rows with a null text yield no row
+    (they cannot be LSH candidates — their signature is all-null)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType
+
+    id_field = docs.schema[id_col]
+    schema = StructType(
+        [
+            StructField(id_field.name, id_field.dataType, True),
+            StructField("sh", ArrayType(LongType(), True), True),
+        ]
+    )
+    md5 = hashlib.md5
+
+    def set_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            sets: list = []
+            memo: dict = {}
+            for did, text in zip(pdf[id_col].tolist(), pdf[text_col].tolist()):
+                if not isinstance(text, str):
+                    continue
+                n = len(text)
+                if n >= k:
+                    shset = {text[i : i + k] for i in range(n - k + 1)}
+                else:
+                    shset = {text}
+                hs = []
+                for s in shset:
+                    h = memo.get(s)
+                    if h is None:
+                        h = int.from_bytes(
+                            md5(s.encode("utf-8")).digest()[:8], "big"
+                        )
+                        if h >= 1 << 63:
+                            h -= 1 << 64
+                        memo[s] = h
+                    hs.append(h)
+                ids.append(did)
+                arr = np.array(hs, dtype=np.int64)
+                arr.sort()
+                sets.append(arr)
+            yield pd.DataFrame(
+                {
+                    id_field.name: pd.Series(ids, dtype=pdf[id_col].dtype),
+                    "sh": sets,
+                }
+            )
+
+    return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        set_batches, schema
+    )
 
 
 def _band_structs(sig_cols, bands: int, rows_per_band: int) -> F.Column:
@@ -207,6 +346,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 5,
     threshold: float = 0.0,
+    broadcast_bytes: int = 512 * 1024 * 1024,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs only.
 
@@ -223,20 +363,75 @@ def jaccard_pairs(
     payload on k=5; this was the single most expensive bench query).
     A 64-bit collision inside one pair's union would need ~2^32 shingles
     per doc — not a realistic document.
+
+    Round 7: only docs that actually appear in a candidate pair get
+    their shingle sets computed — a semi-join on the (distinct) pair
+    ids runs BEFORE the shingle transform, so the heavyweight per-doc
+    array work is proportional to the candidate set, not the corpus
+    (guide §8.4: decide with small rows, touch big rows once).  The
+    surviving (id, hashed-shingle-array) table is pinned with an eager
+    localCheckpoint so (a) it is computed once, not once per join side
+    and once per pushed size()-filter — the old plan evaluated the
+    transform 4× — and (b) the planner cannot blow it up (at sf1 it
+    chose to broadcast the full 50k-doc array table TWICE, ~12 s of the
+    37 s query).
+
+    Join strategy (guide §3.1, decided from MEASURED size, not
+    estimates): attaching both arrays to each pair necessarily
+    materializes pairs × array once — unless the array table is the
+    BUILD side of a broadcast join, in which case the pairs never move
+    with array payloads at all.  The pinned table's true size is known
+    (one count over the checkpoint), so if it fits under
+    ``broadcast_bytes`` it is broadcast — both joins key on the same
+    ``id`` column, so Catalyst reuses ONE exchange for the two probes.
+    Otherwise (100 TB-scale candidate sets) it degrades to the
+    sort-merge join, whose second exchange carries pairs × array — the
+    unavoidable lower bound for a shuffle-based attach.
     Returns (id_a, id_b, jaccard)."""
-    sets = docs.select(
-        F.col(id_col).alias("id"),
-        # NB: one-arg lambda — F.xxhash64 itself is variadic and
-        # F.transform would feed it (element, index)
-        F.transform(_shingles(text_col, k), lambda x: F.xxhash64(x)).alias("sh"),
-    ).filter(F.size("sh") > 0)
+    ids = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .unionByName(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sets = (
+        hashed_shingle_sets(docs.join(ids, id_col, "left_semi"), text_col, id_col, k)
+        .withColumnRenamed(id_col, "id")
+        .localCheckpoint(eager=True)
+        .filter(F.size("sh") > 0)
+    )
+    stats = sets.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum(F.size("sh")), F.lit(0)).alias("total_sh"),
+    ).collect()[0]
+    # 8 bytes per hashed shingle + ~32 bytes row overhead in the relation
+    est_bytes = stats["total_sh"] * 8 + stats["n"] * 32
+    if est_bytes <= broadcast_bytes:
+        sets = F.broadcast(sets)
     a = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    joined = candidates.join(a, "id_a").join(b, "id_b")
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    out = joined.select(
-        "id_a", "id_b", F.round(inter / union, 6).alias("jaccard")
+    # candidates is an AQE-coalesced checkpoint (bytes-tiny, compute-heavy
+    # probe rows) — round-robin it across the cluster before the
+    # per-pair intersections (16 bytes/row, the §8.4 lightweight proxy)
+    sc = candidates.sparkSession.sparkContext
+    joined = (
+        candidates.repartition(sc.defaultParallelism)
+        .join(a, "id_a")
+        .join(b, "id_b")
+    )
+    # two-step projection so array_intersect evaluates ONCE per pair —
+    # referencing `i` twice in the same projection re-evaluated it (the
+    # upper select cannot be collapsed into the lower one because the
+    # alias is referenced twice and is non-cheap)
+    mid = joined.select(
+        "id_a",
+        "id_b",
+        F.size(F.array_intersect("sh_a", "sh_b")).alias("__i"),
+        (F.size("sh_a") + F.size("sh_b")).alias("__s"),
+    )
+    out = mid.select(
+        "id_a",
+        "id_b",
+        F.round(F.col("__i") / (F.col("__s") - F.col("__i")), 6).alias("jaccard"),
     )
     return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
 

@@ -42,6 +42,18 @@ def cosine_col(a, b) -> F.Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _py_norm(vec) -> float:
+    """Driver-side mirror of :func:`_norm` on a literal vector: strict
+    left-to-right IEEE-double accumulation, bit-identical to the JVM
+    ``aggregate`` fold over the same literal array."""
+    import math
+
+    s = 0.0
+    for x in vec:
+        s += float(x) * float(x)
+    return math.sqrt(s)
+
+
 def cosine_topk(
     embeddings: DataFrame,
     query_vec: Sequence[float],
@@ -72,15 +84,31 @@ def _nearest_col(cent_rows, vec_col: str) -> F.Column:
     Ties → lowest centroid_id; each dot product sums left-to-right
     exactly like the former form, so assignments are bit-identical.
     (ONE nested-array literal, not per-element F.lit()s — thousands of
-    scalar literal expressions measurably bloat plan compilation.)"""
+    scalar literal expressions measurably bloat plan compilation.)
+
+    Round 7: the per-centroid CENTROID norm is precomputed driver-side
+    (:func:`_py_norm` — the same left-to-right fold the in-plan
+    ``_norm`` does over the same literal, so every cosine is
+    bit-identical) and inlined as a literal, cutting the interpreted
+    higher-order-function work per (row × centroid) from three dot
+    products to two.  Higher-order functions do not participate in
+    whole-stage codegen, so lambda-evaluation count is the direct cost
+    driver of this expression — it dominated ann_topk/kmeans at sf1."""
     v = F.col(vec_col).cast("array<double>")
     cent_mat = F.lit([[float(x) for x in r["cvec"]] for r in cent_rows])
-    neg_ids = F.lit([float(-int(r["centroid_id"])) for r in cent_rows])
+    # (-centroid_id, |centroid|) pairs, one nested literal
+    meta = F.lit(
+        [
+            [float(-int(r["centroid_id"])), _py_norm(r["cvec"])]
+            for r in cent_rows
+        ]
+    )
     scored = F.zip_with(
         cent_mat,
-        neg_ids,
-        lambda cv, negc: F.struct(
-            cosine_col(v, cv).alias("cos"), negc.alias("negc")
+        meta,
+        lambda cv, m: F.struct(
+            (_dot(v, cv) / (_norm(v) * m.getItem(1))).alias("cos"),
+            m.getItem(0).alias("negc"),
         ),
     )
     return (-F.array_max(scored)["negc"]).cast("long").alias("centroid_id")
@@ -112,23 +140,36 @@ def kmeans_centroids(
     )
     for _ in range(iters):
         # assignment is a narrow column over literal centroids — the
-        # vectors never join or shuffle; only the per-dimension means
-        # aggregate (centroid_id × dim keys) moves
-        joined = embeddings.select(
-            v.alias("__v"), _nearest_col(cents.collect(), vec_col)
-        )
-        dims = joined.select(
-            "centroid_id", F.posexplode("__v").alias("pos", "val")
+        # vectors never join or shuffle; only the per-dimension partial
+        # means move.  Round 7: the means are ``dim`` avg() aggregates
+        # grouped by centroid_id (map-side partial aggregation → the
+        # exchange carries n_centroids × dim partial sums, a few KB)
+        # instead of the former posexplode into rows×dim records and a
+        # (centroid_id, pos)-keyed shuffle of all of them.  avg() over
+        # the identical value multiset + round(·, 6) keeps the oracle
+        # contract (the rounding absorbs float summation-order
+        # differences, exactly as it already did between Spark and the
+        # DuckDB mirror).
+        rows = cents.collect()
+        if not rows:
+            break
+        dim = len(rows[0]["cvec"])
+        assigned = embeddings.select(
+            v.alias("__v"), _nearest_col(rows, vec_col)
         )
         cents = (
-            dims.groupBy("centroid_id", "pos")
-            .agg(F.round(F.avg("val"), decimals).alias("m"))
-            .groupBy("centroid_id")
+            assigned.groupBy("centroid_id")
             .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s["m"],
-                ).alias("cvec")
+                *[
+                    F.round(F.avg(F.col("__v").getItem(i)), decimals).alias(
+                        f"__m{i}"
+                    )
+                    for i in range(dim)
+                ]
+            )
+            .select(
+                "centroid_id",
+                F.array(*[F.col(f"__m{i}") for i in range(dim)]).alias("cvec"),
             )
         )
     # materialize: the centroid table is tiny and consumed by ≥2 plans
@@ -158,6 +199,35 @@ def assign_ivf(
     )
 
 
+def _probe_choice(cent_rows, query_vec: Sequence[float], n_probe: int) -> list:
+    """The n_probe centroid ids nearest the query, ranked driver-side
+    over the collected (tiny) centroid table.  Driver-side cosine sums
+    left-to-right like the column form, so the probe choice is
+    IEEE-identical to the former DF computation."""
+
+    def _pycos(a, b):
+        import math
+
+        dot = n2 = q2 = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+            n2 += y * y
+            q2 += x * x
+        return (
+            dot / (math.sqrt(n2) * math.sqrt(q2))
+            if n2 and q2
+            else float("-inf")
+        )
+
+    qf = [float(x) for x in query_vec]
+    ranked = sorted(
+        cent_rows,
+        key=lambda r: (-_pycos(qf, [float(x) for x in r["cvec"]]),
+                       int(r["centroid_id"])),
+    )
+    return [int(r["centroid_id"]) for r in ranked[:n_probe]]
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec: Sequence[float],
@@ -177,31 +247,8 @@ def ivf_topk(
     # the centroid table is driver-small by construction: collect ONCE
     # and do both the probe choice and the assignment against literals —
     # zero joins, zero extra jobs, and the full scan below stays narrow.
-    # (Driver-side cosine sums left-to-right like the column form, so
-    # the probe choice is IEEE-identical to the former DF computation.)
     rows = cents.collect()
-
-    def _pycos(a, b):
-        import math
-
-        dot = n2 = q2 = 0.0
-        for x, y in zip(a, b):
-            dot += x * y
-            n2 += y * y
-            q2 += x * x
-        return (
-            dot / (math.sqrt(n2) * math.sqrt(q2))
-            if n2 and q2
-            else float("-inf")
-        )
-
-    qf = [float(x) for x in query_vec]
-    ranked = sorted(
-        rows,
-        key=lambda r: (-_pycos(qf, [float(x) for x in r["cvec"]]),
-                       int(r["centroid_id"])),
-    )
-    probe_ids = [int(r["centroid_id"]) for r in ranked[:n_probe]]
+    probe_ids = _probe_choice(rows, query_vec, n_probe)
 
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     v = F.col(vec_col).cast("array<double>")
@@ -215,6 +262,57 @@ def ivf_topk(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+def topk_brute_and_ivf(
+    embeddings: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 4,
+    kmeans_iters: int = 1,
+) -> DataFrame:
+    """Brute-force AND IVF cosine top-k from ONE scan, method-tagged
+    ('brute' rows then 'ivf' rows) — round 7.
+
+    :func:`cosine_topk` + :func:`ivf_topk` run three full passes over
+    the vectors between them (brute cosines, Lloyd assignment, probe
+    assignment + cosines).  The brute cosine and the probe assignment
+    are computable in the same projection, so this variant scans once
+    for (id, cosine-to-query, centroid_id), pins that ~24-byte/row
+    decision table (guide §8.4) with a localCheckpoint, and takes both
+    top-k rankings from it.  The cosine and assignment expressions are
+    the exact ones cosine_topk / ivf_topk evaluate — results identical
+    row-for-row."""
+    cents = kmeans_centroids(
+        embeddings, n_centroids, kmeans_iters, id_col, vec_col
+    )
+    rows = cents.collect()
+    probe_ids = _probe_choice(rows, query_vec, n_probe)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    v = F.col(vec_col).cast("array<double>")
+    scored = embeddings.select(
+        F.col(id_col),
+        F.round(cosine_col(v, q), decimals).alias("cosine"),
+        _nearest_col(rows, vec_col),
+    ).localCheckpoint(eager=True)
+    brute = (
+        scored.select(id_col, "cosine")
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+        .select(F.lit("brute").alias("method"), F.col(id_col), F.col("cosine"))
+    )
+    ivf = (
+        scored.filter(F.col("centroid_id").isin(probe_ids))
+        .select(id_col, "cosine")
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+        .select(F.lit("ivf").alias("method"), F.col(id_col), F.col("cosine"))
+    )
+    return brute.unionByName(ivf)
 
 
 # ---------------------------------------------------------------------------

@@ -97,8 +97,16 @@ def source_files_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", "lang", "source", "n_chars").mapInPandas(
-        gen, SOURCE_SCHEMA
+    # round 7: the local documents.parquet is a single row group → 1-4
+    # input splits, and mapInPandas inherits that partitioning — the
+    # generate AND parse stages downstream were running on a few cores.
+    # Round-robin the narrow metadata rows across the cluster BEFORE the
+    # template fan-out (at scale inputs arrive already split; this is
+    # the same local-test affordance as __spark_entry__._spread).
+    return (
+        docs.select("doc_id", "lang", "source", "n_chars")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(gen, SOURCE_SCHEMA)
     )
 
 
@@ -123,7 +131,11 @@ def trig_files_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", "lang", "n_chars").mapInPandas(gen, SOURCE_SCHEMA)
+    return (
+        docs.select("doc_id", "lang", "n_chars")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(gen, SOURCE_SCHEMA)
+    )
 
 
 # ---------------------------------------------------------------------------
