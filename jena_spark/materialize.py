@@ -211,17 +211,36 @@ def materialize_encoded(
 
     if node_table is None:
         node_table = build_node_table(triples)
-    node_table.write.mode("overwrite").parquet(os.path.join(out_dir, "nodes"))
-    if audit_ids:
-        # a 64-bit hash collision SILENTLY merges two graph nodes — at a
-        # 10^11-term vocabulary the birthday bound makes that an expected
-        # event, not a tail risk.  The audit is one agg over the freshly
-        # written dictionary (reads the parquet back, so it costs no
-        # extra lineage) and fails the build loudly; above ~10^10 terms
-        # prefer build_node_table(id_bits=128) and skip the audit.
-        from .nodetable import assert_ids_unique
 
-        assert_ids_unique(spark.read.parquet(os.path.join(out_dir, "nodes")))
+    def build_dictionary() -> bool:
+        """nodes write → collision audit → has_cdt flag, as one serial
+        chain.  Round 7: the chain is INDEPENDENT of the permutation
+        pipeline below (hash ids are minted inline, encode never joins
+        the dictionary), so it runs on a driver thread concurrently
+        with the encode/dedup/sort/write jobs (guide §2.6 — overlapping
+        independent jobs lets the second pipeline back-fill the first
+        one's stragglers; serially these stages added ~2.5 s of
+        dead time at sf1).  Returns the has_cdt flag for meta.json."""
+        node_table.write.mode("overwrite").parquet(os.path.join(out_dir, "nodes"))
+        if audit_ids:
+            # a 64-bit hash collision SILENTLY merges two graph nodes —
+            # at a 10^11-term vocabulary the birthday bound makes that an
+            # expected event, not a tail risk.  The audit is one agg over
+            # the freshly written dictionary (reads the parquet back, so
+            # it costs no extra lineage) and fails the build loudly;
+            # above ~10^10 terms prefer build_node_table(id_bits=128)
+            # and skip the audit.
+            from .nodetable import assert_ids_unique
+
+            assert_ids_unique(spark.read.parquet(os.path.join(out_dir, "nodes")))
+        # has_cdt from the freshly written node table (distinct terms —
+        # far smaller than the triple set, column-pruned, early exit)
+        return _has_cdt_terms(spark.read.parquet(os.path.join(out_dir, "nodes")))
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    dict_pool = ThreadPoolExecutor(max_workers=1)
+    dict_future = dict_pool.submit(build_dictionary)
 
     enc = encode_triples(triples.select(*key))
     if has_graph:
@@ -270,23 +289,20 @@ def materialize_encoded(
         return perm, path
 
     try:
-        from concurrent.futures import ThreadPoolExecutor
-
         with ThreadPoolExecutor(max_workers=len(permutations)) as ex:
             for perm, path in ex.map(write_perm, permutations):
                 paths[perm] = path
+        has_cdt = dict_future.result()  # join the dictionary chain
     finally:
         salted.unpersist()
-    # layout metadata for partition pruning at query time; has_cdt comes
-    # from the freshly written node table (distinct terms — far smaller
-    # than the triple set, column-pruned, early exit)
+        dict_pool.shutdown(wait=True)
+    # layout metadata for partition pruning at query time
     _write_meta(out_dir, {
         "layout": "encoded",
         "n_partitions": n_partitions,
         "n_salts": n_salts,
         "hot_predicate_ids": [int(h) for h in hot_ids],
-        "has_cdt": _has_cdt_terms(
-            spark.read.parquet(os.path.join(out_dir, "nodes"))),
+        "has_cdt": has_cdt,
     })
     return paths
 

@@ -46,6 +46,123 @@ def test_jaccard_scores(docs):
     assert 0.5 < jac[(0, 2)] < 1.0
 
 
+def test_minhash_signatures_exact_values(spark):
+    """Round 7 pinned the vectorized Arrow signature stage to the exact
+    values the former pure-column form produced (captured from it before
+    the rewrite), INCLUDING the quirky edges: empty text hashes the
+    empty shingle, 1..k-1-char text hashes the whole text, null text
+    yields an all-null signature row, duplicates agree."""
+    rows = [(0, ""), (1, "ab"), (2, "shor"), (3, "exact"),
+            (4, "hello world"), (5, None), (6, "     "), (7, "ab")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = [tuple(r) for r in
+           dd.minhash_signatures(docs, k=5, num_perm=8).orderBy("doc_id").collect()]
+    expected = [
+        (0, 1150107520, 1131670935, 473691030, 1036491907,
+         1581334546, 1365902009, 59563042, 177587630),
+        (1, 1069065985, 1853320067, 1121759091, 563005983,
+         506666878, 219117120, 1892407925, 625820967),
+        (2, 1832823864, 660940763, 251718375, 1401528243,
+         1772587488, 1661471907, 1068705160, 388378730),
+        (3, 209146584, 1717334756, 1683305953, 1339336346,
+         999013664, 1822428832, 761266636, 1403193362),
+        (4, 190255259, 41497253, 359314943, 528690632,
+         230520582, 4244463, 3385610, 233391963),
+        (5, None, None, None, None, None, None, None, None),
+        (6, 959451177, 506089564, 1475045272, 1632661068,
+         1891295517, 988351453, 1431592932, 1019009938),
+        (7, 1069065985, 1853320067, 1121759091, 563005983,
+         506666878, 219117120, 1892407925, 625820967),
+    ]
+    assert got == expected
+
+
+def test_jaccard_pairs_matches_raw_shingle_sets(spark):
+    """The hashed-set Jaccard (round 7: md5-based 64-bit hashes inside
+    an Arrow stage) must equal Jaccard over the RAW k-shingle string
+    sets — the injective-hash invariance the oracle relies on."""
+    texts = {
+        0: "the quick brown fox jumps over the lazy dog",
+        1: "the quick brown fox jumped over the lazy dogs",
+        2: "pack my box with five dozen liquor jugs",
+        3: "the quick brown fox jumps over the lazy dog",
+    }
+    docs = spark.createDataFrame(sorted(texts.items()), ["doc_id", "text"])
+    cands = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 2)], ["id_a", "id_b"]
+    )
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in dd.jaccard_pairs(docs, cands, k=5).collect()}
+
+    def raw(a, b):
+        sa = {a[i:i + 5] for i in range(len(a) - 4)}
+        sb = {b[i:i + 5] for i in range(len(b) - 4)}
+        return round(len(sa & sb) / len(sa | sb), 6)
+
+    expected = {(i, j): raw(texts[i], texts[j])
+                for i, j in [(0, 1), (0, 2), (0, 3), (1, 2)]}
+    assert got == expected
+
+
+def test_topk_brute_and_ivf_matches_separate_scans(spark):
+    """Round 7's shared-scan brute+IVF must reproduce cosine_topk and
+    ivf_topk row-for-row (same values, order, and method tags)."""
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)])
+         for i in range(60)],
+        ["vec_id", "embedding"],
+    )
+    qv = [1.0, -0.5, 0.25, 0.0, 2.0, -1.0, 0.5, 0.75]
+    both = sim.topk_brute_and_ivf(emb, qv, k=7, n_centroids=6, n_probe=3).collect()
+    brute = sim.cosine_topk(emb, qv, k=7).collect()
+    ivf = sim.ivf_topk(emb, qv, k=7, n_centroids=6, n_probe=3).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in both if r["method"] == "brute"] \
+        == [(r["vec_id"], r["cosine"]) for r in brute]
+    assert [(r["vec_id"], r["cosine"]) for r in both if r["method"] == "ivf"] \
+        == [(r["vec_id"], r["cosine"]) for r in ivf]
+
+
+def test_simhash_matches_column_form(spark):
+    """Round 7 rewrote simhash as an Arrow stage; it must equal the
+    former pure-column form (rebuilt inline here) on awkward inputs:
+    empty text and null text (no output row), leading/trailing/mixed
+    whitespace, repeated tokens, unicode tokens."""
+    rows = [(0, "hello world hello"), (1, ""), (2, None),
+            (3, "  tab\tsep\ttokens  "), (4, "a"), (5, "naïve café 东京"),
+            (6, " x \n y \r\n z "), (7, "hello world hello")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    nbits = 16
+    toks = (
+        docs.select(
+            F.col("doc_id").alias("id"),
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .select("id", F.md5(F.col("tok")).alias("__h"))
+    )
+    h = F.col("__h")
+    bit_sums = [
+        F.sum(
+            F.when(F.instr(F.lit("13579bdf"), F.substring(h, i + 1, 1)) > 0, 1)
+            .otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(nbits)
+    ]
+    agg = toks.groupBy("id").agg(*bit_sums)
+    fp = None
+    for i in range(nbits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0))
+        term = bit * F.lit(2 ** i)
+        fp = term if fp is None else fp + term
+    old = {r["doc_id"]: r["simhash"]
+           for r in agg.select(F.col("id").alias("doc_id"),
+                               fp.cast("long").alias("simhash")).collect()}
+    new = {r["doc_id"]: r["simhash"]
+           for r in dd.simhash(docs, nbits=nbits).collect()}
+    assert new == old
+    assert 1 not in new and 2 not in new  # token-less docs yield no row
+
+
 def test_simhash_near_for_near_dups(docs):
     out = {r["doc_id"]: r["simhash"] for r in dd.simhash(docs, nbits=16).collect()}
     assert out[0] == out[1]
