@@ -155,15 +155,20 @@ def kmeans_centroids(
             break
         dim = len(rows[0]["cvec"])
         assigned = embeddings.select(
-            v.alias("__v"), _nearest_col(rows, vec_col)
+            F.col(vec_col).alias("__e"), _nearest_col(rows, vec_col)
         )
+        # avg inputs index the RAW vector column and cast the SCALAR
+        # element (bit-identical: elementwise cast == cast-then-index) —
+        # feeding getItem from an array<double>-cast alias let
+        # CollapseProject inline the cast into all `dim` aggregate
+        # inputs, materializing ~dim fresh arrays per row
         cents = (
             assigned.groupBy("centroid_id")
             .agg(
                 *[
-                    F.round(F.avg(F.col("__v").getItem(i)), decimals).alias(
-                        f"__m{i}"
-                    )
+                    F.round(
+                        F.avg(F.col("__e").getItem(i).cast("double")), decimals
+                    ).alias(f"__m{i}")
                     for i in range(dim)
                 ]
             )
