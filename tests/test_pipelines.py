@@ -104,6 +104,35 @@ def test_jaccard_pairs_matches_raw_shingle_sets(spark):
     assert got == expected
 
 
+def test_jaccard_py_path_matches_jvm_path(spark):
+    """The round-7 python-broadcast verify (pairs-only mapInPandas +
+    searchsorted counts) must reproduce the JVM broadcast-join +
+    array_intersect path row-for-row, including the inner-join drop of
+    pairs that reference a null-text doc."""
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumped over the lazy dogs"),
+        (2, "pack my box with five dozen liquor jugs"),
+        (3, None),          # null text: no shingle set → its pairs drop
+        (4, "tiny"),        # shorter than k: whole text is the shingle
+        (5, "the quick brown fox jumps over the lazy dog"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    cands = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 5), (1, 2), (0, 3), (3, 4), (2, 4)],
+        ["id_a", "id_b"],
+    )
+    py = {(r["id_a"], r["id_b"]): r["jaccard"]
+          for r in dd.jaccard_pairs(docs, cands, k=5,
+                                    py_broadcast_bytes=1 << 30).collect()}
+    jvm = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in dd.jaccard_pairs(docs, cands, k=5,
+                                     py_broadcast_bytes=0).collect()}
+    assert py == jvm
+    assert (0, 3) not in py and (3, 4) not in py
+    assert py[(0, 5)] == 1.0
+
+
 def test_topk_brute_and_ivf_matches_separate_scans(spark):
     """Round 7's shared-scan brute+IVF must reproduce cosine_topk and
     ivf_topk row-for-row (same values, order, and method tags)."""
