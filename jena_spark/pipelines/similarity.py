@@ -24,6 +24,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 
 def _dot(a, b):
@@ -114,6 +115,210 @@ def _nearest_col(cent_rows, vec_col: str) -> F.Column:
     return (-F.array_max(scored)["negc"]).cast("long").alias("centroid_id")
 
 
+def _np_scores(vecs, cent_mat, cent_norms, query, query_norm):
+    """Vectorized mirror of the JVM scoring expressions over one numpy
+    batch of equal-length vectors (n × dim float64).
+
+    Bit-identical by construction: every dot product is
+    ``np.cumsum(products, axis=-1)[..., -1]`` — the same strict
+    left-to-right IEEE-double accumulation as the in-plan ``aggregate``
+    fold (elementwise products are identical, additions happen in the
+    same order, so every partial sum rounds identically); centroid and
+    query norms come from :func:`_py_norm` (same fold); each cosine is
+    dot / (norm_v * norm_other) with the multiply-then-divide order of
+    the column form.  Returns (cos_to_query, centroid_slot) — slot =
+    argmax over centroids of cos with ties to the FIRST (callers sort
+    centroid rows by centroid_id, mirroring the (cos, -id) struct-max
+    tie-break), NaN cosines ranking greatest exactly like Spark's
+    double ordering."""
+    import numpy as np
+
+    norm_v = np.sqrt(np.cumsum(vecs * vecs, axis=1)[:, -1])
+    dot_q = np.cumsum(vecs * query, axis=1)[:, -1]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos_q = dot_q / (norm_v * query_norm)
+        dots_c = np.cumsum(
+            vecs[:, None, :] * cent_mat[None, :, :], axis=2
+        )[:, :, -1]
+        cos_c = dots_c / (norm_v[:, None] * cent_norms[None, :])
+    ranked = np.where(np.isnan(cos_c), np.inf, cos_c)
+    slot = np.argmax(ranked, axis=1)
+    return cos_q, slot
+
+
+def _scored_arrow(
+    embeddings: DataFrame,
+    cent_rows,
+    query_vec: Sequence[float],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, cosine-to-query, centroid_id) as ONE Arrow-batched stage —
+    round 7.  The column form evaluated ~16 centroids × 4 interpreted
+    higher-order folds per row (HOFs do not participate in whole-stage
+    codegen); this computes the same values vectorized (see
+    :func:`_np_scores` for the bit-identity argument).  The final
+    ``round(cosine, decimals)`` stays in the JVM so the rounding is the
+    very same expression as before.
+
+    Row edge cases mirror the column form: a null vector, or one whose
+    length differs from the query's (zip_with would pad with nulls),
+    yields a null cosine and the lowest centroid id (the struct-max
+    over all-null cos fields falls through to the -id tie-break)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    rows = sorted(cent_rows, key=lambda r: int(r["centroid_id"]))
+    cent_mat = np.array([[float(x) for x in r["cvec"]] for r in rows],
+                        dtype=np.float64)
+    cent_norms = np.array([_py_norm(r["cvec"]) for r in rows],
+                          dtype=np.float64)
+    cent_ids = np.array([int(r["centroid_id"]) for r in rows],
+                        dtype=np.int64)
+    query = np.array([float(x) for x in query_vec], dtype=np.float64)
+    qnorm = _py_norm(query_vec)
+    dim = len(query)
+    null_cid = int(cent_ids.min()) if len(cent_ids) else None
+
+    id_field = embeddings.schema[id_col]
+    schema = StructType(
+        [
+            StructField(id_field.name, id_field.dataType, True),
+            StructField("cosine", DoubleType(), True),
+            StructField("centroid_id", LongType(), True),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            vec_list = pdf[vec_col].tolist()
+            n = len(vec_list)
+            cos = np.full(n, np.nan)
+            cos_null = np.zeros(n, dtype=bool)
+            cid = np.full(n, null_cid if null_cid is not None else 0,
+                          dtype=np.int64)
+            ok_idx = [
+                i for i, v in enumerate(vec_list)
+                if v is not None and len(v) == dim
+            ]
+            if ok_idx:
+                E = np.array([vec_list[i] for i in ok_idx], dtype=np.float64)
+                cq, slot = _np_scores(E, cent_mat, cent_norms, query, qnorm)
+                ok = np.array(ok_idx)
+                cos[ok] = cq
+                cid[ok] = cent_ids[slot]
+            bad = np.ones(n, dtype=bool)
+            bad[ok_idx] = False
+            cos_null |= bad
+            # masked Float64: a plain float column would coerce the
+            # null-row marker to NaN, which Spark orders GREATER than
+            # every number — the column form yields SQL NULL there.
+            # (explicit mask, not pd.array(), so a legitimately-NaN
+            # cosine computed from NaN inputs stays NaN, not NA)
+            cos_ser = pd.arrays.FloatingArray(cos, cos_null)
+            yield pd.DataFrame(
+                {
+                    id_field.name: pdf[id_col],
+                    "cosine": cos_ser,
+                    "centroid_id": cid,
+                }
+            )
+
+    return embeddings.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        score, schema
+    )
+
+
+def _assign_partial_sums(
+    embeddings: DataFrame,
+    cent_rows,
+    vec_col: str,
+) -> DataFrame:
+    """Per-batch (centroid_id, per-dimension count, per-dimension sum)
+    partial aggregates for one Lloyd round — round 7.  Replaces the
+    interpreted-HOF assignment column + ``dim`` avg() aggregates whose
+    inputs indexed the vector per dimension; the exchange now carries a
+    few hundred 129-column rows instead of per-row assignment output.
+    Assignment is :func:`_np_scores`' argmax (bit-identical to the
+    struct-max column form); the means the caller derives as
+    round(sum/count, 6) equal the former round(avg, 6) modulo float
+    summation order, which the 1e-6 rounding absorbs — the exact
+    tolerance the DuckDB oracle mirror already relies on.
+
+    Column-form edge parity: a vector whose length differs from the
+    centroid dimension is assigned the lowest centroid id (all-null
+    cosines fall through to the -id tie-break) and contributes the
+    elements it does have (getItem past the end is null, which avg
+    skips); a null vector contributes nothing but still lands in the
+    lowest-id group."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    rows = sorted(cent_rows, key=lambda r: int(r["centroid_id"]))
+    cent_mat = np.array([[float(x) for x in r["cvec"]] for r in rows],
+                        dtype=np.float64)
+    cent_norms = np.array([_py_norm(r["cvec"]) for r in rows],
+                          dtype=np.float64)
+    cent_ids = np.array([int(r["centroid_id"]) for r in rows],
+                        dtype=np.int64)
+    dim = cent_mat.shape[1]
+    null_cid = int(cent_ids.min())
+
+    schema = StructType(
+        [StructField("centroid_id", LongType(), True)]
+        + [StructField(f"__n{i}", LongType(), True) for i in range(dim)]
+        + [StructField(f"__s{i}", DoubleType(), True) for i in range(dim)]
+    )
+
+    def partial(batches):
+        for pdf in batches:
+            vec_list = pdf[vec_col].tolist()
+            ok_idx = [
+                i for i, v in enumerate(vec_list)
+                if v is not None and len(v) == dim
+            ]
+            sums: dict = {}
+            cnts: dict = {}
+            if ok_idx:
+                E = np.array([vec_list[i] for i in ok_idx], dtype=np.float64)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    norm_v = np.sqrt(np.cumsum(E * E, axis=1)[:, -1])
+                    dots_c = np.cumsum(
+                        E[:, None, :] * cent_mat[None, :, :], axis=2
+                    )[:, :, -1]
+                    cos_c = dots_c / (norm_v[:, None] * cent_norms[None, :])
+                slot = np.argmax(
+                    np.where(np.isnan(cos_c), np.inf, cos_c), axis=1
+                )
+                for s in np.unique(slot):
+                    grp = E[slot == s]
+                    cid = int(cent_ids[s])
+                    sums[cid] = np.add.reduce(grp, axis=0)
+                    cnts[cid] = np.full(dim, len(grp), dtype=np.int64)
+            ok_set = set(ok_idx)
+            for i, v in enumerate(vec_list):
+                if i in ok_set:
+                    continue
+                if null_cid not in sums:
+                    sums[null_cid] = np.zeros(dim)
+                    cnts[null_cid] = np.zeros(dim, dtype=np.int64)
+                if v is not None:
+                    m = min(len(v), dim)
+                    sums[null_cid][:m] += np.asarray(v[:m], dtype=np.float64)
+                    cnts[null_cid][:m] += 1
+            cids = sorted(sums)
+            data = {"centroid_id": pd.Series(cids, dtype="int64")}
+            for i in range(dim):
+                data[f"__n{i}"] = [int(cnts[c][i]) for c in cids]
+            for i in range(dim):
+                data[f"__s{i}"] = [float(sums[c][i]) for c in cids]
+            yield pd.DataFrame(data)
+
+    return embeddings.select(F.col(vec_col)).mapInPandas(partial, schema)
+
+
 def kmeans_centroids(
     embeddings: DataFrame,
     n_centroids: int = 16,
@@ -139,43 +344,38 @@ def kmeans_centroids(
         (F.row_number().over(w) - 1).cast("long").alias("centroid_id"), "cvec"
     )
     for _ in range(iters):
-        # assignment is a narrow column over literal centroids — the
-        # vectors never join or shuffle; only the per-dimension partial
-        # means move.  Round 7: the means are ``dim`` avg() aggregates
-        # grouped by centroid_id (map-side partial aggregation → the
-        # exchange carries n_centroids × dim partial sums, a few KB)
-        # instead of the former posexplode into rows×dim records and a
-        # (centroid_id, pos)-keyed shuffle of all of them.  avg() over
-        # the identical value multiset + round(·, 6) keeps the oracle
-        # contract (the rounding absorbs float summation-order
-        # differences, exactly as it already did between Spark and the
-        # DuckDB mirror).
+        # Round 7: assignment + per-dimension partial sums run as ONE
+        # Arrow-batched stage (:func:`_assign_partial_sums`) — the
+        # former literal-centroid struct-max column was ~16 centroids ×
+        # 2 interpreted higher-order folds per row (HOFs do not
+        # whole-stage-codegen) and the dim avg() aggregates indexed the
+        # vector 64×/row.  The exchange now carries only a few hundred
+        # partial-aggregate rows; means = round(sum/count, 6) equal the
+        # former round(avg, 6) modulo float summation order, absorbed
+        # by the 1e-6 rounding exactly as the DuckDB oracle mirror
+        # already relies on.
         rows = cents.collect()
         if not rows:
             break
         dim = len(rows[0]["cvec"])
-        assigned = embeddings.select(
-            F.col(vec_col).alias("__e"), _nearest_col(rows, vec_col)
+        partial = _assign_partial_sums(embeddings, rows, vec_col)
+        agg = partial.groupBy("centroid_id").agg(
+            *[F.sum(f"__n{i}").alias(f"__n{i}") for i in range(dim)],
+            *[F.sum(f"__s{i}").alias(f"__s{i}") for i in range(dim)],
         )
-        # avg inputs index the RAW vector column and cast the SCALAR
-        # element (bit-identical: elementwise cast == cast-then-index) —
-        # feeding getItem from an array<double>-cast alias let
-        # CollapseProject inline the cast into all `dim` aggregate
-        # inputs, materializing ~dim fresh arrays per row
-        cents = (
-            assigned.groupBy("centroid_id")
-            .agg(
+        cents = agg.select(
+            "centroid_id",
+            F.array(
                 *[
-                    F.round(
-                        F.avg(F.col("__e").getItem(i).cast("double")), decimals
-                    ).alias(f"__m{i}")
+                    F.when(
+                        F.col(f"__n{i}") > 0,
+                        F.round(
+                            F.col(f"__s{i}") / F.col(f"__n{i}"), decimals
+                        ),
+                    )
                     for i in range(dim)
                 ]
-            )
-            .select(
-                "centroid_id",
-                F.array(*[F.col(f"__m{i}") for i in range(dim)]).alias("cvec"),
-            )
+            ).alias("cvec"),
         )
     # materialize: the centroid table is tiny and consumed by ≥2 plans
     return cents.localCheckpoint(eager=True)
@@ -297,13 +497,19 @@ def topk_brute_and_ivf(
     )
     rows = cents.collect()
     probe_ids = _probe_choice(rows, query_vec, n_probe)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    v = F.col(vec_col).cast("array<double>")
-    scored = embeddings.select(
-        F.col(id_col),
-        F.round(cosine_col(v, q), decimals).alias("cosine"),
-        _nearest_col(rows, vec_col),
-    ).localCheckpoint(eager=True)
+    # round 7: the (cosine, centroid) decision columns come from the
+    # Arrow-batched _scored_arrow stage instead of the interpreted-HOF
+    # column expressions — same values (cumsum fold bit-identity; the
+    # round() below is the identical JVM expression as before)
+    scored = (
+        _scored_arrow(embeddings, rows, query_vec, id_col, vec_col)
+        .select(
+            F.col(id_col),
+            F.round(F.col("cosine"), decimals).alias("cosine"),
+            "centroid_id",
+        )
+        .localCheckpoint(eager=True)
+    )
     brute = (
         scored.select(id_col, "cosine")
         .orderBy(F.desc("cosine"), F.asc(id_col))

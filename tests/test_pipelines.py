@@ -135,10 +135,15 @@ def test_jaccard_py_path_matches_jvm_path(spark):
 
 def test_topk_brute_and_ivf_matches_separate_scans(spark):
     """Round 7's shared-scan brute+IVF must reproduce cosine_topk and
-    ivf_topk row-for-row (same values, order, and method tags)."""
+    ivf_topk row-for-row (same values, order, and method tags).  Also
+    the differential gate for the round-7 Arrow scored/Lloyd stages vs
+    the interpreted-HOF column forms that cosine_topk/ivf_topk keep —
+    including a null vector and a wrong-dimension vector (both must
+    yield null cosines that never rank)."""
     emb = spark.createDataFrame(
         [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)])
-         for i in range(60)],
+         for i in range(60)]
+        + [(60, None), (61, [1.0, 2.0])],
         ["vec_id", "embedding"],
     )
     qv = [1.0, -0.5, 0.25, 0.0, 2.0, -1.0, 0.5, 0.75]
