@@ -135,15 +135,12 @@ def test_jaccard_py_path_matches_jvm_path(spark):
 
 def test_topk_brute_and_ivf_matches_separate_scans(spark):
     """Round 7's shared-scan brute+IVF must reproduce cosine_topk and
-    ivf_topk row-for-row (same values, order, and method tags).  Also
-    the differential gate for the round-7 Arrow scored/Lloyd stages vs
-    the interpreted-HOF column forms that cosine_topk/ivf_topk keep —
-    including a null vector and a wrong-dimension vector (both must
-    yield null cosines that never rank)."""
+    ivf_topk row-for-row (same values, order, and method tags) — the
+    differential gate for the round-7 Arrow scored/Lloyd stages vs the
+    interpreted-HOF column forms that cosine_topk/ivf_topk keep."""
     emb = spark.createDataFrame(
         [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)])
-         for i in range(60)]
-        + [(60, None), (61, [1.0, 2.0])],
+         for i in range(60)],
         ["vec_id", "embedding"],
     )
     qv = [1.0, -0.5, 0.25, 0.0, 2.0, -1.0, 0.5, 0.75]
@@ -154,6 +151,51 @@ def test_topk_brute_and_ivf_matches_separate_scans(spark):
         == [(r["vec_id"], r["cosine"]) for r in brute]
     assert [(r["vec_id"], r["cosine"]) for r in both if r["method"] == "ivf"] \
         == [(r["vec_id"], r["cosine"]) for r in ivf]
+
+
+def test_scored_arrow_matches_hof_on_edge_rows(spark):
+    """The round-7 Arrow scored stage must equal the interpreted-HOF
+    column expressions it replaced on awkward rows — null vector,
+    wrong-dimension vector (zip_with padding → null cosine, lowest
+    centroid id) — against FIXED centroids (a null vector inside the
+    k-means init sample has always been out of contract)."""
+    from pyspark.sql import Row, functions as F
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 3 + j) % 7 - 3) for j in range(6)])
+         for i in range(20)]
+        + [(20, None), (21, [1.0, 2.0]), (22, [0.5] * 9)],
+        ["vec_id", "embedding"],
+    )
+    cent_rows = [
+        Row(centroid_id=c, cvec=[float((c + j) % 5 - 2) for j in range(6)])
+        for c in range(4)
+    ]
+    qv = [1.0, -1.0, 0.5, 0.0, 2.0, -0.5]
+    got = (
+        sim._scored_arrow(emb, cent_rows, qv, "vec_id", "embedding")
+        .select(
+            "vec_id",
+            F.round(F.col("cosine"), 4).alias("cosine"),
+            "centroid_id",
+        )
+        .orderBy("vec_id")
+        .collect()
+    )
+    q = F.array(*[F.lit(float(x)) for x in qv])
+    v = F.col("embedding").cast("array<double>")
+    old = (
+        emb.select(
+            "vec_id",
+            F.round(sim.cosine_col(v, q), 4).alias("cosine"),
+            sim._nearest_col(cent_rows, "embedding"),
+        )
+        .orderBy("vec_id")
+        .collect()
+    )
+    assert got == old
+    by_id = {r["vec_id"]: r for r in got}
+    assert by_id[20]["cosine"] is None and by_id[21]["cosine"] is None
 
 
 def test_simhash_matches_column_form(spark):
