@@ -162,10 +162,12 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     return docs.select(F.col(id_col), _fingerprint_col(F.col(text_col)))
 
 
-def profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """All per-document text analyses — language ID, quality features,
-    token counts, fingerprint — in ONE narrow select (one scan, zero
-    shuffle, no self-joins; at 100 TB this is a single map stage)."""
+def _profile_columns(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The pre-round-7 pure-column profile — kept as the differential
+    baseline for :func:`profile` (tests pin the Arrow stage to this
+    form over awkward inputs)."""
     t = F.col(text_col)
     return docs.select(
         F.col(id_col),
@@ -173,6 +175,142 @@ def profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         *_quality_cols(t),
         *_token_count_cols(t),
         _fingerprint_col(t),
+    )
+
+
+def profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """All per-document text analyses — language ID, quality features,
+    token counts, fingerprint — in ONE map stage (one scan, zero
+    shuffle, no self-joins; at 100 TB this is a single map stage).
+
+    Round 7: the column form ran ~6 interpreted higher-order token
+    filters plus 4 full regexp passes per document (HOFs do not
+    whole-stage-codegen — 2.7 s at sf1 for 15 MB of text).  The counts
+    now come from one Arrow-batched ``mapInPandas`` whose regexes
+    mirror the JVM semantics exactly (ASCII ``\\s``, trim = strip of
+    U+0020 only, split keeping boundary empties, the U+4E00–U+9FFF CJK
+    block, ASCII punctuation/alpha classes, md5 of the normalized
+    UTF-8) — every emitted value is an INTEGER count or a string, and
+    the ratios, round(…, 6) and the winning-score double all stay JVM
+    expressions, so float parity is structural.  Pinned against
+    :func:`_profile_columns` over null/empty/whitespace/CJK/mixed-case
+    inputs by tests/test_pipelines.py::test_profile_matches_column_form."""
+    import hashlib
+    import re
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    ws = re.compile(r"\s+", re.ASCII)
+    non_sub = re.compile(r"[^a-z0-9]+", re.ASCII)
+    punct_set = frozenset(".,;:!?'\"()[]{}-")
+    markers = {
+        lang: frozenset(words)
+        for lang, words in LANG_MARKERS.items()
+        if words
+    }
+    lang_names = sorted(LANG_MARKERS)  # tie → max lang name wins
+    en_markers = markers["en"]
+    md5 = hashlib.md5
+
+    id_field = docs.schema[id_col]
+    schema = StructType(
+        [
+            StructField(id_field.name, id_field.dataType, True),
+            StructField("pred_lang", StringType(), True),
+            StructField("__score", LongType(), True),
+            StructField("__chars", IntegerType(), True),
+            StructField("__toks", LongType(), True),
+            StructField("__punct", LongType(), True),
+            StructField("__alpha", LongType(), True),
+            StructField("__stop", LongType(), True),
+            StructField("__sub", LongType(), True),
+            StructField("fingerprint", StringType(), True),
+        ]
+    )
+
+    def prof_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            out = {
+                "pred_lang": [None] * n, "__score": [None] * n,
+                "__chars": [None] * n, "__toks": [None] * n,
+                "__punct": [None] * n, "__alpha": [None] * n,
+                "__stop": [None] * n, "__sub": [None] * n,
+                "fingerprint": [None] * n,
+            }
+            for r, text in enumerate(pdf[text_col].tolist()):
+                if not isinstance(text, str):
+                    # null text: every score is null — the struct max
+                    # falls through to the largest language name
+                    out["pred_lang"][r] = lang_names[-1]
+                    continue
+                lower = text.lower()
+                ltoks = ws.split(lower)
+                scores = {
+                    lang: sum(1 for t in ltoks if t in wset)
+                    for lang, wset in markers.items()
+                }
+                scores["zh"] = sum(
+                    1 for ch in text if "一" <= ch <= "鿿"
+                )
+                best = max((s, l) for l, s in scores.items())
+                out["pred_lang"][r] = best[1]
+                out["__score"][r] = best[0]
+                out["__chars"][r] = len(text)
+                trimmed = text.strip(" ")
+                out["__toks"][r] = (
+                    0 if len(trimmed) == 0 else len(ws.split(trimmed))
+                )
+                out["__punct"][r] = sum(1 for ch in text if ch in punct_set)
+                out["__alpha"][r] = sum(
+                    1 for ch in text
+                    if "a" <= ch <= "z" or "A" <= ch <= "Z"
+                )
+                out["__stop"][r] = sum(1 for t in ltoks if t in en_markers)
+                out["__sub"][r] = sum(1 for p in non_sub.split(lower) if p)
+                norm = ws.sub(" ", text).strip(" ").lower()
+                out["fingerprint"][r] = md5(norm.encode("utf-8")).hexdigest()
+            data = {id_field.name: pdf[id_col]}
+            data["pred_lang"] = pd.Series(out["pred_lang"], dtype=object)
+            data["__score"] = pd.array(out["__score"], dtype="Int64")
+            data["__chars"] = pd.array(out["__chars"], dtype="Int32")
+            for c in ("__toks", "__punct", "__alpha", "__stop", "__sub"):
+                data[c] = pd.array(out[c], dtype="Int64")
+            data["fingerprint"] = pd.Series(out["fingerprint"], dtype=object)
+            yield pd.DataFrame(data)
+
+    raw = docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        prof_batches, schema
+    )
+    toks1 = F.greatest(F.col("__toks"), F.lit(1))
+    chars1 = F.greatest(F.col("__chars"), F.lit(1))
+    return raw.select(
+        F.col(id_field.name),
+        F.col("pred_lang"),
+        F.round(F.col("__score").cast("double"), 6).alias("lang_score"),
+        F.col("__chars").alias("n_chars_m"),
+        F.col("__toks").alias("n_tokens"),
+        F.round(F.col("__chars") / toks1, 6).alias("mean_tok_len"),
+        F.round(F.col("__punct") / chars1, 6).alias("punct_ratio"),
+        F.round(F.col("__alpha") / chars1, 6).alias("alpha_ratio"),
+        F.round(F.col("__stop").cast("double") / toks1, 6).alias(
+            "stopword_ratio"
+        ),
+        F.col("__sub").alias("subword_pieces"),
+        F.col("__toks").alias("ws_tokens"),
+        F.col("fingerprint"),
+    ).select(  # restore the declared column order
+        id_field.name, "pred_lang", "lang_score", "n_chars_m", "n_tokens",
+        "mean_tok_len", "punct_ratio", "alpha_ratio", "stopword_ratio",
+        "ws_tokens", "subword_pieces", "fingerprint",
     )
 
 

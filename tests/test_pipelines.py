@@ -198,6 +198,31 @@ def test_scored_arrow_matches_hof_on_edge_rows(spark):
     assert by_id[20]["cosine"] is None and by_id[21]["cosine"] is None
 
 
+def test_profile_matches_column_form(spark):
+    """Round 7 rewrote ts.profile as an Arrow counts stage (+ JVM
+    ratios); it must equal the former pure-column form — kept as
+    ts._profile_columns — value-for-value and schema-for-schema over
+    awkward inputs: null/empty/whitespace-only text, tab-only text
+    (strip-space-only trim keeps two boundary empties), CJK block
+    boundaries, unicode case folding, every punctuation-class char."""
+    rows = [(0, None), (1, ""), (2, "   "), (3, "\t\t"), (4, "the cat"),
+            (5, " the  and of\tto is "), (6, "你好一世界鿿丁"),
+            (7, "Der Hund und die Katze ist"), (8, "a-b_c.d!e(f)g"),
+            (9, "x"), (10, "MIXED Case The AND"),
+            (11, "el de que los es le et les des est"),
+            (12, "İstanbul STRASSE ẞ der"),
+            (13, "tab\ttab\ntab\x0bx\x0cy\rz"), (14, "trailing space "),
+            (15, " leading"), (16, "a  b"),
+            (17, "123 456 .,;:!?'\"()[]{}- end")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    new_df = ts.profile(docs)
+    old_df = ts._profile_columns(docs)
+    assert new_df.schema == old_df.schema
+    new = [tuple(r) for r in new_df.orderBy("doc_id").collect()]
+    old = [tuple(r) for r in old_df.orderBy("doc_id").collect()]
+    assert new == old
+
+
 def test_simhash_matches_column_form(spark):
     """Round 7 rewrote simhash as an Arrow stage; it must equal the
     former pure-column form (rebuilt inline here) on awkward inputs:
