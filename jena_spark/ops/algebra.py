@@ -150,7 +150,50 @@ def path_inverse(triples: DataFrame, pred: str) -> DataFrame:
     )
 
 
-def closure(rel: DataFrame, max_iters: int = 50, what: str = "path") -> DataFrame:
+def _py_closure(rows, keyed: bool, max_iters: int, what: str, pair_cap: int):
+    """Driver-side semi-naive closure over collected edge rows — the
+    same round structure as the distributed loop (so the max_iters
+    convergence contract raises identically).  Returns the reach set as
+    row tuples, or None if it outgrows ``pair_cap`` (caller falls back
+    to the distributed fixpoint)."""
+    adj: dict = {}
+    reach = set()
+    for r in rows:
+        g = r["g"] if keyed else None
+        e = (g, r["src"], r["dst"])
+        reach.add(e)
+        adj.setdefault((g, r["src"]), set()).add(r["dst"])
+    frontier = reach
+    for _ in range(max_iters):
+        new = set()
+        for g, s, d in frontier:
+            for d2 in adj.get((g, d), ()):
+                e = (g, s, d2)
+                if e not in reach:
+                    new.add(e)
+        if not new:
+            return (
+                [(g, s, d) for g, s, d in reach]
+                if keyed
+                else [(s, d) for _, s, d in reach]
+            )
+        reach |= new
+        if len(reach) > pair_cap:
+            return None
+        frontier = new
+    raise RuntimeError(
+        f"{what} did not converge within {max_iters} iterations — "
+        f"raise max_iters (rounds needed = graph diameter)"
+    )
+
+
+def closure(
+    rel: DataFrame,
+    max_iters: int = 50,
+    what: str = "path",
+    driver_edge_cap: int = 10_000,
+    driver_pair_cap: int = 2_000_000,
+) -> DataFrame:
     """Transitive closure of an arbitrary (src, dst) relation —
     iterative join-until-fixpoint (semi-naive: only the frontier joins
     each round; each round's result is localCheckpoint()ed to truncate
@@ -161,12 +204,33 @@ def closure(rel: DataFrame, max_iters: int = 50, what: str = "path") -> DataFram
     (frontier ⋈ edges) join; AQE handles frontier-size swings.  For
     1000-executor scale the frontier join broadcast-flips automatically
     once the frontier shrinks below the broadcast threshold.
+
+    Round 7: when the distinct edge set is driver-small (≤
+    ``driver_edge_cap`` rows — the same small-side reasoning as a
+    broadcast join, guide §3.1) the fixpoint runs on collected rows
+    instead: every distributed round costs ~4 jobs of scheduler
+    latency, so a diameter-4 closure over a few dozen edges paid ~20
+    jobs for microseconds of actual work.  The rows are collected and
+    re-emitted verbatim (no value transformation), the round structure
+    and the max_iters contract are identical, and a reach set
+    outgrowing ``driver_pair_cap`` falls back to the distributed loop
+    (a small EDGE set does not bound the closure size — a 10k-node
+    chain closes to ~50M pairs).
     """
     # an optional 'g' column keys the closure per named graph (paths
     # never cross graph boundaries — OpGraph scoping)
     keys = ["g"] if "g" in rel.columns else []
     cols = keys + ["src", "dst"]
     edges = rel.select(*cols).distinct().persist()
+    if edges.count() <= driver_edge_cap:
+        rows = edges.collect()
+        result = _py_closure(rows, bool(keys), max_iters, what,
+                             driver_pair_cap)
+        if result is not None:
+            spark = rel.sparkSession
+            out = spark.createDataFrame(result, schema=edges.schema)
+            edges.unpersist()
+            return out
     reach = edges.localCheckpoint(eager=True)
     frontier = reach
     converged = False

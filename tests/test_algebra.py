@@ -115,3 +115,38 @@ def test_path_transitive_nonconvergence_raises(spark):
     # and with enough headroom it completes: n0 reaches all 40 successors
     full = path_transitive(tri, "<p>")
     assert full.filter(F.col("src") == "<n0>").count() == 40
+
+
+def test_closure_driver_path_matches_distributed(spark):
+    """Round 7's driver-small closure fast path must produce exactly the
+    distributed fixpoint's row set — with and without per-graph keying,
+    over a graph mixing cycles, branches and isolated edges."""
+    from jena_spark.ops.algebra import closure
+
+    rows = (
+        [(f"<n{i}>", f"<n{i+1}>") for i in range(6)]          # chain
+        + [("<c0>", "<c1>"), ("<c1>", "<c2>"), ("<c2>", "<c0>")]  # cycle
+        + [("<b>", "<x>"), ("<b>", "<y>"), ("<z>", "<z>")]    # branch+self
+    )
+    rel = spark.createDataFrame(rows, ["src", "dst"])
+    py = {tuple(r) for r in closure(rel).collect()}
+    dist = {tuple(r) for r in closure(rel, driver_edge_cap=0).collect()}
+    assert py == dist
+
+    grows = [("g1",) + r for r in rows] + [("g2", "<n0>", "<q>")]
+    grel = spark.createDataFrame(grows, ["g", "src", "dst"])
+    gpy = {tuple(r) for r in closure(grel).collect()}
+    gdist = {tuple(r) for r in closure(grel, driver_edge_cap=0).collect()}
+    assert gpy == gdist
+    assert ("g2", "<n0>", "<q>") in gpy and ("g1", "<n0>", "<q>") not in gpy
+
+
+def test_closure_pair_cap_falls_back_to_distributed(spark):
+    """A small edge set whose closure outgrows driver_pair_cap must fall
+    back to the distributed loop and still be correct."""
+    from jena_spark.ops.algebra import closure
+
+    rows = [(f"<n{i}>", f"<n{i+1}>") for i in range(30)]  # closure = 465
+    rel = spark.createDataFrame(rows, ["src", "dst"])
+    out = closure(rel, driver_pair_cap=100)
+    assert out.count() == 465
