@@ -294,21 +294,30 @@ def minhash_candidates(
       number of dropped buckets and their member mass, so truncation is
       never silent.
     """
+    from pyspark.sql import Window
+
     sig_cols = [c for c in signatures.columns if c.startswith("mh_")]
     assert len(sig_cols) >= bands * rows_per_band
     band_structs = _band_structs(sig_cols, bands, rows_per_band)
     long = (
         signatures.select(F.col(id_col), F.explode(band_structs).alias("bk"))
         .select(F.col(id_col), F.col("bk.band_idx"), F.col("bk.band_key"))
-        .persist()
     )
-    counts = long.groupBy("band_idx", "band_key").count()
+    # round 7: bucket sizes come from a window count over the SAME
+    # (band_idx, band_key) partitioning the self-join needs, so the
+    # banded table is exchanged once and the join reuses it
+    # (ReusedExchange) — replacing the persist + groupBy-counts +
+    # broadcast-semi-join pre-pass (three plan legs, a cache fill and a
+    # broadcast build).  Same pruning semantics: singletons out,
+    # over-cap buckets dropped with their mass loggable.
+    w = Window.partitionBy("band_idx", "band_key")
+    counted = long.withColumn("__cnt", F.count("*").over(w))
     if log_fn is not None:
         dropped = (
-            counts.filter(F.col("count") > max_bucket_size)
+            counted.filter(F.col("__cnt") > max_bucket_size)
             .agg(
-                F.count("*").alias("n_buckets"),
-                F.coalesce(F.sum("count"), F.lit(0)).alias("n_members"),
+                F.countDistinct("band_idx", "band_key").alias("n_buckets"),
+                F.count("*").alias("n_members"),
             )
             .collect()[0]
         )
@@ -318,24 +327,20 @@ def minhash_candidates(
                 f"over-cap buckets (> {max_bucket_size}) covering "
                 f"{dropped['n_members']} doc slots"
             )
-    eligible = counts.filter(
-        (F.col("count") >= 2) & (F.col("count") <= max_bucket_size)
-    ).select("band_idx", "band_key")
-    filtered = long.join(eligible, ["band_idx", "band_key"], "left_semi")
+    filtered = counted.filter(
+        (F.col("__cnt") >= 2) & (F.col("__cnt") <= max_bucket_size)
+    ).select(id_col, "band_idx", "band_key")
     left = filtered.withColumnRenamed(id_col, "id_a")
     right = filtered.withColumnRenamed(id_col, "id_b")
-    pairs = (
+    return (
         left.join(right, ["band_idx", "band_key"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
-        # pin the (capped, small) candidate set so the banded long table
-        # can be unpersisted NOW — without this the cache entry outlives
-        # the call and leaks across a long-lived session
+        # pin the (capped, small) candidate set: it feeds ≥2 downstream
+        # plans (verify + clustering) and must not re-run the banding
         .localCheckpoint(eager=True)
     )
-    long.unpersist(blocking=True)
-    return pairs
 
 
 # ---------------------------------------------------------------------------
