@@ -10,6 +10,26 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_memory() -> str:
+    """Local mode runs driver + all executor threads in ONE JVM, so the
+    heap must be sized to the host, not to a driver-only default: at
+    sf1-scale bench inputs an 8g heap produced GC-thrash rep spikes of
+    3-10x (measured 26s worst-rep vs 2.1s at 32g on the same query,
+    guide §5 — checkpointed intermediates + broadcasts + 32 concurrent
+    task buffers compete for one old gen).  A quarter of physical RAM,
+    clamped to [8g, 32g]; cluster deployments size executor memory
+    explicitly (tools/submit_job.py) and the env override stays
+    authoritative."""
+    try:
+        with open("/proc/meminfo") as f:
+            kb = int(
+                next(l for l in f if l.startswith("MemTotal")).split()[1]
+            )
+        return f"{max(8, min(32, kb // (4 * 1024 * 1024)))}g"
+    except (OSError, StopIteration, ValueError, IndexError):
+        return "8g"
+
+
 def get_spark(
     app: str = "jena_spark",
     master: str | None = None,
@@ -44,7 +64,10 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_OPEN_COST", "4194304"),
         )
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEMORY", _default_driver_memory()),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )
