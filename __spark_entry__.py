@@ -589,10 +589,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dd.minhash_candidates(sigs, bands=2, rows_per_band=4)
 
     def dedup_jaccard(spark, sf):
+        # round 7: fused pipeline — identical rows to the split
+        # sigs→banding→verify chain (the signature and shingle-set
+        # stages share one md5 pass; equality pinned in tests)
         docs = _spread(_read(spark, sf, "documents"))
-        sigs = dd.minhash_signatures(docs, k=5, num_perm=8)
-        cands = dd.minhash_candidates(sigs, bands=2, rows_per_band=4)
-        return dd.jaccard_pairs(docs, cands, k=5)
+        return dd.dedup_jaccard_pipeline(
+            docs, k=5, num_perm=8, bands=2, rows_per_band=4
+        )
 
     def dedup_clusters(spark, sf):
         # round-4: connected components over the LSH candidate pairs →

@@ -52,6 +52,10 @@ def _shingles(text_col: str, k: int) -> F.Column:
 
 _MERSENNE = 2147483647  # 2^31 - 1
 
+# worker-side cache of the packed jaccard set arrays, keyed by temp-dir
+# path (python workers are reused across tasks — spark.python.worker.reuse)
+_JACCARD_SETS_CACHE: dict = {}
+
 
 def perm_consts(num_perm: int):
     """Deterministic affine coefficients for the MinHash permutations:
@@ -343,6 +347,166 @@ def minhash_candidates(
     )
 
 
+def minhash_sigs_and_sets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_perm: int = 8,
+) -> DataFrame:
+    """(id, mh_0..mh_{num_perm-1}, sh) in ONE Arrow stage — round 7.
+
+    The dedup_jaccard pipeline ran :func:`minhash_signatures` and
+    :func:`hashed_shingle_sets` as two separate passes over the same
+    text; both derive from the same per-shingle md5 digest (signature
+    base = first 60 bits mod P, set hash = first 64 bits sign-wrapped),
+    so one digest per DISTINCT shingle now feeds both.  Values are
+    bit-identical to the two split stages (pinned by
+    tests/test_pipelines.py::test_sigs_and_sets_matches_split_stages).
+    Null-text rows keep the all-null signature row (they can still
+    band) with a null ``sh`` (they have no set — consumers drop them
+    exactly like the split path's missing row)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType
+
+    consts = perm_consts(num_perm)
+    a_mat = np.array([a for a, _ in consts], dtype=np.int64)[:, None]
+    b_mat = np.array([b for _, b in consts], dtype=np.int64)[:, None]
+    id_field = docs.schema[id_col]
+    schema = StructType(
+        [StructField(id_field.name, id_field.dataType, True)]
+        + [StructField(f"mh_{i}", LongType(), True) for i in range(num_perm)]
+        + [StructField("sh", ArrayType(LongType(), True), True)]
+    )
+    md5 = hashlib.md5
+    M = _MERSENNE
+    WRAP = 1 << 64
+    SIGN = 1 << 63
+
+    def batches_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            null_ids: list = []
+            hashes: list = []
+            seg_lens: list = []
+            sets: list = []
+            memo: dict = {}  # shingle → (sig_hash, set_hash)
+            for did, text in zip(pdf[id_col].tolist(), pdf[text_col].tolist()):
+                if not isinstance(text, str):
+                    null_ids.append(did)
+                    continue
+                n = len(text)
+                if n >= k:
+                    shset = {text[i : i + k] for i in range(n - k + 1)}
+                else:
+                    shset = {text}
+                ids.append(did)
+                seg_lens.append(len(shset))
+                hs = []
+                for s in shset:
+                    pair = memo.get(s)
+                    if pair is None:
+                        h64 = int.from_bytes(
+                            md5(s.encode("utf-8")).digest()[:8], "big"
+                        )
+                        pair = (
+                            (h64 >> 4) % M,
+                            h64 - WRAP if h64 >= SIGN else h64,
+                        )
+                        memo[s] = pair
+                    hashes.append(pair[0])
+                    hs.append(pair[1])
+                arr = np.array(hs, dtype=np.int64)
+                arr.sort()
+                sets.append(arr)
+            if ids:
+                h_arr = np.array(hashes, dtype=np.int64)
+                perms = (a_mat * h_arr + b_mat) % M
+                starts = np.zeros(len(ids), dtype=np.int64)
+                np.cumsum(seg_lens[:-1], out=starts[1:])
+                mins = np.minimum.reduceat(perms, starts, axis=1)
+            else:
+                mins = np.empty((num_perm, 0), dtype=np.int64)
+            nnull = len(null_ids)
+            data: dict = {
+                id_field.name: pd.Series(ids + null_ids,
+                                         dtype=pdf[id_col].dtype)
+            }
+            for i in range(num_perm):
+                data[f"mh_{i}"] = pd.array(
+                    list(mins[i]) + [None] * nnull, dtype="Int64"
+                )
+            data["sh"] = pd.Series(sets + [None] * nnull, dtype=object)
+            yield pd.DataFrame(data)
+
+    return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        batches_fn, schema
+    )
+
+
+def dedup_jaccard_pipeline(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_perm: int = 8,
+    bands: int = 2,
+    rows_per_band: int = 4,
+    max_bucket_size: int = 1000,
+    threshold: float = 0.0,
+    py_broadcast_bytes: int = 256 * 1024 * 1024,
+    log_fn=None,
+) -> DataFrame:
+    """signatures → LSH banding → exact Jaccard verify, end to end, with
+    the signature and shingle-set computation FUSED into one text pass
+    when the set payload fits the python-broadcast gate (round 7; see
+    :func:`minhash_sigs_and_sets`).  Identical rows to the split
+    ``minhash_signatures`` → ``minhash_candidates`` → ``jaccard_pairs``
+    chain (pinned by test_dedup_jaccard_pipeline_matches_split); above
+    the gate it runs exactly that chain."""
+    ub = docs.agg(
+        F.count("*").alias("n"),
+        F.coalesce(
+            F.sum(F.greatest(F.length(text_col) - F.lit(k - 1), F.lit(1))),
+            F.lit(0),
+        ).alias("pos"),
+    ).collect()[0]
+    est_ub = ub["pos"] * 8 + ub["n"] * 32
+    if est_ub > py_broadcast_bytes:
+        sigs = minhash_signatures(docs, text_col, id_col, k, num_perm)
+        cands = minhash_candidates(
+            sigs, id_col, bands, rows_per_band, max_bucket_size, log_fn
+        )
+        return jaccard_pairs(
+            docs, cands, text_col, id_col, k, threshold,
+            py_broadcast_bytes=py_broadcast_bytes,
+        )
+    combined = minhash_sigs_and_sets(
+        docs, text_col, id_col, k, num_perm
+    ).localCheckpoint(eager=True)
+    cands = minhash_candidates(
+        combined.drop("sh"), id_col, bands, rows_per_band,
+        max_bucket_size, log_fn,
+    )
+    sets_tbl = (
+        combined.filter(F.col("sh").isNotNull())
+        .select(F.col(id_col).alias("id"), "sh")
+        .toArrow()
+    )
+    counted = _jaccard_verify_py(cands, sets_tbl, id_col)
+    out = counted.select(
+        "id_a",
+        "id_b",
+        F.round(F.col("__i") / (F.col("__s") - F.col("__i")), 6).alias(
+            "jaccard"
+        ),
+    )
+    return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard verification
 # ---------------------------------------------------------------------------
@@ -384,17 +548,52 @@ def _jaccard_verify_py(
     # sets_pdf is a pyarrow Table (id, sh: list<int64>) — unpack the
     # list column via its contiguous values buffer + offsets (zero
     # per-row object allocation; a pandas round-trip of 50k ndarray
-    # cells measured ~1.4 s slower at sf1)
+    # cells measured ~1.4 s slower at sf1), then re-pack sorted by id
+    # so workers resolve id → slot with one vectorized searchsorted
+    # instead of a 43k-entry dict
     ids_np = sets_pdf["id"].to_numpy()
     chunks = sets_pdf["sh"].combine_chunks()
-    vals = chunks.flatten().to_numpy(zero_copy_only=False).astype(
+    raw_vals = chunks.flatten().to_numpy(zero_copy_only=False).astype(
         np.int64, copy=False
     )
-    offs = chunks.offsets.to_numpy(zero_copy_only=False).astype(
+    raw_offs = chunks.offsets.to_numpy(zero_copy_only=False).astype(
         np.int64, copy=False
     )
-    slot = {int(i): s for s, i in enumerate(ids_np.tolist())}
-    bc = sc.broadcast((vals, offs, slot))
+    order = np.argsort(ids_np, kind="stable")
+    ids_sorted = np.ascontiguousarray(ids_np[order]).astype(
+        np.int64, copy=False
+    )
+    lens = raw_offs[1:] - raw_offs[:-1]
+    offs = np.zeros(len(order) + 1, dtype=np.int64)
+    np.cumsum(lens[order], out=offs[1:])
+    gather = np.empty(int(offs[-1]), dtype=np.int64)
+    pos = 0
+    starts = raw_offs[order]
+    ends = raw_offs[order + 1] if len(order) else raw_offs[:0]
+    for s, e in zip(starts.tolist(), ends.tolist()):
+        gather[pos : pos + (e - s)] = np.arange(s, e)
+        pos += e - s
+    vals = raw_vals[gather]
+
+    if sc.master.startswith("local") and ids_sorted.dtype.kind in "iu":
+        # local mode: every Python worker shares this machine — write
+        # the packed arrays ONCE into the context's shutdown-cleaned
+        # temp dir and mmap them per worker (zero-copy via page cache).
+        # Shipping the same 78 MB through sc.broadcast cost ~2.5 s of
+        # per-worker unpickle at sf1 (32 workers × full copy), 4× the
+        # actual intersection compute.  (Integer-id corpora only — an
+        # object-dtype id array cannot mmap; those fall through to the
+        # broadcast.)
+        import os
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="jaccard_sets_", dir=sc._temp_dir)
+        np.save(os.path.join(d, "ids.npy"), ids_sorted)
+        np.save(os.path.join(d, "offs.npy"), offs)
+        np.save(os.path.join(d, "vals.npy"), vals)
+        src = ("file", d)
+    else:
+        src = ("bcast", sc.broadcast((ids_sorted, offs, vals)))
 
     id_a_field = candidates.schema["id_a"]
     id_b_field = candidates.schema["id_b"]
@@ -407,29 +606,52 @@ def _jaccard_verify_py(
         ]
     )
 
+    def _load():
+        kind, ref = src
+        if kind == "bcast":
+            return ref.value
+        import os as _os
+
+        cached = _JACCARD_SETS_CACHE.get(ref)
+        if cached is None:
+            # plain load, not mmap: the file is hot in the page cache, so
+            # this is one ~40 ms memcpy per worker, and every subsequent
+            # searchsorted runs on ordinary RAM arrays (numpy memmap
+            # views measurably slow the per-pair slicing hot loop)
+            cached = tuple(
+                np.load(_os.path.join(ref, f"{name}.npy"))
+                for name in ("ids", "offs", "vals")
+            )
+            _JACCARD_SETS_CACHE.clear()  # keep at most one packed corpus
+            _JACCARD_SETS_CACHE[ref] = cached
+        return cached
+
     def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        v, o, sl = bc.value
+        ids_s, o, v = _load()
+        n_sets = len(ids_s)
         for pdf in batches:
-            ia = pdf["id_a"].tolist()
-            ib = pdf["id_b"].tolist()
+            ia = pdf["id_a"].to_numpy()
+            ib = pdf["id_b"].to_numpy()
             n = len(ia)
             inter = np.empty(n, dtype=np.int64)
             ssum = np.empty(n, dtype=np.int64)
-            keep = np.ones(n, dtype=bool)
-            for r in range(n):
-                pa = sl.get(ia[r])
-                pb = sl.get(ib[r])
-                if pa is None or pb is None:
-                    keep[r] = False
-                    continue
-                sa = v[o[pa] : o[pa + 1]]
-                sb = v[o[pb] : o[pb + 1]]
+            # vectorized id → slot: sets are packed sorted by id
+            pa = np.searchsorted(ids_s, ia)
+            pb = np.searchsorted(ids_s, ib)
+            pa_ok = (pa < n_sets) & (ids_s[np.minimum(pa, n_sets - 1)] == ia) \
+                if n_sets else np.zeros(n, dtype=bool)
+            pb_ok = (pb < n_sets) & (ids_s[np.minimum(pb, n_sets - 1)] == ib) \
+                if n_sets else np.zeros(n, dtype=bool)
+            keep = pa_ok & pb_ok
+            for r in np.nonzero(keep)[0].tolist():
+                sa = v[o[pa[r]] : o[pa[r] + 1]]
+                sb = v[o[pb[r]] : o[pb[r] + 1]]
                 ssum[r] = len(sa) + len(sb)
                 if len(sb) < len(sa):
                     sa, sb = sb, sa
-                pos = np.searchsorted(sb, sa)
-                ok = pos < len(sb)
-                inter[r] = np.count_nonzero(sb[pos[ok]] == sa[ok])
+                p = np.searchsorted(sb, sa)
+                ok = p < len(sb)
+                inter[r] = np.count_nonzero(sb[p[ok]] == sa[ok])
             yield pd.DataFrame(
                 {
                     "id_a": pd.Series(ia, dtype=pdf["id_a"].dtype)[keep],

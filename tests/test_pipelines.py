@@ -133,6 +133,50 @@ def test_jaccard_py_path_matches_jvm_path(spark):
     assert py[(0, 5)] == 1.0
 
 
+def test_sigs_and_sets_matches_split_stages(spark):
+    """The fused one-md5-pass stage must reproduce minhash_signatures
+    and hashed_shingle_sets exactly, including null/short/empty text."""
+    rows = [(0, ""), (1, "ab"), (2, "exact match of text"), (3, None),
+            (4, "exact match of text"), (5, "   "), (6, "你好世界")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    fused = {r["doc_id"]: r for r in
+             dd.minhash_sigs_and_sets(docs, k=5, num_perm=8).collect()}
+    sigs = {r["doc_id"]: r for r in
+            dd.minhash_signatures(docs, k=5, num_perm=8).collect()}
+    sets = {r["doc_id"]: r["sh"] for r in
+            dd.hashed_shingle_sets(docs, k=5).collect()}
+    assert set(fused) == set(sigs)
+    for did, row in fused.items():
+        for i in range(8):
+            assert row[f"mh_{i}"] == sigs[did][f"mh_{i}"], did
+        if did in sets:
+            assert row["sh"] == sets[did], did
+        else:
+            assert row["sh"] is None, did
+
+
+def test_dedup_jaccard_pipeline_matches_split(spark):
+    """The fused dedup_jaccard pipeline (both gate sides) must equal the
+    split sigs → candidates → jaccard_pairs chain row-for-row."""
+    rows = [(i, f"common words block {i % 4} repeated across documents")
+            for i in range(30)] + [(30, None), (31, "xy")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = dd.minhash_signatures(docs, k=5, num_perm=8)
+    cands = dd.minhash_candidates(sigs, bands=2, rows_per_band=4)
+    split = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in dd.jaccard_pairs(docs, cands, k=5).collect()}
+    fused_py = {(r["id_a"], r["id_b"]): r["jaccard"]
+                for r in dd.dedup_jaccard_pipeline(docs, k=5, num_perm=8,
+                                                   bands=2, rows_per_band=4
+                                                   ).collect()}
+    fused_jvm = {(r["id_a"], r["id_b"]): r["jaccard"]
+                 for r in dd.dedup_jaccard_pipeline(
+                     docs, k=5, num_perm=8, bands=2, rows_per_band=4,
+                     py_broadcast_bytes=0).collect()}
+    assert fused_py == split
+    assert fused_jvm == split
+
+
 def test_topk_brute_and_ivf_matches_separate_scans(spark):
     """Round 7's shared-scan brute+IVF must reproduce cosine_topk and
     ivf_topk row-for-row (same values, order, and method tags) — the
