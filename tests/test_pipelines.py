@@ -177,6 +177,31 @@ def test_dedup_jaccard_pipeline_matches_split(spark):
     assert fused_jvm == split
 
 
+def test_jaccard_bitset_path_matches_sets_path(spark, monkeypatch):
+    """The round-7 bitset verify kernel (dictionary-encoded shingle
+    space, AND+popcount) must reproduce the per-pair sorted-merge
+    kernel exactly — both integers (__i/__s) feed the same JVM
+    division, so value equality here is result equality.  Forced both
+    ways via the sample-distinct gate; includes absent-id pairs and a
+    shorter-than-k doc."""
+    rows = [(i, f"shared vocabulary text number {i % 5} with overlap")
+            for i in range(40)] + [(40, "zz"), (41, None)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    cands = spark.createDataFrame(
+        [(a, b) for a in range(0, 40, 3) for b in range(a + 1, 42, 7)],
+        ["id_a", "id_b"],
+    )
+    monkeypatch.setattr(dd, "_BITSET_SAMPLE_DISTINCT", 1 << 20)
+    bits = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dd.jaccard_pairs(docs, cands, k=5,
+                                      py_broadcast_bytes=1 << 30).collect()}
+    monkeypatch.setattr(dd, "_BITSET_SAMPLE_DISTINCT", 0)
+    merge = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in dd.jaccard_pairs(docs, cands, k=5,
+                                       py_broadcast_bytes=1 << 30).collect()}
+    assert bits == merge and len(bits) > 0
+
+
 def test_topk_brute_and_ivf_matches_separate_scans(spark):
     """Round 7's shared-scan brute+IVF must reproduce cosine_topk and
     ivf_topk row-for-row (same values, order, and method tags) — the
