@@ -63,6 +63,14 @@ _JACCARD_SETS_CACHE: dict = {}
 _BITSET_SAMPLE_SLOTS = 262144
 _BITSET_SAMPLE_DISTINCT = 4096
 _BITSET_MAX_BYTES = 256 * 1024 * 1024
+# measured cost model for the bitset-vs-loop decision: the sorted-merge
+# loop runs IN PARALLEL across the workers (~14 µs/pair each), while the
+# bitset build is serial driver work (~0.13 µs/slot: dictionary encode +
+# bool scatter + packbits).  Bitset only pays when the per-pair saving
+# beats the build — i.e. when candidate pairs vastly outnumber corpus
+# shingle slots (the quadratic-bucket blow-up case).
+_BITSET_LOOP_US_PER_PAIR = 14.0
+_BITSET_BUILD_US_PER_SLOT = 0.13
 
 
 def perm_consts(num_perm: int):
@@ -504,7 +512,11 @@ def dedup_jaccard_pipeline(
         .select(F.col(id_col).alias("id"), "sh")
         .toArrow()
     )
-    counted = _jaccard_verify_py(cands, sets_tbl, id_col)
+    # the candidate table is an eager localCheckpoint — counting it is a
+    # cheap cached-scan job, and the count drives the verify kernel's
+    # bitset-vs-loop decision
+    counted = _jaccard_verify_py(cands, sets_tbl, id_col,
+                                 n_pairs=cands.count())
     out = counted.select(
         "id_a",
         "id_b",
@@ -523,6 +535,7 @@ def _jaccard_verify_py(
     candidates: DataFrame,
     sets_pdf,
     id_col: str,
+    n_pairs: Optional[int] = None,
 ) -> DataFrame:
     """Pairs-only intersection stage (round 7): the hashed shingle sets
     are shipped to the Python workers ONCE as a compact Spark broadcast
@@ -596,13 +609,26 @@ def _jaccard_verify_py(
     # buckets explode into millions of candidate pairs), each set is
     # representable as an R-bit bitset and |A∩B| becomes one vectorized
     # AND + popcount over the whole batch (~0.8 µs/pair measured vs
-    # ~16 µs/pair for the per-pair sorted-merge loop).  Probing a
-    # 256k-slot sample bounds the dictionary-encode cost for diverse
-    # corpora, where R is huge and the sets path below stays in force.
-    # Any injective hash→rank mapping preserves intersection counts, so
-    # the emitted integers are identical to the sorted-merge ones.
+    # ~16 µs/pair for the per-pair sorted-merge loop).  The loop runs in
+    # parallel across the workers but the bitset build is serial driver
+    # work, so the switch needs the candidate count: only when the
+    # parallel per-pair saving exceeds the build cost (pairs >> slots,
+    # the quadratic-bucket blow-up) is the bitset worth it — at the
+    # bench corpus (1.3M pairs / 10M slots / 32 cores) it is NOT, and
+    # callers that cannot supply a cheap count (n_pairs=None) keep the
+    # loop.  Probing a 256k-slot sample bounds the dictionary-encode
+    # cost for diverse corpora, where R is huge and the sets path stays
+    # in force regardless.  Any injective hash→rank mapping preserves
+    # intersection counts, so the emitted integers are identical to the
+    # sorted-merge ones.
+    par = max(sc.defaultParallelism, 1)
+    bitset_pays = (
+        n_pairs is not None
+        and n_pairs * _BITSET_LOOP_US_PER_PAIR / par
+        > total * _BITSET_BUILD_US_PER_SLOT
+    )
     bitset = None
-    if total:
+    if total and bitset_pays:
         import pyarrow as pa
         import pyarrow.compute as pc
 

@@ -187,18 +187,19 @@ def test_jaccard_bitset_path_matches_sets_path(spark, monkeypatch):
     rows = [(i, f"shared vocabulary text number {i % 5} with overlap")
             for i in range(40)] + [(40, "zz"), (41, None)]
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
-    cands = spark.createDataFrame(
-        [(a, b) for a in range(0, 40, 3) for b in range(a + 1, 42, 7)],
-        ["id_a", "id_b"],
-    )
-    monkeypatch.setattr(dd, "_BITSET_SAMPLE_DISTINCT", 1 << 20)
-    bits = {(r["id_a"], r["id_b"]): r["jaccard"]
-            for r in dd.jaccard_pairs(docs, cands, k=5,
-                                      py_broadcast_bytes=1 << 30).collect()}
-    monkeypatch.setattr(dd, "_BITSET_SAMPLE_DISTINCT", 0)
-    merge = {(r["id_a"], r["id_b"]): r["jaccard"]
-             for r in dd.jaccard_pairs(docs, cands, k=5,
-                                       py_broadcast_bytes=1 << 30).collect()}
+
+    def run():
+        return {(r["id_a"], r["id_b"]): r["jaccard"]
+                for r in dd.dedup_jaccard_pipeline(
+                    docs, k=5, num_perm=8, bands=2, rows_per_band=4
+                ).collect()}
+
+    # force the bitset kernel (loop "cost" infinite) vs the sorted-merge
+    # loop (loop "cost" zero) through the full pipeline
+    monkeypatch.setattr(dd, "_BITSET_LOOP_US_PER_PAIR", 1e12)
+    bits = run()
+    monkeypatch.setattr(dd, "_BITSET_LOOP_US_PER_PAIR", 0.0)
+    merge = run()
     assert bits == merge and len(bits) > 0
 
 
