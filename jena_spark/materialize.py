@@ -160,10 +160,22 @@ def _has_cdt_terms(df: DataFrame) -> bool:
 
 def _write_meta(out_dir: str, meta: dict) -> None:
     import json
+    import tempfile
 
     os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, "meta.json"), "w") as f:
-        json.dump(meta, f)
+    # atomic replace — a crash mid-dump must never leave a truncated
+    # meta.json for a concurrent/subsequent reader
+    fd, tmp = tempfile.mkstemp(dir=out_dir, suffix=".meta.tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(out_dir, "meta.json"))
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
 
 
 ENC_PERMUTATIONS: Dict[str, Sequence[str]] = {
@@ -411,6 +423,14 @@ def rebalance_hot_partitions(
     affected = sorted(int(k) for k in affected)
 
     all_hot = sorted(known_hot | set(new_hot))
+    # journal the detected hot ids BEFORE the first overwrite: pruning
+    # with a superset of hot ids is always safe (a hot predicate's
+    # partition set includes its pre-salt home, salt 0), whereas a crash
+    # between a permutation rewrite and a trailing meta update would
+    # leave choose_index_encoded pruning a now-salted predicate to its
+    # old home only — silent zero rows.  Atomic via _write_meta.
+    meta["hot_predicate_ids"] = [int(h) for h in all_hot]
+    _write_meta(out_dir, meta)
     salt = F.pmod(F.xxhash64(F.col("s_id")), F.lit(n_salts))
     reassign = F.when(
         F.col("p_id").isin([int(h) for h in all_hot]),
@@ -447,9 +467,6 @@ def rebalance_hot_partitions(
             )
         nxt.unpersist()
 
-    meta["hot_predicate_ids"] = [int(h) for h in all_hot]
-    with open(meta_path, "w") as f:
-        json.dump(meta, f)
     return {
         "detected_hot_ids": [int(h) for h in new_hot],
         "partitions_rewritten": affected,

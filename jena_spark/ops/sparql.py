@@ -2283,8 +2283,24 @@ def _meta_has_cdt(df: DataFrame) -> Optional[bool]:
         return None
     # markers could only false-POSITIVE via a literal in a filter string,
     # which just falls back to the probe — never returns a wrong flag
-    for marker in ("Union", "LocalRelation", "LogicalRDD", "Join"):
+    for marker in (
+        "Union", "LocalRelation", "LogicalRDD", "Join",
+        # synthesizing operators: any of these can mint subj/obj values
+        # (e.g. an Aggregate concat, a Generate explode, a Python
+        # transform) that never existed in the scanned files
+        "Aggregate", "Generate", "Window", "Expand",
+        "MapIn", "EvalPython", "PythonUDF", "ScriptTransformation",
+        "Deserialize",
+    ):
         if marker in plan:
+            return None
+    # a Project with an Alias can SYNTHESIZE subj/obj values (e.g.
+    # withColumn("obj", concat(..., '^^<…List>')) over a CDT-free store),
+    # so only attribute-only projections — which never print " AS " —
+    # keep the metadata trust; aliased ones fall back to the probe
+    for line in plan.splitlines():
+        s = line.lstrip(" +-:")
+        if s.startswith("Project") and " AS " in s:
             return None
     metas = set()
     for f in files:

@@ -232,7 +232,10 @@ def apply_patch_batch(target_dir: str, n_parts: int = 16):
         try:
             with open(meta_path) as f:
                 meta = json.load(f)
-        except OSError:
+        except (OSError, ValueError):
+            # ValueError/JSONDecodeError: a crash mid-write left a
+            # truncated sidecar — treat as missing rather than failing
+            # every subsequent micro-batch
             meta = None
         if meta is None:
             # a pre-existing store with no meta must NOT get a flag derived
@@ -250,8 +253,23 @@ def apply_patch_batch(target_dir: str, n_parts: int = 16):
                     e = F.col(c).endswith(suf)
                     cond = e if cond is None else (cond | e)
             meta["has_cdt"] = not adds.filter(cond).isEmpty()
-        with open(meta_path, "w") as f:
-            json.dump(meta, f)
+        # atomic replace: json.dump into the live path could be torn by a
+        # crash; readers must only ever see a complete sidecar
+        import tempfile as _tf
+
+        fd, tmp = _tf.mkstemp(
+            dir=os.path.dirname(meta_path), suffix=".meta.tmp"
+        )
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(meta, f)
+            os.replace(tmp, meta_path)
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
         nxt.unpersist()
         last.unpersist()  # symmetric with nxt: thousands of micro-batches
         # would otherwise pin one checkpointed RDD each until GC

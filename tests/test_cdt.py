@@ -334,6 +334,31 @@ def test_cdt_meta_not_trusted_past_union(spark, tmp_path):
     assert sp._data_has_cdt(store.unionByName(delta)) is True
 
 
+def test_cdt_meta_not_trusted_past_aliasing_project(spark, tmp_path):
+    """A Project that SYNTHESIZES subj/obj (withColumn concat) over a
+    CDT-free store can mint CDT literals invisible to the store's
+    has_cdt=false flag; the metadata shortcut must refuse alias-bearing
+    projections and fall back to the probe.  Attribute-only projections
+    (select of plain columns) keep the zero-probe trust."""
+    from pyspark.sql import functions as F
+
+    from jena_spark.materialize import materialize
+    from jena_spark.ops import sparql as sp
+
+    rows = [("<http://e/a>", "<http://e/p>", '"v"')]
+    out = str(tmp_path / "store")
+    materialize(spark.createDataFrame(rows, ["subj", "pred", "obj"]), out,
+                n_partitions=2)
+    store = spark.read.parquet(out + "/spo").select("subj", "pred", "obj")
+    sp._cdt_data_cache.clear()
+    assert sp._meta_has_cdt(store) is False  # attribute-only: trusted
+    synth = store.withColumn(
+        "obj", F.concat(F.lit('"[1]"^^<'), F.lit(CDT_LIST), F.lit(">"))
+    )
+    assert sp._meta_has_cdt(synth) is None   # aliased: probe fallback
+    assert sp._data_has_cdt(synth) is True
+
+
 def test_patch_sink_keeps_cdt_meta_fresh(spark, tmp_path):
     """apply_patch_batch creates/updates the store's has_cdt flag per
     micro-batch (delta-sized check, never a store scan)."""

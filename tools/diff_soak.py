@@ -97,7 +97,13 @@ def main():
         clean = 0
         try:
             for c in range(calls):
-                mod.random.Random = lambda _n, _s=layer_seed + c: orig_random_cls(_s)
+                # signature-compatible with random.Random(): the patch is
+                # process-global (mod.random IS the stdlib module), so a
+                # zero-arg Random() constructed anywhere during the layer
+                # run must not raise
+                mod.random.Random = (
+                    lambda *_a, _s=layer_seed + c: orig_random_cls(_s)
+                )
                 try:
                     fn(spark)
                     clean += 1
